@@ -1,0 +1,610 @@
+"""Public solver API — the 13-tool surface of the framework.
+
+Function names, signatures, defaults, artifact layout and result metadata
+mirror the reference MCP tools exactly
+(/root/reference/fenics_mcp_server.py:1902-2761 for solvers, :2764+ for
+plotting) so the agent layer and downstream consumers work unchanged.  The
+implementations are the TPU-native solvers in ``pde_solver_tpu.models``.
+
+Beyond parity, every SolveResult.meta carries a ``solver_stats`` block
+(DOF count, CG iterations, achieved residual, wall time) — the observability
+the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pde_solver_tpu.fields import PlotResult, SolveResult, TimeSeriesField, save_field
+from pde_solver_tpu.mesh import StructuredMesh, box_mesh, interval_mesh, rectangle_mesh
+from pde_solver_tpu.models import elasticity as elast
+from pde_solver_tpu.models import heat
+from pde_solver_tpu.models.heat import (
+    embed_identity3, embed_line, embed_plane, embed_rtheta, embed_rz,
+    embed_spherical, weight_r, weight_r2, weight_r2_sin_theta, weight_r_yz,
+)
+
+
+def _pack(mesh: StructuredMesh, embed, times, values, dim, meta, stats) -> TimeSeriesField:
+    coords = embed(mesh.flat_node_coords())
+    meta = dict(meta)
+    meta["solver_stats"] = stats
+    return TimeSeriesField(coords=coords, values=np.asarray(values),
+                           times=np.asarray(times), dim=dim, meta=meta)
+
+
+def _result(field: TimeSeriesField, data_dir: str, prefix: str) -> SolveResult:
+    path = save_field(field, data_dir, prefix)
+    return SolveResult(data_file=path, dim=field.dim, meta=field.meta)
+
+
+# ======================================================================
+# Heat — Cartesian
+# ======================================================================
+
+def solve_heat_1D(
+    length: float = 2.0,
+    nx: int = 50,
+    diffusivity: float = 1.0,
+    T_left: float = 20.0,
+    T_right: float = 0.0,
+    T_initial: float = 0.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: float = 1.0,
+) -> SolveResult:
+    """1D heat equation u_t − k u_xx = f on (0, length); Dirichlet ends.
+
+    Reference tool: fenics_mcp_server.py:1902-1974 (same defaults/meta).
+    """
+    mesh = interval_mesh(nx, 0.0, length)
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity,
+        bc_pairs=[(mesh.face_mask(0, 0), T_left), (mesh.face_mask(0, 1), T_right)],
+        source_type=source_type, source_value=source_value, steady=steady,
+        T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "length": length,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, "heat_1d")
+
+
+def solve_heat_2D(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 30,
+    ny: int = 30,
+    diffusivity: float = 1.0,
+    T_boundary: float = 0.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: float = 1.0,
+) -> SolveResult:
+    """2D heat on [0,Lx]×[0,Ly], uniform Dirichlet boundary.
+
+    Reference tool: fenics_mcp_server.py:1977-2041.
+    """
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity,
+        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        source_type=source_type, source_value=source_value, steady=steady,
+        T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "Lx": Lx, "Ly": Ly,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_plane, times, values, 2, meta, stats)
+    return _result(field, data_dir, "heat_2d")
+
+
+def solve_heat_3D(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    Lz: float = 1.0,
+    nx: int = 10,
+    ny: int = 10,
+    nz: int = 10,
+    diffusivity: float = 1.0,
+    T_boundary: float = 0.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 20,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: float = 1.0,
+    geometry_type: str = "box",
+    cylinder_radius: Optional[float] = None,
+    T_left: Optional[float] = None,
+    T_right: Optional[float] = None,
+    T_side: Optional[float] = None,
+    core_radius: Optional[float] = None,
+    core_diffusivity: Optional[float] = None,
+) -> SolveResult:
+    """3D heat: box [0,Lx]×[0,Ly]×[0,Lz] or cylinder (radius, length Lx along x).
+
+    Supports uniform (T_boundary) or directional (T_left/T_right/T_side) BCs
+    and a high-conductivity core (core_radius + core_diffusivity).
+    Reference tool: fenics_mcp_server.py:2122-2213; raw solver :475-762.
+    The cylinder uses the structured box-embedding with r-weighted forms —
+    the reference's own fallback discretization (:524-530, :639-647).
+    """
+    is_cyl = geometry_type == "cylinder" and cylinder_radius is not None
+    if is_cyl:
+        R = float(cylinder_radius)
+        # Mesh resolution mapping mirrors the reference fallback (:527-529).
+        mesh = box_mesh(nx, max(1, int(ny * R * 2)), max(1, int(nz * R * 2)),
+                        (0.0, -R, -R), (Lx, R, R))
+        wfn = weight_r_yz
+    else:
+        mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+        wfn = None
+
+    has_composite = core_radius is not None and core_diffusivity is not None
+    kappa_cells = None
+    if has_composite:
+        kappa_cells = heat.composite_kappa_cells(
+            mesh, float(core_radius), float(diffusivity), float(core_diffusivity))
+
+    use_directional = T_left is not None or T_right is not None or T_side is not None
+    if use_directional:
+        pairs = []
+        if T_left is not None:
+            pairs.append((mesh.face_mask(0, 0), float(T_left)))
+        if T_right is not None:
+            pairs.append((mesh.face_mask(0, 1), float(T_right)))
+        if T_side is not None:
+            if is_cyl:
+                from pde_solver_tpu.ops.bc import radius_shell
+                pairs.append((radius_shell(mesh, (1, 2), R, exclude_axis_faces=0),
+                              float(T_side)))
+            else:
+                from pde_solver_tpu.ops.bc import boundary_except_faces
+                pairs.append((boundary_except_faces(mesh, 0), float(T_side)))
+    else:
+        pairs = [(mesh.boundary_mask(), T_boundary)]
+
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=wfn, weight_quad_degree=4,
+        kappa_cells=kappa_cells, bc_pairs=pairs,
+        source_type=source_type, source_value=source_value, steady=steady,
+        T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian" if geometry_type == "box" else "cylindrical",
+        "Lx": Lx,
+        "Ly": Ly if geometry_type == "box" else (cylinder_radius * 2 if cylinder_radius else Ly),
+        "Lz": Lz if geometry_type == "box" else (cylinder_radius * 2 if cylinder_radius else Lz),
+        "geometry_type": geometry_type,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    if is_cyl:
+        meta["cylinder_radius"] = float(cylinder_radius)
+    if use_directional:
+        if T_left is not None:
+            meta["T_left"] = T_left
+        if T_right is not None:
+            meta["T_right"] = T_right
+        if T_side is not None:
+            meta["T_side"] = T_side
+    else:
+        meta["T_boundary"] = T_boundary
+    if has_composite:
+        meta["core_radius"] = core_radius
+        meta["core_diffusivity"] = core_diffusivity
+        meta["base_diffusivity"] = diffusivity
+    else:
+        meta["diffusivity"] = diffusivity
+
+    field = _pack(mesh, embed_identity3, times, values, 3, meta, stats)
+    return _result(field, data_dir, "heat_3d")
+
+
+# ======================================================================
+# Heat — curvilinear
+# ======================================================================
+
+def solve_heat_1D_cylindrical(
+    r_inner: float = 0.1,
+    r_outer: float = 1.0,
+    nr: int = 50,
+    diffusivity: float = 1.0,
+    T_inner: float = 100.0,
+    T_outer: float = 20.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+) -> SolveResult:
+    """1D radial cylindrical heat: u_t = k (1/r) ∂_r(r ∂_r u), r-weighted form.
+
+    Reference tool: fenics_mcp_server.py:2220-2292; raw solver :769-923.
+    """
+    mesh = interval_mesh(nr, r_inner, r_outer)
+    pairs = []
+    if r_inner > 1e-10:
+        pairs.append((mesh.face_mask(0, 0), T_inner))
+    pairs.append((mesh.face_mask(0, 1), T_outer))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r, weight_quad_degree=3,
+        bc_pairs=pairs, source_type=source_type, source_value=source_value,
+        steady=steady, T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, curvilinear_ic=True,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cylindrical",
+        "geometry_type": "cylinder" if r_inner < 1e-10 else "annulus",
+        "r_inner": r_inner, "r_outer": r_outer,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, "heat_1d_cylindrical")
+
+
+def solve_heat_1D_spherical(
+    r_inner: float = 0.1,
+    r_outer: float = 1.0,
+    nr: int = 50,
+    diffusivity: float = 1.0,
+    T_inner: float = 100.0,
+    T_outer: float = 20.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+) -> SolveResult:
+    """1D radial spherical heat: u_t = k (1/r²) ∂_r(r² ∂_r u), r²-weighted form.
+
+    Reference tool: fenics_mcp_server.py:2295-2367; raw solver :926-1060.
+    """
+    mesh = interval_mesh(nr, r_inner, r_outer)
+    pairs = []
+    if r_inner > 1e-10:
+        pairs.append((mesh.face_mask(0, 0), T_inner))
+    pairs.append((mesh.face_mask(0, 1), T_outer))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r2, weight_quad_degree=4,
+        bc_pairs=pairs, source_type=source_type, source_value=source_value,
+        steady=steady, T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, curvilinear_ic=True,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "spherical",
+        "geometry_type": "sphere" if r_inner < 1e-10 else "spherical_shell",
+        "r_inner": r_inner, "r_outer": r_outer,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, "heat_1d_spherical")
+
+
+def solve_heat_2D_cylindrical(
+    r_inner: float = 0.1,
+    r_outer: float = 1.0,
+    z_length: float = 2.0,
+    nr: int = 30,
+    nz: int = 30,
+    diffusivity: float = 1.0,
+    T_boundary: float = 20.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+) -> SolveResult:
+    """Axisymmetric cylindrical heat in the (r, z) plane, r-weighted form.
+
+    Reference tool: fenics_mcp_server.py:2370-2445; raw solver :1063-1188.
+    """
+    mesh = rectangle_mesh(nr, nz, (r_inner, 0.0), (r_outer, z_length))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r, weight_quad_degree=3,
+        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        source_type=source_type, source_value=source_value,
+        steady=steady, T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, curvilinear_ic=True,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cylindrical",
+        "geometry_type": "cylinder" if r_inner < 1e-10 else "annular_cylinder",
+        "r_inner": r_inner, "r_outer": r_outer, "z_length": z_length,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_rz, times, values, 2, meta, stats)
+    return _result(field, data_dir, "heat_2d_cylindrical")
+
+
+def solve_heat_2D_spherical(
+    r_inner: float = 0.1,
+    r_outer: float = 1.0,
+    nr: int = 30,
+    ntheta: int = 30,
+    diffusivity: float = 1.0,
+    T_boundary: float = 20.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+) -> SolveResult:
+    """Axisymmetric spherical heat in the (r, θ) plane, r² sinθ-weighted form.
+
+    Reference tool: fenics_mcp_server.py:2448-2520; raw solver :1191-1323.
+    """
+    mesh = rectangle_mesh(nr, ntheta, (r_inner, 0.0), (r_outer, np.pi))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r2_sin_theta,
+        weight_quad_degree=6,
+        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        source_type=source_type, source_value=source_value,
+        steady=steady, T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, curvilinear_ic=True,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "spherical",
+        "geometry_type": "sphere" if r_inner < 1e-10 else "spherical_shell",
+        "r_inner": r_inner, "r_outer": r_outer,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_rtheta, times, values, 2, meta, stats)
+    return _result(field, data_dir, "heat_2d_spherical")
+
+
+def solve_heat_3D_spherical(
+    r_inner: float = 0.1,
+    r_outer: float = 1.0,
+    nr: int = 20,
+    ntheta: int = 20,
+    nphi: int = 20,
+    diffusivity: float = 1.0,
+    T_boundary: float = 20.0,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+) -> SolveResult:
+    """Full 3D spherical heat on (r, θ, φ) parameter space, r² sinθ weight.
+
+    Reference tool: fenics_mcp_server.py:2044-2119; raw solver :1326-1464.
+    """
+    mesh = box_mesh(nr, ntheta, nphi, (r_inner, 0.0, 0.0),
+                    (r_outer, np.pi, 2.0 * np.pi))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r2_sin_theta,
+        weight_quad_degree=6,
+        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        source_type=source_type, source_value=source_value,
+        steady=steady, T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude, curvilinear_ic=True,
+        dt=dt, num_steps=num_steps,
+    )
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "spherical",
+        "geometry_type": "sphere" if r_inner < 1e-10 else "spherical_shell",
+        "r_inner": r_inner, "r_outer": r_outer,
+        "source_type": source_type, "source_value": source_value, "steady": steady,
+    }
+    field = _pack(mesh, embed_spherical, times, values, 3, meta, stats)
+    return _result(field, data_dir, "heat_3d_spherical")
+
+
+# ======================================================================
+# Elasticity
+# ======================================================================
+
+def solve_elasticity_1D_static(
+    L: float = 1.0,
+    nx: int = 50,
+    E: float = 210e9,
+    area: float = 1.0,
+    body_force: float = 0.0,
+    quantity: str = "stress",
+    data_dir: str = "data",
+) -> SolveResult:
+    """1D axial bar −(EA u′)′ = f, fixed-free; axial stress/strain output.
+
+    Reference tool: fenics_mcp_server.py:2523-2588; raw solver :1470-1587.
+    """
+    x, values, stats = elast.solve_bar_1d(L, nx, E, area, body_force, quantity)
+    if quantity == "strain":
+        field_name, unit = "axial_strain", "-"
+    else:
+        field_name, unit = "axial_stress", "Pa"
+    coords = np.zeros((len(x), 3))
+    coords[:, 0] = x
+    meta = {
+        "name": field_name, "unit": unit, "pde": "elasticity_1d",
+        "L": L, "E": E, "area": area, "body_force": body_force,
+        "quantity": quantity, "solver_stats": stats,
+    }
+    field = TimeSeriesField(coords=coords, values=values[None, :],
+                            times=np.array([0.0]), dim=1, meta=meta)
+    return _result(field, data_dir, f"elasticity_1d_{quantity}")
+
+
+def solve_elasticity_2D_static(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 30,
+    ny: int = 30,
+    E: float = 210e9,
+    nu: float = 0.3,
+    body_fx: float = 0.0,
+    body_fy: float = 0.0,
+    quantity: str = "stress",
+    plane_stress: bool = True,
+    data_dir: str = "data",
+) -> SolveResult:
+    """2D static elasticity (plane stress/strain), clamped left edge,
+    von Mises output.  Reference tool: fenics_mcp_server.py:2590-2678."""
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    mode = "plane_stress" if plane_stress else "plane_strain"
+    values, stats = elast.solve_elasticity_nd(
+        mesh, E, nu, np.array([body_fx, body_fy]), mode, quantity)
+    if quantity == "strain":
+        field_name, unit = "von_mises_strain", "-"
+    else:
+        field_name, unit = "von_mises_stress", "Pa"
+    meta = {
+        "name": field_name, "unit": unit, "pde": "elasticity_2d",
+        "Lx": Lx, "Ly": Ly, "E": E, "nu": nu,
+        "body_fx": body_fx, "body_fy": body_fy,
+        "quantity": quantity, "plane_stress": plane_stress,
+    }
+    field = _pack(mesh, embed_plane, np.array([0.0]), values[None, :], 2,
+                  meta, stats)
+    return _result(field, data_dir, f"elasticity_2d_{quantity}")
+
+
+def solve_elasticity_3D_static(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    Lz: float = 1.0,
+    nx: int = 10,
+    ny: int = 10,
+    nz: int = 10,
+    E: float = 210e9,
+    nu: float = 0.3,
+    body_fx: float = 0.0,
+    body_fy: float = 0.0,
+    body_fz: float = 0.0,
+    quantity: str = "stress",
+    data_dir: str = "data",
+) -> SolveResult:
+    """3D static elasticity on a box, clamped x=0 face, von Mises output.
+
+    Reference tool: fenics_mcp_server.py:2680-2761; raw solver :1749-1892.
+    """
+    mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+    values, stats = elast.solve_elasticity_nd(
+        mesh, E, nu, np.array([body_fx, body_fy, body_fz]), "3d", quantity)
+    if quantity == "strain":
+        field_name, unit = "von_mises_strain", "-"
+    else:
+        field_name, unit = "von_mises_stress", "Pa"
+    meta = {
+        "name": field_name, "unit": unit, "pde": "elasticity_3d",
+        "Lx": Lx, "Ly": Ly, "Lz": Lz, "E": E, "nu": nu,
+        "body_fx": body_fx, "body_fy": body_fy, "body_fz": body_fz,
+        "quantity": quantity,
+    }
+    field = _pack(mesh, embed_identity3, np.array([0.0]), values[None, :], 3,
+                  meta, stats)
+    return _result(field, data_dir, f"elasticity_3d_{quantity}")
+
+
+# ======================================================================
+# Plotting (implemented in pde_solver_tpu.viz, re-exported here)
+# ======================================================================
+
+def plot_time_series_field_from_file(
+    data_file: str,
+    field_name: Optional[str] = None,
+    unit: Optional[str] = None,
+    output_dir: str = "plots",
+    filename: Optional[str] = None,
+) -> PlotResult:
+    """Load a pickled TimeSeriesField and render an animated HTML plot.
+
+    Reference tool: fenics_mcp_server.py:2764-2937.
+    """
+    from pde_solver_tpu.viz.plots import plot_time_series_field_from_file as impl
+    return impl(data_file=data_file, field_name=field_name, unit=unit,
+                output_dir=output_dir, filename=filename)
+
+
+def plot_time_series_field(
+    coords,
+    values,
+    times,
+    dim: int,
+    field_name: str = "u",
+    unit: str = "",
+    output_dir: str = "plots",
+    filename: Optional[str] = None,
+    domain_bounds=None,
+    geometry_type: Optional[str] = None,
+    geometry_params=None,
+) -> PlotResult:
+    """Render raw arrays into an animated HTML plot.
+
+    Reference tool: fenics_mcp_server.py:3409-4140.
+    """
+    from pde_solver_tpu.viz.plots import plot_time_series_field as impl
+    return impl(coords=coords, values=values, times=times, dim=dim,
+                field_name=field_name, unit=unit, output_dir=output_dir,
+                filename=filename, domain_bounds=domain_bounds,
+                geometry_type=geometry_type, geometry_params=geometry_params)

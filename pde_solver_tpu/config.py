@@ -1,0 +1,58 @@
+"""Framework configuration: precision policy, solver tolerances, logging.
+
+The reference keeps all numeric defaults in tool signatures
+(fenics_mcp_server.py:1903-1918 etc.) — those are preserved verbatim in
+``pde_solver_tpu.api``.  This module only configures *how* systems are solved
+(never *what* is solved): dtype policy, CG tolerances, refinement rounds.
+
+Precision policy ("auto"):
+* CPU: solve directly in float64 (cheap, exact parity for tests).
+* TPU: float32 CG on the hot path + float64 iterative-refinement residual
+  passes (TPU f64 is emulated — used a handful of times per solve).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import jax
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    precision: str = "auto"       # "auto" | "f32" | "f64" | "mixed"
+    tol: float = 1e-11            # outer (f64) relative residual target
+    inner_tol: float = 5e-8       # f32 inner CG relative residual
+    maxiter: Optional[int] = None # None → 10 * sqrt(N) + 1000 heuristic
+    refine_rounds: int = 3        # f64 refinement rounds in mixed mode
+    transient_refine_rounds: int = 2
+    snapshot_dtype: str = "f32"   # dtype snapshots are stored in on device
+
+    def resolve_precision(self) -> str:
+        p = self.precision
+        if p == "auto":
+            return "f64" if jax.default_backend() == "cpu" else "mixed"
+        return p
+
+    def resolved_maxiter(self, num_dofs: int) -> int:
+        if self.maxiter is not None:
+            return self.maxiter
+        return int(20 * (num_dofs ** 0.5)) + 2000
+
+
+_GLOBAL = SolverConfig(
+    precision=os.environ.get("PDE_TPU_PRECISION", "auto"),
+    tol=float(os.environ.get("PDE_TPU_TOL", 1e-11)),
+)
+
+
+def get_config() -> SolverConfig:
+    return _GLOBAL
+
+
+def set_config(**kwargs) -> SolverConfig:
+    global _GLOBAL
+    _GLOBAL = replace(_GLOBAL, **kwargs)
+    return _GLOBAL

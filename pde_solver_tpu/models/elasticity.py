@@ -1,0 +1,148 @@
+"""Static linear elasticity (1D bar, 2D plane stress/strain, 3D), TPU-native.
+
+Capability parity with /root/reference/fenics_mcp_server.py:1470-1892:
+
+* 1D axial bar −(EA u′)′ = f, fixed-free, outputs axial stress σ=Eε or strain,
+* 2D plane stress/strain with clamped left edge and von Mises output,
+* 3D box with clamped x=0 face and von Mises output (the 2M-DOF benchmark),
+
+all as matrix-free block-stencil PCG solves.  Stress post-processing computes
+the per-element tensor from constant P1 gradients (vectorized over the grid)
+and L2-projects onto P1 — the exact discrete operation FEniCS' ``project``
+performs at :1542-1546, :1714, :1862.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from pde_solver_tpu.config import SolverConfig, get_config
+from pde_solver_tpu.mesh import StructuredMesh, flatten_values, interval_mesh
+from pde_solver_tpu.ops import assembly
+from pde_solver_tpu.ops.bc import DirichletBC
+from pde_solver_tpu.ops.elements import subelem_geometry
+from pde_solver_tpu.ops.linsolve import solve_stencil_system
+from pde_solver_tpu.ops.projection import project_cellwise
+
+
+def lame_parameters(E: float, nu: float, mode: str) -> Tuple[float, float]:
+    """(λ, μ) for "plane_stress" / "plane_strain" / "3d".
+
+    Mirrors fenics_mcp_server.py:1658-1665 (2D) and :1812-1814 (3D).
+    """
+    mu = E / (2.0 * (1.0 + nu))
+    if mode == "plane_stress":
+        lam = E * nu / (1.0 - nu ** 2)
+    else:  # plane_strain and 3d share the same λ
+        lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    return lam, mu
+
+
+def _element_gradients(mesh: StructuredMesh, u_grid: np.ndarray) -> np.ndarray:
+    """Per-sub-element displacement gradient, shape [n_sub, *cells, d, d].
+
+    grad_u[i, j] = Σ_a u[node_a, i] * g_a[j]; constant per simplex for P1.
+    """
+    d = mesh.dim
+    n_sub = len(mesh.subelems)
+    out = np.zeros((n_sub,) + mesh.cell_shape + (d, d))
+    for t, sub in enumerate(mesh.subelems):
+        g = subelem_geometry(mesh, t, 0).grads  # [d+1, d]
+        for a, delta in enumerate(sub):
+            region = tuple(slice(dd, dd + n) for dd, n in zip(delta, mesh.cell_shape))
+            out[t] += np.einsum("...i,j->...ij", u_grid[region], g[a])
+    return out
+
+
+def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: float
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-sub-element von Mises (stress, strain) using the J2 deviator with
+    a 1/3·tr convention on the d×d tensors — exactly the reference formulas
+    (fenics_mcp_server.py:1694-1711, :1848-1859, including using the in-plane
+    2×2 tensor with the 3D 1/3 factor in 2D)."""
+    d = mesh.dim
+    G = _element_gradients(mesh, u_grid)               # [n_sub, *cells, d, d]
+    eps = 0.5 * (G + np.swapaxes(G, -1, -2))
+    tr = np.trace(eps, axis1=-2, axis2=-1)
+    eye = np.eye(d)
+    sig = lam * tr[..., None, None] * eye + 2.0 * mu * eps
+    eps_dev = eps - (tr / 3.0)[..., None, None] * eye
+    sig_tr = np.trace(sig, axis1=-2, axis2=-1)
+    sig_dev = sig - (sig_tr / 3.0)[..., None, None] * eye
+    vm_stress = np.sqrt(1.5 * np.sum(sig_dev * sig_dev, axis=(-2, -1)))
+    vm_strain = np.sqrt((2.0 / 3.0) * np.sum(eps_dev * eps_dev, axis=(-2, -1)))
+    return vm_stress, vm_strain
+
+
+# ----------------------------------------------------------------------
+# Solvers
+# ----------------------------------------------------------------------
+
+def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
+                 quantity: str = "stress",
+                 config: Optional[SolverConfig] = None
+                 ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """1D axial bar: −(EA u′)′ = f, u(0)=0, free at x=L.
+
+    Returns (x coords [N], field values [N], stats).  ``quantity`` selects the
+    P1-projected axial strain ε=u′ or stress σ=Eε (fenics_mcp_server.py:1541-1546).
+    """
+    cfg = config or get_config()
+    mesh = interval_mesh(nx, 0.0, L)
+    t0 = time.perf_counter()
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    K = {o: (E * area) * W for o, W in K.items()}
+    b = body_force * assembly.assemble_load(mesh, quad_degree=1)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)], mesh.node_shape)
+    u, stats = solve_stencil_system(K, mesh, bc, b, config=cfg)
+
+    # ε per element (piecewise constant), projected to P1 like FEniCS project.
+    h = mesh.spacing[0]
+    eps_cells = ((u[1:] - u[:-1]) / h)[None]  # [1, nx]
+    field_cells = E * eps_cells if quantity != "strain" else eps_cells
+    field = project_cellwise(mesh, field_cells, config=cfg)
+    info = {
+        "num_dofs": mesh.num_nodes,
+        "cg_iterations": int(stats.iterations),
+        "relative_residual": float(stats.relative_residual),
+        "converged": bool(stats.converged),
+        "solve_seconds": time.perf_counter() - t0,
+    }
+    return mesh.axis_nodes(0), field, info
+
+
+def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
+                        body_force: np.ndarray, mode: str,
+                        quantity: str = "stress",
+                        config: Optional[SolverConfig] = None
+                        ) -> Tuple[np.ndarray, Dict]:
+    """2D/3D static elasticity with the x=0 face clamped; returns the flat
+    von Mises scalar field [N] plus stats.  ``mode``: plane_stress /
+    plane_strain / 3d."""
+    cfg = config or get_config()
+    d = mesh.dim
+    lam, mu = lame_parameters(E, nu, mode)
+    t0 = time.perf_counter()
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+    b = assembly.assemble_vector_load(mesh, np.asarray(body_force, dtype=np.float64))
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)], mesh.node_shape, vdim=d)
+    t1 = time.perf_counter()
+    u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg)
+    t2 = time.perf_counter()
+    vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu)
+    vm = vm_strain if quantity == "strain" else vm_stress
+    field = project_cellwise(mesh, vm, config=cfg)
+    t3 = time.perf_counter()
+    info = {
+        "num_dofs": mesh.num_nodes * d,
+        "cg_iterations": int(stats.iterations),
+        "relative_residual": float(stats.relative_residual),
+        "converged": bool(stats.converged),
+        "assembly_seconds": t1 - t0,
+        "solve_seconds": t2 - t1,
+        "postprocess_seconds": t3 - t2,
+    }
+    return flatten_values(field, d), info

@@ -1,0 +1,223 @@
+"""Heat-equation solver family (Cartesian + curvilinear), TPU-native.
+
+Eleven reference solver behaviors re-derived on structured meshes
+(capability parity with /root/reference/fenics_mcp_server.py:204-1464):
+
+* Cartesian 1D/2D/3D (box or cylinder-in-box), transient/steady, constant
+  sources, constant/zero/cosine/sine ICs, directional BCs, composite
+  high-conductivity cores.
+* Curvilinear families via logical rectangular meshes in parameter space
+  with coordinate-weighted weak forms — the same mathematical device the
+  reference uses (weight r at :859, r² at :996, r at :1122, r²sinθ at
+  :1254/:1393) but assembled vectorized and stepped inside one lax.scan.
+
+The generic driver ``solve_heat_problem`` covers every case; thin wrappers in
+``pde_solver_tpu.api`` add the reference tool signatures and metadata.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pde_solver_tpu.config import SolverConfig, get_config
+from pde_solver_tpu.mesh import StructuredMesh, flatten_values
+from pde_solver_tpu.ops import assembly
+from pde_solver_tpu.ops.bc import DirichletBC
+from pde_solver_tpu.ops.linsolve import solve_stencil_system
+from pde_solver_tpu.ops.projection import project_function
+from pde_solver_tpu.ops.timestepping import run_transient
+
+WeightFn = Callable[[np.ndarray], np.ndarray]
+
+
+@dataclass
+class HeatProblem:
+    mesh: StructuredMesh
+    diffusivity: float = 1.0
+    weight_fn: Optional[WeightFn] = None          # coordinate weight w(x)
+    weight_quad_degree: int = 4                   # quadrature degree for w-forms
+    kappa_cells: Optional[np.ndarray] = None      # per-sub-element κ (composite)
+    bc_pairs: Sequence[Tuple[np.ndarray, float]] = ()
+    source_type: str = "none"
+    source_value: float = 0.0
+    steady: bool = False
+    # initial condition (transient)
+    T_initial: float = 0.0
+    initial_type: str = "constant"                # constant | zero | cosine | sine
+    initial_amplitude: float = 1.0
+    initial_wavenumber: float = 1.0
+    curvilinear_ic: bool = False                  # reference treats all IC types as constant
+    # stepping
+    dt: float = 0.01
+    num_steps: int = 50
+    theta: float = 1.0                            # 1 = backward Euler, 0.5 = Crank-Nicolson
+
+
+def _initial_field(p: HeatProblem) -> np.ndarray:
+    mesh = p.mesh
+    if p.curvilinear_ic or p.initial_type in (None, "constant"):
+        # Reference curvilinear solvers assign the constant for every IC type
+        # (fenics_mcp_server.py:873-876 and analogs).
+        return np.full(mesh.node_shape, float(p.T_initial), dtype=np.float64)
+    if p.initial_type == "zero":
+        return np.zeros(mesh.node_shape, dtype=np.float64)
+    if p.initial_type in ("cosine", "sine"):
+        A, k = float(p.initial_amplitude), float(p.initial_wavenumber)
+        trig = np.cos if p.initial_type == "cosine" else np.sin
+
+        def fn(x):  # A * Π_i trig(k x_i) — the reference's separable IC
+            out = np.full(x.shape[:-1], A, dtype=np.float64)
+            for a in range(mesh.dim):
+                out = out * trig(k * x[..., a])
+            return out
+
+        # FEniCS projects (consistent mass), fenics_mcp_server.py:284,:415,:679
+        return project_function(mesh, fn, quad_degree=4)
+    return np.full(mesh.node_shape, float(p.T_initial), dtype=np.float64)
+
+
+def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
+                       ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Returns (times [Nt], values [Nt, N] flat float64, stats dict)."""
+    cfg = config or get_config()
+    mesh = p.mesh
+    t_start = time.perf_counter()
+
+    # Stiffness ∫ κ w ∇u·∇v; mass ∫ w u v; load ∫ w f v
+    stiff_deg = p.weight_quad_degree if p.weight_fn is not None else 2
+    K = assembly.assemble_scalar_stencil(
+        mesh, "stiffness", weight_fn=p.weight_fn,
+        cell_coeff=p.kappa_cells, quad_degree=stiff_deg,
+    )
+    if p.kappa_cells is None and p.diffusivity != 1.0:
+        K = {o: p.diffusivity * W for o, W in K.items()}
+
+    if p.source_type == "constant" and p.source_value != 0.0:
+        b = p.source_value * assembly.assemble_load(
+            mesh, weight_fn=p.weight_fn, quad_degree=p.weight_quad_degree)
+    else:
+        b = np.zeros(mesh.node_shape, dtype=np.float64)
+
+    bc = DirichletBC.from_masks(list(p.bc_pairs), mesh.node_shape)
+    t_assembled = time.perf_counter()
+
+    if p.steady:
+        x, stats = solve_stencil_system(K, mesh, bc, b, config=cfg)
+        values = flatten_values(x, mesh.dim)[None, :]
+        times = np.array([0.0])
+        info = {
+            "steady": True,
+            "cg_iterations": int(stats.iterations),
+            "relative_residual": float(stats.relative_residual),
+            "converged": bool(stats.converged),
+        }
+    else:
+        M = assembly.assemble_scalar_stencil(
+            mesh, "mass", weight_fn=p.weight_fn,
+            quad_degree=max(p.weight_quad_degree, 2) if p.weight_fn is not None else 2,
+        )
+        u0 = np.asarray(bc.apply_values(_initial_field(p)), dtype=np.float64)
+        res = run_transient(K, M, mesh, bc, b, u0, dt=p.dt, num_steps=p.num_steps,
+                            theta=p.theta, config=cfg)
+        values = np.stack([flatten_values(v, mesh.dim) for v in res.values])
+        times = res.times
+        info = {
+            "steady": False,
+            "cg_iterations": int(res.total_cg_iterations),
+            "relative_residual": float(res.max_relative_residual),
+            "converged": bool(res.max_relative_residual < 1e-5),
+        }
+    t_done = time.perf_counter()
+    info.update({
+        "num_dofs": mesh.num_nodes,
+        "assembly_seconds": t_assembled - t_start,
+        "solve_seconds": t_done - t_assembled,
+    })
+    return times, values, info
+
+
+# ----------------------------------------------------------------------
+# Coordinate weights (param-space weak-form factors) and 3D embeddings
+# ----------------------------------------------------------------------
+
+def weight_r(x: np.ndarray) -> np.ndarray:
+    """Cylindrical radial weight w = r (first coordinate)."""
+    return x[..., 0]
+
+def weight_r2(x: np.ndarray) -> np.ndarray:
+    """Spherical radial weight w = r²."""
+    return x[..., 0] ** 2
+
+def weight_r2_sin_theta(x: np.ndarray) -> np.ndarray:
+    """Axisymmetric/full spherical weight w = r² sin θ (θ = second coord)."""
+    return x[..., 0] ** 2 * np.sin(x[..., 1])
+
+def weight_r_yz(x: np.ndarray) -> np.ndarray:
+    """Cylinder-in-box weight w = sqrt(y² + z²) (fenics_mcp_server.py:645)."""
+    return np.sqrt(x[..., 1] ** 2 + x[..., 2] ** 2)
+
+
+def embed_line(coords: np.ndarray) -> np.ndarray:
+    out = np.zeros((len(coords), 3))
+    out[:, 0] = coords[:, 0]
+    return out
+
+def embed_plane(coords: np.ndarray) -> np.ndarray:
+    out = np.zeros((len(coords), 3))
+    out[:, :2] = coords
+    return out
+
+def embed_rz(coords: np.ndarray) -> np.ndarray:
+    """(r, z) → (r, 0, z) (fenics_mcp_server.py:1167)."""
+    out = np.zeros((len(coords), 3))
+    out[:, 0] = coords[:, 0]
+    out[:, 2] = coords[:, 1]
+    return out
+
+def embed_rtheta(coords: np.ndarray) -> np.ndarray:
+    """(r, θ) → (r sinθ, 0, r cosθ) (fenics_mcp_server.py:1296-1303)."""
+    r, th = coords[:, 0], coords[:, 1]
+    return np.stack([r * np.sin(th), np.zeros_like(r), r * np.cos(th)], axis=1)
+
+def embed_identity3(coords: np.ndarray) -> np.ndarray:
+    return coords.copy()
+
+def embed_spherical(coords: np.ndarray) -> np.ndarray:
+    """(r, θ, φ) → Cartesian (fenics_mcp_server.py:1439-1444)."""
+    r, th, ph = coords[:, 0], coords[:, 1], coords[:, 2]
+    return np.stack([r * np.sin(th) * np.cos(ph),
+                     r * np.sin(th) * np.sin(ph),
+                     r * np.cos(th)], axis=1)
+
+
+def composite_kappa_cells(mesh: StructuredMesh, core_radius: float,
+                          base: float, core: float,
+                          radial_axes=(1, 2)) -> np.ndarray:
+    """Per-sub-element diffusivity for a high-conductivity core.
+
+    Marks a sub-simplex as core when all its vertices *and* its midpoint lie
+    inside r < core_radius (DOLFIN SubDomain marking semantics with
+    check_midpoint=True, matching fenics_mcp_server.py:541-550).  Replaces
+    the reference's per-cell Python loop (:563-567) with vectorized tests.
+    """
+    from pde_solver_tpu.ops.elements import subelem_geometry
+
+    origins = assembly._cell_origins(mesh)
+    n_sub = len(mesh.subelems)
+    out = np.full((n_sub,) + mesh.cell_shape, base, dtype=np.float64)
+    for t, sub in enumerate(mesh.subelems):
+        verts = mesh.subelem_vertices(t)  # [d+1, d] local
+        inside = None
+        pts = list(verts) + [verts.mean(axis=0)]
+        for pt in pts:
+            coords = [origins[a] + pt[a] for a in range(mesh.dim)]
+            full = np.stack(np.broadcast_arrays(*coords), axis=-1)
+            r = np.sqrt(sum(full[..., a] ** 2 for a in radial_axes))
+            ok = r < core_radius
+            inside = ok if inside is None else (inside & ok)
+        out[t] = np.where(inside, core, base)
+    return out
