@@ -1,0 +1,654 @@
+"""Dispatcher Agent: :class:`PDEParameters` → solver tool call + plot + summary.
+
+Routing parity with the reference dispatcher (dispatcher_agent.py:97-324):
+deterministic Python (never an LLM), same geometry-alias normalization, the
+same pde_type × dim × geometry routing table, the same argument-builder
+defaults and heuristics (characteristic-time dt/num_steps, r1/r2/h cylinder
+mapping, gravity → body-force conversion, quantity validation).
+
+Structural upgrade: tools are invoked through a pluggable :class:`ToolSet` —
+:class:`LocalToolSet` calls ``pde_solver_tpu.api`` in-process (no subprocess
+round-trip), :class:`MCPToolSet` speaks MCP stdio to an external server
+(the reference's only mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+from pde_solver_tpu.schema import PDEParameters
+
+_CYL_ALIASES = ("cylinder", "cylindrical", "column", "tube", "pipe", "tunnel")
+_SPH_ALIASES = ("sphere", "spherical", "ball")
+_BOX_ALIASES = ("cube", "cubic", "box", "rectangular")
+
+
+class ToolSet:
+    """Protocol: async call(tool_name, args) → result dict."""
+
+    async def call(self, name: str, args: Dict[str, Any]) -> Any:  # pragma: no cover
+        raise NotImplementedError
+
+    async def tool_names(self) -> list:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LocalToolSet(ToolSet):
+    """Direct in-process calls into pde_solver_tpu.api."""
+
+    def __init__(self):
+        from pde_solver_tpu import api as _api
+        self._api = _api
+        self._names = [n for n in (
+            "solve_heat_1D", "solve_heat_2D", "solve_heat_3D",
+            "solve_heat_3D_spherical", "solve_heat_1D_cylindrical",
+            "solve_heat_1D_spherical", "solve_heat_2D_cylindrical",
+            "solve_heat_2D_spherical", "solve_elasticity_1D_static",
+            "solve_elasticity_2D_static", "solve_elasticity_3D_static",
+            "plot_time_series_field_from_file", "plot_time_series_field",
+        )]
+
+    async def tool_names(self) -> list:
+        return list(self._names)
+
+    async def call(self, name: str, args: Dict[str, Any]) -> Any:
+        if name not in self._names:
+            raise ValueError(f"Unknown tool {name}")
+        result = getattr(self._api, name)(**args)
+        if dataclasses.is_dataclass(result):
+            return dataclasses.asdict(result)
+        return result
+
+
+class MCPToolSet(ToolSet):
+    """Tools served by an MCP stdio subprocess (pde_solver_tpu.mcp.client)."""
+
+    def __init__(self, server_cmd=None):
+        from pde_solver_tpu.mcp.client import StdioMCPClient
+        self._client = StdioMCPClient(server_cmd)
+
+    async def tool_names(self) -> list:
+        return [t["name"] for t in await self._client.list_tools()]
+
+    async def call(self, name: str, args: Dict[str, Any]) -> Any:
+        return await self._client.call_tool(name, args)
+
+
+def _extract_value(obj: Any, target_key: str) -> Optional[Any]:
+    """Recursively pull a key out of nested dicts/lists/objects — tolerant of
+    wrapper layers MCP clients add (reference dispatcher_agent.py:1255-1319)."""
+    if obj is None:
+        return None
+    if isinstance(obj, dict):
+        for key, val in obj.items():
+            if str(key).lower() == target_key.lower():
+                return val
+        for wrapper in ("content", "result", "data", "output", "response"):
+            if wrapper in obj and isinstance(obj[wrapper], (dict, list)):
+                found = _extract_value(obj[wrapper], target_key)
+                if found is not None:
+                    return found
+        for val in obj.values():
+            found = _extract_value(val, target_key)
+            if found is not None:
+                return found
+        return None
+    if isinstance(obj, (list, tuple)):
+        for item in obj:
+            found = _extract_value(item, target_key)
+            if found is not None:
+                return found
+        return None
+    if isinstance(obj, str):
+        try:
+            return _extract_value(json.loads(obj), target_key)
+        except (json.JSONDecodeError, ValueError):
+            return None
+    if hasattr(obj, target_key):
+        return getattr(obj, target_key)
+    if hasattr(obj, "__dict__"):
+        return _extract_value(vars(obj), target_key)
+    return None
+
+
+def normalize_geometry(params: PDEParameters) -> str:
+    """Geometry alias normalization + inference (dispatcher_agent.py:117-146)."""
+    g = (params.geometry_type or "").lower()
+    if g in _BOX_ALIASES:
+        return "box"
+    if g in _CYL_ALIASES:
+        return "cylinder"
+    if g in _SPH_ALIASES:
+        return "sphere"
+    if g:
+        return "box"
+    if params.coordinate_system:
+        cs = str(params.coordinate_system).lower()
+        if cs == "cylindrical":
+            return "cylinder"
+        if cs == "spherical":
+            return "sphere"
+        return "box"
+    domain = params.domain_size or {}
+    has_r = "r1" in domain or "r2" in domain
+    if has_r and "h" in domain:
+        return "cylinder"
+    if has_r:
+        return "sphere"
+    return "box"
+
+
+def _time_defaults(params: PDEParameters, char_len: float) -> Tuple[float, int]:
+    """dt/num_steps heuristics (dispatcher_agent.py:393-404)."""
+    dt, num_steps = params.dt, params.num_steps
+    if dt is None or num_steps is None:
+        k = params.diffusivity or 1.0
+        t_char = char_len ** 2 / (2 * k) if k > 0 else 0.1
+        if dt is None:
+            dt = min(t_char / 200, 0.01)
+        if num_steps is None:
+            if params.total_time:
+                num_steps = max(int(params.total_time / dt), 100) if dt > 0 else 200
+            else:
+                num_steps = max(int(t_char / dt), 200) if dt > 0 else 200
+    return (dt or 0.01), (num_steps or 200)
+
+
+def _common_heat_args(params: PDEParameters) -> Dict[str, Any]:
+    initial_type = params.initial_type or "constant"
+    if initial_type == "constant":
+        T_initial = params.initial_value
+    elif initial_type == "zero":
+        T_initial = 0.0
+    else:
+        T_initial = params.initial_value if params.initial_value is not None else 0.0
+    return {
+        "steady": params.steady if params.steady is not None else False,
+        "source_type": params.source_type or "none",
+        "source_value": params.source_value if params.source_value is not None else 0.0,
+        "initial_type": initial_type,
+        "initial_amplitude": (params.initial_amplitude
+                              if params.initial_amplitude is not None else 1.0),
+        "_T_initial": T_initial,
+    }
+
+
+def _bc_get(bc: Dict[str, Any], *keys, default=None):
+    """Case/format-tolerant BC lookup preserving explicit 0.0 values
+    (dispatcher_agent.py:356-386)."""
+    for k in keys:
+        for variant in (k, k.lower(), k.capitalize(), k.upper(),
+                        k + "_boundary", k.lower() + "_boundary"):
+            if variant in bc:
+                return bc[variant]
+    return default
+
+
+class DispatcherAgent:
+    """Deterministic router from PDEParameters to solver + plot tool calls."""
+
+    def __init__(self, toolset: Optional[ToolSet] = None, llm=None):
+        self.toolset = toolset or LocalToolSet()
+        self.llm = llm  # kept for interface parity; routing never uses it
+
+    # ------------------------------------------------------------------
+    # Routing (pure — unit-testable without tool execution)
+    # ------------------------------------------------------------------
+
+    def route(self, params: PDEParameters) -> Tuple[str, Dict[str, Any]]:
+        if params.pde_type == "heat":
+            geometry = normalize_geometry(params)
+            if params.dim == 1:
+                if geometry == "cylinder":
+                    return "solve_heat_1D_cylindrical", self._radial_args(params, "cylinder")
+                if geometry == "sphere":
+                    return "solve_heat_1D_spherical", self._radial_args(params, "sphere")
+                return "solve_heat_1D", self._heat_1d_args(params)
+            if params.dim == 2:
+                if geometry == "cylinder":
+                    return "solve_heat_2D_cylindrical", self._heat_2d_cyl_args(params)
+                if geometry == "sphere":
+                    return "solve_heat_2D_spherical", self._heat_2d_sph_args(params)
+                return "solve_heat_2D", self._heat_2d_args(params)
+            if params.dim == 3:
+                if geometry == "sphere":
+                    return "solve_heat_3D_spherical", self._heat_3d_sph_args(params)
+                return "solve_heat_3D", self._heat_3d_args(params, geometry)
+            raise ValueError(f"Unsupported dimension: {params.dim}")
+        if params.pde_type == "elasticity":
+            name = f"solve_elasticity_{params.dim}D_static"
+            builder = {1: self._elast_1d_args, 2: self._elast_2d_args,
+                       3: self._elast_3d_args}.get(params.dim)
+            if builder is None:
+                raise ValueError(f"Unsupported dimension: {params.dim}")
+            return name, builder(params)
+        raise ValueError(
+            "Currently only 'heat' and 'elasticity' PDE types are supported, "
+            f"got: {params.pde_type}")
+
+    # ----- heat arg builders -----
+
+    def _heat_1d_args(self, params: PDEParameters) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        length = None
+        for key in ("length", "Length", "L", "l"):
+            if key in domain:
+                length = domain[key]
+                break
+        if length is None and isinstance(domain.get("domain_size"), (int, float)):
+            length = float(domain["domain_size"])
+        length = float(length) if length is not None else 2.0
+        bc = params.bc_values or {}
+        common = _common_heat_args(params)
+        dt, num_steps = _time_defaults(params, length)
+        return {
+            "length": length, "nx": params.nx or 50,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_left": _bc_get(bc, "T_left", "left", default=20.0),
+            "T_right": _bc_get(bc, "T_right", "right", default=0.0),
+            "T_initial": common["_T_initial"] if common["_T_initial"] is not None else 0.0,
+            "dt": dt, "num_steps": num_steps, "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+            "initial_wavenumber": (params.initial_wavenumber
+                                   if params.initial_wavenumber is not None else 1.0),
+        }
+
+    @staticmethod
+    def _domain_xy(domain: Dict[str, Any]) -> Tuple[float, float]:
+        if isinstance(domain.get("domain_size"), (int, float)):
+            s = float(domain["domain_size"])
+            return s, s
+        Lx = (domain.get("Lx") or domain.get("lx") or domain.get("width")
+              or domain.get("Width") or domain.get("W") or 1.0)
+        Ly = (domain.get("Ly") or domain.get("ly") or domain.get("height")
+              or domain.get("Height") or domain.get("H") or 1.0)
+        return float(Lx), float(Ly)
+
+    def _heat_2d_args(self, params: PDEParameters) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        Lx, Ly = self._domain_xy(domain)
+        bc = params.bc_values or {}
+        common = _common_heat_args(params)
+        dt, num_steps = _time_defaults(params, (Lx + Ly) / 2)
+        T_initial = common["_T_initial"]
+        if common["initial_type"] == "constant" and T_initial is None:
+            T_initial = 20.0
+        return {
+            "Lx": Lx, "Ly": Ly, "nx": params.nx or 30, "ny": params.ny or 30,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_boundary": _bc_get(bc, "T_boundary", default=0.0),
+            "T_initial": T_initial if T_initial is not None else 0.0,
+            "dt": dt, "num_steps": num_steps, "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+            "initial_wavenumber": (params.initial_wavenumber
+                                   if params.initial_wavenumber is not None else 1.0),
+        }
+
+    def _heat_3d_args(self, params: PDEParameters, geometry: str) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        gp = params.geometry_params or {}
+        bc = params.bc_values or {}
+        has_cyl_notation = ("r1" in domain or "r2" in domain) and "h" in domain
+
+        if isinstance(domain.get("domain_size"), (int, float)):
+            s = float(domain["domain_size"])
+            Lx = Ly = Lz = s
+        elif geometry == "cylinder":
+            if has_cyl_notation:
+                r2 = domain.get("r2")
+                h = domain.get("h")
+                if r2 is None:
+                    raise ValueError(
+                        "For cylindrical geometry, domain_size must contain 'r2' (outer radius)")
+                if h is None:
+                    raise ValueError(
+                        "For cylindrical geometry, domain_size must contain 'h' (height)")
+                Lx, Ly, Lz = float(h), float(r2 * 2), float(r2 * 2)
+            else:
+                Lx = float(domain.get("Lx") or 2.0)
+                r2 = (gp.get("cylinder_radius") or gp.get("r2")
+                      or gp.get("r_outer") or 0.5)
+                Ly = Lz = float(r2 * 2)
+        else:
+            Lx, Ly = self._domain_xy(domain)
+            Lz = float(domain.get("Lz") or domain.get("lz") or domain.get("depth")
+                       or domain.get("Depth") or domain.get("D") or 1.0)
+
+        common = _common_heat_args(params)
+        dt, num_steps = _time_defaults(params, (Lx + Ly + Lz) / 3)
+        T_initial = common["_T_initial"]
+        if common["initial_type"] == "constant" and T_initial is None:
+            T_initial = 20.0
+        args: Dict[str, Any] = {
+            "Lx": Lx, "Ly": Ly, "Lz": Lz,
+            "nx": params.nx or 10, "ny": params.ny or 10, "nz": params.nz or 10,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_boundary": _bc_get(bc, "T_boundary", default=0.0),
+            "T_initial": T_initial if T_initial is not None else 0.0,
+            "dt": dt, "num_steps": num_steps, "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+            "initial_wavenumber": (params.initial_wavenumber
+                                   if params.initial_wavenumber is not None else 1.0),
+        }
+        if geometry == "cylinder":
+            args["geometry_type"] = "cylinder"
+            r1 = domain.get("r1", 0.0) if has_cyl_notation else None
+            if has_cyl_notation:
+                r2 = domain.get("r2")
+                args["Lx"] = float(domain.get("h"))
+                args["cylinder_radius"] = float(r2)
+            else:
+                r2 = (gp.get("cylinder_radius") or gp.get("r_outer")
+                      or gp.get("r2") or gp.get("radius") or 0.5)
+                args["cylinder_radius"] = float(r2)
+            for bc_key, arg_key in (("T_left", "T_left"), ("T_right", "T_right"),
+                                    ("T_side", "T_side")):
+                val = _bc_get(bc, bc_key)
+                if val is not None:
+                    args[arg_key] = val
+            # composite core: core_radius = r1 for hollow cylinders, else a
+            # 30% default (dispatcher_agent.py:730-758)
+            if params.core_diffusivity is not None:
+                if params.core_radius is not None:
+                    args["core_radius"] = float(params.core_radius)
+                elif r1 is not None and r1 > 0.0:
+                    args["core_radius"] = float(r1)
+                elif r2 is not None:
+                    args["core_radius"] = float(r2) * 0.3
+                else:
+                    args["core_radius"] = 0.1
+                args["core_diffusivity"] = float(params.core_diffusivity)
+        else:
+            args["geometry_type"] = "box"
+        return args
+
+    def _radial_args(self, params: PDEParameters, kind: str) -> Dict[str, Any]:
+        gp = params.geometry_params or {}
+        bc = params.bc_values or {}
+        radius_key = "cylinder_radius" if kind == "cylinder" else "sphere_radius"
+        r_inner = gp.get("r_inner") or 0.0
+        r_outer = gp.get("r_outer") or gp.get(radius_key) or gp.get("radius") or 1.0
+        common = _common_heat_args(params)
+        return {
+            "r_inner": float(r_inner), "r_outer": float(r_outer),
+            "nr": params.nx or 50,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_inner": _bc_get(bc, "T_inner", "T_boundary", default=100.0),
+            "T_outer": _bc_get(bc, "T_outer", "T_boundary", default=20.0),
+            "T_initial": (params.initial_value
+                          if params.initial_value is not None else 20.0),
+            "dt": params.dt or 0.01, "num_steps": params.num_steps or 50,
+            "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+        }
+
+    def _heat_2d_cyl_args(self, params: PDEParameters) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        gp = params.geometry_params or {}
+        bc = params.bc_values or {}
+        common = _common_heat_args(params)
+        return {
+            "r_inner": float(gp.get("r_inner") or 0.0),
+            "r_outer": float(gp.get("r_outer") or gp.get("cylinder_radius")
+                             or gp.get("radius") or 1.0),
+            "z_length": float(domain.get("Lx") or domain.get("length")
+                              or domain.get("L") or domain.get("h") or 2.0),
+            "nr": params.nx or 30, "nz": params.ny or 30,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_boundary": _bc_get(bc, "T_boundary", default=20.0),
+            "T_initial": (params.initial_value
+                          if params.initial_value is not None else 20.0),
+            "dt": params.dt or 0.01, "num_steps": params.num_steps or 50,
+            "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+        }
+
+    def _heat_2d_sph_args(self, params: PDEParameters) -> Dict[str, Any]:
+        gp = params.geometry_params or {}
+        bc = params.bc_values or {}
+        common = _common_heat_args(params)
+        return {
+            "r_inner": float(gp.get("r_inner") or 0.0),
+            "r_outer": float(gp.get("r_outer") or gp.get("sphere_radius")
+                             or gp.get("radius") or 1.0),
+            "nr": params.nx or 30, "ntheta": params.ny or 30,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_boundary": _bc_get(bc, "T_boundary", default=20.0),
+            "T_initial": (params.initial_value
+                          if params.initial_value is not None else 20.0),
+            "dt": params.dt or 0.01, "num_steps": params.num_steps or 50,
+            "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+        }
+
+    def _heat_3d_sph_args(self, params: PDEParameters) -> Dict[str, Any]:
+        gp = params.geometry_params or {}
+        domain = params.domain_size or {}
+        bc = params.bc_values or {}
+        common = _common_heat_args(params)
+        r_outer = (gp.get("r_outer") or gp.get("sphere_radius") or gp.get("radius")
+                   or domain.get("r2") or 1.0)
+        r_inner = gp.get("r_inner") or domain.get("r1") or 0.0
+        return {
+            "r_inner": float(r_inner), "r_outer": float(r_outer),
+            "nr": params.nx or 20, "ntheta": params.ny or 20, "nphi": params.nz or 20,
+            "diffusivity": params.diffusivity or 1.0,
+            "T_boundary": _bc_get(bc, "T_boundary", default=20.0),
+            "T_initial": (params.initial_value
+                          if params.initial_value is not None else 20.0),
+            "dt": params.dt or 0.01, "num_steps": params.num_steps or 50,
+            "data_dir": "data",
+            "steady": common["steady"], "source_type": common["source_type"],
+            "source_value": common["source_value"],
+            "initial_type": common["initial_type"],
+            "initial_amplitude": common["initial_amplitude"],
+        }
+
+    # ----- elasticity arg builders -----
+
+    @staticmethod
+    def _quantity(params: PDEParameters) -> str:
+        q = (params.material_params or {}).get("quantity") or "stress"
+        return q if q in ("stress", "strain") else "stress"
+
+    def _elast_1d_args(self, params: PDEParameters) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        L = None
+        for key in ("length", "L", "l", "Length"):
+            if key in domain:
+                L = domain[key]
+                break
+        if L is None and isinstance(domain.get("domain_size"), (int, float)):
+            L = float(domain["domain_size"])
+        mp = params.material_params or {}
+        return {
+            "L": float(L) if L is not None else 1.0,
+            "nx": params.nx or 50,
+            "E": params.young_modulus if params.young_modulus is not None else 210e9,
+            "area": mp.get("area") or mp.get("cross_sectional_area") or 1.0,
+            "body_force": mp.get("body_force") or mp.get("body_force_x") or 0.0,
+            "quantity": self._quantity(params),
+            "data_dir": "data",
+        }
+
+    def _elast_2d_args(self, params: PDEParameters) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        Lx, Ly = self._domain_xy(domain)
+        mp = params.material_params or {}
+        gravity = mp.get("gravity") or mp.get("apply_gravity") or False
+        if gravity and mp.get("body_fy") is None and mp.get("body_force_y") is None:
+            density = params.density if params.density is not None else 7800.0
+            body_fy = -9.81 * density
+            body_fx = mp.get("body_fx") or mp.get("body_force_x") or 0.0
+        else:
+            body_fx = mp.get("body_fx") or mp.get("body_force_x") or 0.0
+            body_fy = mp.get("body_fy") or mp.get("body_force_y") or 0.0
+        plane_stress = mp.get("plane_stress")
+        return {
+            "Lx": Lx, "Ly": Ly, "nx": params.nx or 30, "ny": params.ny or 30,
+            "E": params.young_modulus if params.young_modulus is not None else 210e9,
+            "nu": params.poisson_ratio if params.poisson_ratio is not None else 0.3,
+            "body_fx": body_fx, "body_fy": body_fy,
+            "quantity": self._quantity(params),
+            "plane_stress": True if plane_stress is None else bool(plane_stress),
+            "data_dir": "data",
+        }
+
+    def _elast_3d_args(self, params: PDEParameters) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        if any(k in domain for k in ("Lx", "lx", "width")):
+            Lx, Ly = self._domain_xy(domain)
+            Lz = float(domain.get("Lz") or domain.get("lz") or domain.get("depth")
+                       or domain.get("Depth") or domain.get("D") or 1.0)
+        elif isinstance(domain.get("domain_size"), (int, float)):
+            Lx = Ly = Lz = float(domain["domain_size"])
+        else:
+            Lx = Ly = Lz = 1.0
+        mp = params.material_params or {}
+        gravity = mp.get("gravity") or mp.get("apply_gravity") or False
+        body_fx = mp.get("body_fx") or mp.get("body_force_x") or 0.0
+        body_fy = mp.get("body_fy") or mp.get("body_force_y") or 0.0
+        if gravity:
+            density = params.density if params.density is not None else 7800.0
+            body_fz = mp.get("body_fz") or mp.get("body_force_z") or (-9.81 * density)
+        else:
+            body_fz = mp.get("body_fz") or mp.get("body_force_z") or 0.0
+        return {
+            "Lx": Lx, "Ly": Ly, "Lz": Lz,
+            "nx": params.nx or 10, "ny": params.ny or 10, "nz": params.nz or 10,
+            "E": params.young_modulus if params.young_modulus is not None else 210e9,
+            "nu": params.poisson_ratio if params.poisson_ratio is not None else 0.3,
+            "body_fx": body_fx, "body_fy": body_fy, "body_fz": body_fz,
+            "quantity": self._quantity(params),
+            "data_dir": "data",
+        }
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+
+    async def dispatch(self, pde_params: PDEParameters) -> Dict[str, Any]:
+        """Solve + plot + summarize; error envelope on failure
+        (reference dispatcher_agent.py:320-324)."""
+        solver_args: Dict[str, Any] = {}
+        try:
+            solver_name, solver_args = self.route(pde_params)
+            solver_result = await self.toolset.call(solver_name, solver_args)
+            if isinstance(solver_result, dict) and "error" in solver_result:
+                raise ValueError(f"Solver returned an error: {solver_result['error']}")
+            data_file = _extract_value(solver_result, "data_file")
+            if not data_file:
+                raise ValueError(
+                    f"Solver did not return a data_file. Result: {solver_result!r:.500}")
+
+            base = os.path.basename(str(data_file)).split(".")[0]
+            prefix = f"{pde_params.pde_type}_{pde_params.dim}d_"
+            unique = base[len(prefix):] if base.startswith(prefix) else base.split("_")[-1]
+            plot_result = await self.toolset.call("plot_time_series_field_from_file", {
+                "data_file": data_file,
+                "field_name": None,  # read from artifact metadata
+                "unit": None,
+                "output_dir": "plots",
+                "filename": f"{pde_params.pde_type}_{pde_params.dim}d_{unique}.html",
+            })
+            html_path = _extract_value(plot_result, "html_path")
+            if not html_path:
+                raise ValueError(f"Plot tool did not return html_path: {plot_result!r:.500}")
+            return {
+                "solver_result": solver_result,
+                "plot_result": plot_result,
+                "data_file": data_file,
+                "html_path": html_path,
+                "summary": self._generate_summary(pde_params, solver_result, plot_result),
+            }
+        except Exception as exc:  # structured error envelope, never raise
+            return {"error": str(exc), "solver_args": solver_args}
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _generate_summary(params: PDEParameters, solver_result: Any,
+                          plot_result: Any) -> str:
+        """Human-readable simulation summary (dispatcher_agent.py:1146-1253)."""
+        data_file = _extract_value(solver_result, "data_file") or "N/A"
+        html_path = _extract_value(plot_result, "html_path") or "N/A"
+
+        if params.pde_type == "heat":
+            mode = "steady-state" if params.steady else "transient"
+            material = f"Diffusivity: {params.diffusivity or 'default'}"
+        else:
+            mode = "static"
+            E_str = (f"{params.young_modulus / 1e9:.1f} GPa"
+                     if params.young_modulus else "default")
+            nu_str = (f"{params.poisson_ratio}"
+                      if params.poisson_ratio is not None else "default")
+            material = f"Young's Modulus: {E_str}, Poisson's Ratio: {nu_str}"
+
+        lines = [
+            "Simulation Summary:",
+            f"- PDE Type: {params.pde_type}",
+            f"- Dimension: {params.dim}D",
+            f"- Mode: {mode}",
+            f"- Domain: {params.domain_size}",
+            f"- Spatial Resolution: nx={params.nx or 'auto'}, "
+            f"ny={params.ny or 'auto'}, nz={params.nz or 'auto'}",
+            f"- Material Parameters: {material}",
+            f"- Boundary Conditions: {params.bc_values if params.bc_values else 'default'}",
+        ]
+        if params.pde_type == "heat":
+            if params.initial_type in ("cosine", "sine"):
+                a = params.initial_amplitude if params.initial_amplitude is not None else 1.0
+                k = params.initial_wavenumber if params.initial_wavenumber is not None else 1.0
+                ic = f"{params.initial_type} (amplitude: {a}, wavenumber: {k})"
+            elif params.initial_type == "zero":
+                ic = "zero"
+            elif params.initial_value is not None:
+                ic = f"constant ({params.initial_value})"
+            else:
+                ic = "default"
+            src = "none"
+            if params.source_type and params.source_type != "none":
+                src = f"{params.source_type} (value: {params.source_value})"
+            elif params.source_value:
+                src = f"constant (value: {params.source_value})"
+            lines += [
+                f"- Initial Condition: {ic}",
+                f"- Source Term: {src}",
+                f"- Time Step: {params.dt or 'auto'}, "
+                f"Number of Steps: {params.num_steps or 'auto'}",
+            ]
+        else:
+            mp = params.material_params or {}
+            quantity = mp.get("quantity") or "stress"
+            forces = [f"{ax}: {mp.get(key)}"
+                      for ax, key in (("x", "body_fx"), ("y", "body_fy"), ("z", "body_fz"))
+                      if mp.get(key)]
+            if mp.get("gravity"):
+                forces.append("gravity: on")
+            if forces:
+                lines.append(f"- Body Forces: {', '.join(forces)}")
+            lines.append(f"- Output Quantity: {quantity}")
+        lines += ["", "Results:", f"- Data file: {data_file}",
+                  f"- Visualization: {html_path}"]
+        return "\n".join(lines).strip()

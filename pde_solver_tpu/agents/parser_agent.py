@@ -1,0 +1,391 @@
+"""PDE Parser Agent: natural language → :class:`PDEParameters`.
+
+Capability parity with the reference parser (pde_parser_agent.py:755-1114):
+one LLM call with a schema-describing system prompt, followed by defensive
+normalization (key aliasing, nested-value unwrapping, composite-material
+keyword detection, dataclass field filtering).  Two upgrades over the
+reference:
+
+* a deterministic **rule-based extractor** used when no LLM is configured
+  (zero-network operation) and as the fallback when the LLM reply is
+  unusable — the reference falls back to hard-coded defaults instead;
+* unit handling (GPa/MPa, cm/mm) folded into normalization.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+from pde_solver_tpu.agents.llm import ChatLLM, extract_json_block
+from pde_solver_tpu.schema import PDEParameters
+
+PARSER_SYSTEM_PROMPT = """You convert natural-language PDE problem descriptions into a strict JSON object.
+
+Output ONLY a JSON object (no prose) with any of these fields (omit unknown ones):
+- pde_type: "heat" | "elasticity" (heat covers temperature/diffusion/conduction; elasticity covers stress/strain/displacement)
+- dim: 1 | 2 | 3  (rod/bar → 1; plate/rectangle → 2; cube/box/full cylinder → 3; radial-only cylinder or sphere problems → 1)
+- domain_size: object, e.g. {"length": 2.0} for 1D, {"Lx": 1.0, "Ly": 1.0} for 2D, {"Lx":1.0,"Ly":0.2,"Lz":0.2} for 3D boxes; cylinders may use {"r1": inner_radius, "r2": outer_radius, "h": height}; spheres {"r1":..., "r2":...}
+- geometry_type: "box" | "cylinder" | "sphere"
+- geometry_params: e.g. {"r_inner": 0.1, "r_outer": 1.0} or {"cylinder_radius": 0.5} or {"sphere_radius": 1.0}
+- coordinate_system: "cartesian" | "cylindrical" | "spherical"
+- nx, ny, nz: integer mesh resolutions
+- diffusivity: number (heat)
+- young_modulus: number in Pa; poisson_ratio: number; density: number (elasticity)
+- material_params: object; may include {"area":..., "body_force":..., "body_fx":..., "body_fy":..., "body_fz":..., "gravity": true, "quantity": "stress"|"strain", "plane_stress": true|false}
+- core_radius, core_diffusivity: numbers (composite material with high-conductivity core)
+- bc_type: "dirichlet" (default)
+- bc_values: object, e.g. {"T_left": 20.0, "T_right": 0.0} (1D), {"T_boundary": 0.0} (2D/3D uniform), {"T_inner":100,"T_outer":20} (radial), {"T_left":..., "T_right":..., "T_side":...} (directional 3D)
+- initial_type: "constant" | "zero" | "cosine" | "sine"; initial_value, initial_amplitude, initial_wavenumber: numbers
+- source_type: "none" | "constant"; source_value: number
+- steady: true | false
+- dt, total_time: numbers; num_steps: integer
+
+Rules:
+- Convert units to SI (GPa→Pa, cm→m). Temperatures stay in °C.
+- "steady state"/"equilibrium" → steady=true; otherwise transient.
+- If gravity is mentioned for elasticity set material_params.gravity=true.
+- A high-conductivity core implies core_radius and core_diffusivity.
+- Do not invent values that are not stated or clearly implied.
+"""
+
+# canonical-key aliases (reference normalize_key, pde_parser_agent.py:18-110)
+_KEY_ALIASES = {
+    "pde": "pde_type", "type": "pde_type", "equation_type": "pde_type",
+    "dimension": "dim", "dimensions": "dim", "spatial_dimension": "dim",
+    "domain": "domain_size", "domainsize": "domain_size",
+    "geometry": "geometry_type",
+    "boundary_conditions": "bc_values", "boundary_values": "bc_values",
+    "bcs": "bc_values", "bc": "bc_values",
+    "initial_condition": "initial_value", "initial_temperature": "initial_value",
+    "ic": "initial_value",
+    "thermal_diffusivity": "diffusivity", "alpha": "diffusivity", "kappa": "diffusivity",
+    "youngs_modulus": "young_modulus", "young_s_modulus": "young_modulus",
+    "e_modulus": "young_modulus", "elastic_modulus": "young_modulus",
+    "poissons_ratio": "poisson_ratio", "poisson_s_ratio": "poisson_ratio", "nu": "poisson_ratio",
+    "time_step": "dt", "timestep": "dt",
+    "n_steps": "num_steps", "number_of_steps": "num_steps", "nsteps": "num_steps",
+    "steady_state": "steady",
+    "source": "source_value", "heat_source": "source_value",
+}
+
+_NUMERIC_FIELDS = {
+    "diffusivity", "young_modulus", "poisson_ratio", "density", "core_radius",
+    "core_diffusivity", "initial_value", "initial_amplitude", "initial_wavenumber",
+    "source_value", "dt", "total_time", "wave_speed",
+}
+_INT_FIELDS = {"dim", "nx", "ny", "nz", "num_steps"}
+_DICT_FIELDS = {"domain_size", "geometry_params", "material_params", "bc_values"}
+
+
+def _norm_key(key: str) -> str:
+    k = re.sub(r"[^a-z0-9]+", "_", str(key).strip().lower()).strip("_")
+    return _KEY_ALIASES.get(k, k)
+
+
+def _unwrap(value: Any) -> Any:
+    """Unwrap {"value": x} / {"magnitude": x} nests the LLM sometimes emits
+    (reference unwrap_nested_structures, pde_parser_agent.py:113-152)."""
+    if isinstance(value, dict):
+        for probe in ("value", "magnitude", "amount"):
+            if set(value.keys()) == {probe}:
+                return _unwrap(value[probe])
+        return {k: _unwrap(v) for k, v in value.items()}
+    return value
+
+
+def normalize_params_dict(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """Alias keys, unwrap nests, coerce types, drop unknowns."""
+    known = PDEParameters.field_names()
+    out: Dict[str, Any] = {}
+    for key, value in (raw or {}).items():
+        k = _norm_key(key)
+        if k not in known:
+            continue
+        v = _unwrap(value)
+        try:
+            if k in _NUMERIC_FIELDS and v is not None and not isinstance(v, (dict, list)):
+                v = float(v)
+            elif k in _INT_FIELDS and v is not None and not isinstance(v, (dict, list)):
+                v = int(float(v))
+            elif k in _DICT_FIELDS:
+                if not isinstance(v, dict):
+                    continue
+                v = {str(kk): vv for kk, vv in v.items()}
+            elif k == "steady" and isinstance(v, str):
+                v = v.strip().lower() in ("true", "yes", "1", "steady")
+        except (TypeError, ValueError):
+            continue
+        out[k] = v
+    return out
+
+
+# ----------------------------------------------------------------------
+# Rule-based extraction (deterministic, zero-network)
+# ----------------------------------------------------------------------
+
+_NUM = r"([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+
+
+def _unit_scale(unit: Optional[str]) -> float:
+    u = (unit or "m").strip().lower()
+    return {"mm": 1e-3, "millimeter": 1e-3, "millimeters": 1e-3,
+            "cm": 1e-2, "centimeter": 1e-2, "centimeters": 1e-2,
+            "m": 1.0, "meter": 1.0, "meters": 1.0, "metre": 1.0, "metres": 1.0,
+            "km": 1e3}.get(u, 1.0)
+
+
+def rule_based_parse(text: str) -> Dict[str, Any]:
+    """Regex-driven extraction of PDEParameters fields from English text."""
+    t = " " + text.lower().strip() + " "
+    out: Dict[str, Any] = {}
+    domain: Dict[str, float] = {}
+    geometry_params: Dict[str, float] = {}
+    bc: Dict[str, float] = {}
+    material: Dict[str, Any] = {}
+
+    # --- PDE type ---
+    if re.search(r"elastic|stress|strain|displacement|deform|cantilever|beam bend", t):
+        out["pde_type"] = "elasticity"
+    else:
+        out["pde_type"] = "heat"
+
+    # --- geometry ---
+    if re.search(r"\bcylind|\bpipe\b|\btube\b|\bcolumn\b|\bannul", t):
+        out["geometry_type"] = "cylinder"
+    elif re.search(r"\bspher|\bball\b|\bshell\b", t):
+        out["geometry_type"] = "sphere"
+    elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
+        out["geometry_type"] = "box"
+
+    # --- dimension ---
+    m = re.search(r"\b([123])\s*[- ]?d\b", t)
+    if m:
+        out["dim"] = int(m.group(1))
+    elif re.search(r"one[- ]dimensional", t):
+        out["dim"] = 1
+    elif re.search(r"two[- ]dimensional", t):
+        out["dim"] = 2
+    elif re.search(r"three[- ]dimensional", t):
+        out["dim"] = 3
+    elif re.search(r"\brod\b|\bbar\b|\bwire\b", t):
+        out["dim"] = 1
+    elif re.search(r"\bplate\b|\bsquare\b|\bmembrane\b|\brectangle\b", t):
+        out["dim"] = 2
+    elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
+        out["dim"] = 3
+    elif out.get("geometry_type") in ("cylinder", "sphere"):
+        out["dim"] = 1  # radial by default
+
+    # --- sizes: "A x B (x C)" with optional units ---
+    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?)?\s*[x×]\s*" + _NUM
+                  + r"\s*(m|cm|mm|meter(?:s)?)?(?:\s*[x×]\s*" + _NUM
+                  + r"\s*(m|cm|mm|meter(?:s)?)?)?", t)
+    if m:
+        a = float(m.group(1)) * _unit_scale(m.group(2))
+        b = float(m.group(3)) * _unit_scale(m.group(4))
+        if m.group(5):
+            c = float(m.group(5)) * _unit_scale(m.group(6))
+            domain.update({"Lx": a, "Ly": b, "Lz": c})
+            out.setdefault("dim", 3)
+        else:
+            domain.update({"Lx": a, "Ly": b})
+            out.setdefault("dim", 2)
+
+    # --- single length: "2 meter rod", "length (of) 2 m" ---
+    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)[- ]*(?:long )?(rod|bar|wire|domain|rod,|bar,)", t)
+    if not m:
+        m = re.search(r"(?:length|long)\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm|meter(?:s)?)?", t)
+        if m:
+            domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
+    else:
+        domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
+
+    # --- radii / height ---
+    m = re.search(r"inner\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m:
+        geometry_params["r_inner"] = float(m.group(1)) * _unit_scale(m.group(2))
+    m = re.search(r"outer\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m:
+        geometry_params["r_outer"] = float(m.group(1)) * _unit_scale(m.group(2))
+    m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m and "r_outer" not in geometry_params:
+        r = float(m.group(1)) * _unit_scale(m.group(2))
+        if out.get("geometry_type") == "sphere":
+            geometry_params["sphere_radius"] = r
+        else:
+            geometry_params["cylinder_radius"] = r
+    m = re.search(r"(?:height|h)\s*(?:of|=|:)\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m:
+        domain["h"] = float(m.group(1)) * _unit_scale(m.group(2))
+
+    # --- temperatures ---
+    temp = (r"\s*(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
+            r"kept at|set to)?\s*" + _NUM + r"\s*°?\s*c?\b")
+    pairs = [
+        (r"left(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_left"),
+        (r"right(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_right"),
+        (r"inner(?:\s+(?:surface|wall|boundary|edge))?" + temp, "T_inner"),
+        (r"outer(?:\s+(?:surface|wall|boundary|edge))?" + temp, "T_outer"),
+        (r"(?:side|wall|curved surface|lateral)(?:\s+(?:boundary|surface))?" + temp, "T_side"),
+        (r"(?<!left )(?<!right )(?<!inner )(?<!outer )(?<!side )"
+         r"(?:boundary|boundaries|surface|edges|walls)"
+         r"(?:\s+(?:temperature|held|kept|fixed))?" + temp, "T_boundary"),
+    ]
+    for pat, key in pairs:
+        m = re.search(pat, t)
+        if m and key not in bc:
+            bc[key] = float(m.group(1))
+
+    m = re.search(r"initial(?:\s+temperature| temp| condition)?" + temp.replace("fixed at", "fixed at|initially"), t)
+    if m:
+        out["initial_value"] = float(m.group(1))
+        out["initial_type"] = "constant"
+    if re.search(r"\bcosine\b|cos\(", t):
+        out["initial_type"] = "cosine"
+    elif re.search(r"initial.*\bsine\b|\bsine\b.*initial|sin\(", t):
+        out["initial_type"] = "sine"
+    m = re.search(r"amplitude\s*(?:of|=|:)?\s*" + _NUM, t)
+    if m:
+        out["initial_amplitude"] = float(m.group(1))
+    m = re.search(r"wave\s*number\s*(?:of|=|:)?\s*" + _NUM, t)
+    if m:
+        out["initial_wavenumber"] = float(m.group(1))
+
+    # --- material: heat ---
+    m = re.search(r"diffusivity\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    if m:
+        out["diffusivity"] = float(m.group(1))
+
+    # --- material: elasticity ---
+    m = re.search(r"young'?s?\s+modulus\s*(?:of|=|:|is)?\s*" + _NUM + r"\s*(gpa|mpa|kpa|pa)?", t)
+    if m:
+        scale = {"gpa": 1e9, "mpa": 1e6, "kpa": 1e3, "pa": 1.0, None: 1.0}[m.group(2)]
+        out["young_modulus"] = float(m.group(1)) * scale
+    m = re.search(r"poisson'?s?\s+ratio\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    if m:
+        out["poisson_ratio"] = float(m.group(1))
+    m = re.search(r"density\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    if m:
+        out["density"] = float(m.group(1))
+    if re.search(r"\bgravity\b|self[- ]weight|own weight", t):
+        material["gravity"] = True
+    m = re.search(r"(?:cross[- ]?sectional\s+)?area\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    if m:
+        material["area"] = float(m.group(1))
+    m = re.search(r"body\s+force\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    if m:
+        material["body_force"] = float(m.group(1))
+    if out.get("pde_type") == "elasticity":
+        if re.search(r"\bstrain\b(?!.*stress)", t) and not re.search(r"\bstress\b", t):
+            material["quantity"] = "strain"
+        if re.search(r"plane\s+strain", t):
+            material["plane_stress"] = False
+        elif re.search(r"plane\s+stress", t):
+            material["plane_stress"] = True
+
+    # --- composite core ---
+    m = re.search(r"core\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m:
+        out["core_radius"] = float(m.group(1)) * _unit_scale(m.group(2))
+    m = re.search(r"core\s+(?:diffusivity|conductivity)\s*(?:of|=|:)?\s*" + _NUM, t)
+    if m:
+        out["core_diffusivity"] = float(m.group(1))
+    elif re.search(r"(?:high[- ]conductivity|conductive|copper|metal)\s+core", t):
+        out["core_diffusivity"] = 10.0
+
+    # --- source / steady / stepping ---
+    m = re.search(r"(?:heat\s+)?source\s*(?:of|=|:|value)?\s*" + _NUM, t)
+    if m:
+        out["source_type"] = "constant"
+        out["source_value"] = float(m.group(1))
+    if re.search(r"steady[- ]?state|\bsteady\b|equilibrium", t):
+        out["steady"] = True
+    m = re.search(r"(?:dt|time step)\s*(?:of|=|:)?\s*" + _NUM, t)
+    if m:
+        out["dt"] = float(m.group(1))
+    m = re.search(_NUM + r"\s*(?:time\s*)?steps", t)
+    if m:
+        out["num_steps"] = int(float(m.group(1)))
+    m = re.search(r"(?:total time|for|until)\s*(?:t\s*=)?\s*" + _NUM + r"\s*s(?:econds)?\b", t)
+    if m:
+        out["total_time"] = float(m.group(1))
+    m = re.search(_NUM + r"\s*(?:nodes|mesh points|grid points|cells|elements)", t)
+    if m:
+        out["nx"] = int(float(m.group(1)))
+
+    # --- coordinate system from geometry ---
+    if out.get("geometry_type") == "cylinder":
+        out.setdefault("coordinate_system", "cylindrical")
+    elif out.get("geometry_type") == "sphere":
+        out.setdefault("coordinate_system", "spherical")
+
+    if domain:
+        out["domain_size"] = domain
+    if geometry_params:
+        out["geometry_params"] = geometry_params
+    if bc:
+        out["bc_values"] = bc
+    if material:
+        out["material_params"] = material
+    out.setdefault("dim", 1)
+    return out
+
+
+# ----------------------------------------------------------------------
+
+class PDEParserAgent:
+    """NL → PDEParameters via LLM (when available) with rule-based fallback."""
+
+    def __init__(self, llm: Optional[ChatLLM] = None):
+        self.llm = llm
+
+    def parse(self, description: str, context: Optional[str] = None) -> PDEParameters:
+        params, _ = self.parse_with_provenance(description, context=context)
+        return params
+
+    def parse_with_provenance(self, description: str,
+                              context: Optional[str] = None
+                              ) -> Tuple[PDEParameters, str]:
+        """Returns (params, source) where source ∈ {"llm", "rules"}.
+
+        ``context`` (e.g. previous-simulation parameters for follow-ups) is
+        prepended for the LLM path only — the rule-based extractor always
+        sees just the user's text, merging happens in the orchestrator.
+        """
+        raw: Optional[Dict[str, Any]] = None
+        source = "rules"
+        if self.llm is not None:
+            try:
+                user_msg = (f"{context}\n\n{description}" if context else description)
+                reply = self.llm.invoke([
+                    {"role": "system", "content": PARSER_SYSTEM_PROMPT},
+                    {"role": "user", "content": user_msg},
+                ])
+                raw = extract_json_block(reply)
+                if raw:
+                    source = "llm"
+            except Exception:
+                raw = None
+        if not raw:
+            raw = rule_based_parse(description)
+            source = "rules"
+        normalized = normalize_params_dict(raw)
+        normalized = self._composite_postprocess(description, normalized)
+        return PDEParameters.from_dict(normalized), source
+
+    @staticmethod
+    def _composite_postprocess(description: str, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Composite-material keyword detection (reference
+        pde_parser_agent.py:926-996): a mentioned conductive core implies
+        core parameters even if the LLM omitted them."""
+        t = description.lower()
+        mentions_core = bool(re.search(r"(?:high[- ]conductivity|conductive|copper|metal)\s+core|core\s+(?:of|with|diffusivity)", t))
+        if mentions_core and params.get("core_diffusivity") is None:
+            params["core_diffusivity"] = 10.0
+        if params.get("core_diffusivity") is not None and params.get("core_radius") is None:
+            gp = params.get("geometry_params") or {}
+            r_in = gp.get("r_inner")
+            if r_in:
+                params["core_radius"] = float(r_in)
+        return params

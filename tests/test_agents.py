@@ -1,0 +1,267 @@
+"""Agent-layer tests: parser (rule-based + fake LLM), dispatcher routing,
+orchestrator end-to-end with the local toolset (hermetic — no network)."""
+
+import asyncio
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pde_solver_tpu.agents.llm import FakeLLM, extract_json_block
+from pde_solver_tpu.agents.parser_agent import PDEParserAgent, rule_based_parse, normalize_params_dict
+from pde_solver_tpu.agents.dispatcher_agent import DispatcherAgent, normalize_geometry
+from pde_solver_tpu.agents.orchestrator import MultiAgentOrchestrator
+from pde_solver_tpu.agents.memory import ConversationMemory
+from pde_solver_tpu.schema import PDEParameters
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+# ----------------------------------------------------------------------
+# Parser
+# ----------------------------------------------------------------------
+
+def test_rule_parse_1d_rod():
+    p = rule_based_parse(
+        "Solve 1D heat transfer in a 2 meter rod, left end at 20°C, right end at 0°C")
+    assert p["pde_type"] == "heat"
+    assert p["dim"] == 1
+    assert p["domain_size"]["length"] == 2.0
+    assert p["bc_values"]["T_left"] == 20.0
+    assert p["bc_values"]["T_right"] == 0.0
+
+
+def test_rule_parse_2d_plate_initial():
+    p = rule_based_parse(
+        "Simulate heat diffusion in a 1m x 1m plate with initial temperature 10°C")
+    assert p["dim"] == 2
+    assert p["domain_size"] == {"Lx": 1.0, "Ly": 1.0}
+    assert p["initial_value"] == 10.0
+
+
+def test_rule_parse_elasticity_3d_gravity():
+    p = rule_based_parse(
+        "3D elasticity problem on a 1m x 0.2m x 0.2m box with gravity, "
+        "Young's modulus 210 GPa, Poisson's ratio 0.3")
+    assert p["pde_type"] == "elasticity"
+    assert p["dim"] == 3
+    assert p["domain_size"] == {"Lx": 1.0, "Ly": 0.2, "Lz": 0.2}
+    assert p["young_modulus"] == 210e9
+    assert p["poisson_ratio"] == 0.3
+    assert p["material_params"]["gravity"] is True
+
+
+def test_rule_parse_cylinder_radial():
+    p = rule_based_parse(
+        "Steady heat conduction in a cylinder with inner radius 0.1 m and outer "
+        "radius 1 m, inner surface at 100°C, outer at 20°C")
+    assert p["geometry_type"] == "cylinder"
+    assert p["dim"] == 1
+    assert p["geometry_params"] == {"r_inner": 0.1, "r_outer": 1.0}
+    assert p["bc_values"]["T_inner"] == 100.0
+    assert p["bc_values"]["T_outer"] == 20.0
+    assert p["steady"] is True
+
+
+def test_rule_parse_source_and_steps():
+    p = rule_based_parse("heat a 1m rod with a heat source of 50, 100 steps, dt 0.005")
+    assert p["source_type"] == "constant" and p["source_value"] == 50.0
+    assert p["num_steps"] == 100 and p["dt"] == 0.005
+
+
+def test_parser_with_fake_llm_fenced_json():
+    llm = FakeLLM(responses=[
+        'Sure! ```json\n{"pde_type": "heat", "Dimension": 2, '
+        '"domain": {"Lx": 3.0, "Ly": 1.5}, "thermal_diffusivity": {"value": 0.5}}\n```'])
+    agent = PDEParserAgent(llm=llm)
+    params, source = agent.parse_with_provenance("whatever")
+    assert source == "llm"
+    assert params.dim == 2
+    assert params.domain_size == {"Lx": 3.0, "Ly": 1.5}
+    assert params.diffusivity == 0.5
+
+
+def test_parser_falls_back_to_rules_on_garbage_llm():
+    llm = FakeLLM(responses=["I cannot answer that."])
+    agent = PDEParserAgent(llm=llm)
+    params, source = agent.parse_with_provenance(
+        "Solve 1D heat in a 2 meter rod, left end at 20°C, right end at 0°C")
+    assert source == "rules"
+    assert params.domain_size["length"] == 2.0
+
+
+def test_normalize_drops_unknown_and_coerces():
+    out = normalize_params_dict({
+        "pde_type": "heat", "bogus_key": 1, "nx": "64", "steady": "true",
+        "bc_values": {"T_left": 5},
+    })
+    assert "bogus_key" not in out
+    assert out["nx"] == 64
+    assert out["steady"] is True
+
+
+def test_extract_json_block_variants():
+    assert extract_json_block('{"a": 1}') == {"a": 1}
+    assert extract_json_block('bla ```json\n{"a": 1}\n``` done') == {"a": 1}
+    assert extract_json_block('prefix {"a": {"b": 2}} suffix') == {"a": {"b": 2}}
+    assert extract_json_block("no json here") is None
+
+
+# ----------------------------------------------------------------------
+# Dispatcher routing
+# ----------------------------------------------------------------------
+
+def test_routing_table():
+    d = DispatcherAgent()
+    cases = [
+        (PDEParameters(pde_type="heat", dim=1), "solve_heat_1D"),
+        (PDEParameters(pde_type="heat", dim=1, geometry_type="pipe"),
+         "solve_heat_1D_cylindrical"),
+        (PDEParameters(pde_type="heat", dim=1, geometry_type="ball"),
+         "solve_heat_1D_spherical"),
+        (PDEParameters(pde_type="heat", dim=2), "solve_heat_2D"),
+        (PDEParameters(pde_type="heat", dim=2, coordinate_system="cylindrical"),
+         "solve_heat_2D_cylindrical"),
+        (PDEParameters(pde_type="heat", dim=2, geometry_type="sphere"),
+         "solve_heat_2D_spherical"),
+        (PDEParameters(pde_type="heat", dim=3), "solve_heat_3D"),
+        (PDEParameters(pde_type="heat", dim=3, geometry_type="sphere"),
+         "solve_heat_3D_spherical"),
+        (PDEParameters(pde_type="elasticity", dim=1), "solve_elasticity_1D_static"),
+        (PDEParameters(pde_type="elasticity", dim=2), "solve_elasticity_2D_static"),
+        (PDEParameters(pde_type="elasticity", dim=3), "solve_elasticity_3D_static"),
+    ]
+    for params, expected in cases:
+        name, _ = d.route(params)
+        assert name == expected, (params, name, expected)
+
+
+def test_geometry_inference_from_domain_notation():
+    assert normalize_geometry(PDEParameters(domain_size={"r1": 0.1, "r2": 1, "h": 2})) == "cylinder"
+    assert normalize_geometry(PDEParameters(domain_size={"r2": 1.0})) == "sphere"
+    assert normalize_geometry(PDEParameters(domain_size={"Lx": 1.0})) == "box"
+
+
+def test_3d_cylinder_r1r2h_mapping_and_core():
+    d = DispatcherAgent()
+    params = PDEParameters(pde_type="heat", dim=3, geometry_type="cylinder",
+                           domain_size={"r1": 0.2, "r2": 0.5, "h": 3.0},
+                           core_diffusivity=10.0)
+    name, args = d.route(params)
+    assert name == "solve_heat_3D"
+    assert args["geometry_type"] == "cylinder"
+    assert args["Lx"] == 3.0               # Lx = height
+    assert args["cylinder_radius"] == 0.5  # = r2
+    assert args["core_radius"] == 0.2      # hollow cylinder: core = r1
+    assert args["core_diffusivity"] == 10.0
+
+
+def test_3d_solid_cylinder_core_default_30pct():
+    d = DispatcherAgent()
+    params = PDEParameters(pde_type="heat", dim=3, geometry_type="cylinder",
+                           domain_size={"r1": 0.0, "r2": 1.0, "h": 2.0},
+                           core_diffusivity=5.0)
+    _, args = d.route(params)
+    assert args["core_radius"] == pytest.approx(0.3)
+
+
+def test_dt_numsteps_heuristic():
+    d = DispatcherAgent()
+    params = PDEParameters(pde_type="heat", dim=1,
+                           domain_size={"length": 2.0}, diffusivity=1.0)
+    _, args = d.route(params)
+    # t_char = 4/2 = 2; dt = min(2/200, 0.01) = 0.01; steps = max(200, 200)
+    assert args["dt"] == 0.01
+    assert args["num_steps"] == 200
+
+
+def test_elasticity_gravity_body_force():
+    d = DispatcherAgent()
+    params = PDEParameters(pde_type="elasticity", dim=3,
+                           domain_size={"Lx": 1, "Ly": 0.2, "Lz": 0.2},
+                           material_params={"gravity": True}, density=7800.0)
+    _, args = d.route(params)
+    assert args["body_fz"] == pytest.approx(-9.81 * 7800.0)
+    params2 = PDEParameters(pde_type="elasticity", dim=2,
+                            material_params={"gravity": True})
+    _, args2 = d.route(params2)
+    assert args2["body_fy"] == pytest.approx(-9.81 * 7800.0)  # default density
+
+
+def test_explicit_zero_bc_preserved():
+    d = DispatcherAgent()
+    params = PDEParameters(pde_type="heat", dim=1,
+                           bc_values={"T_left": 0.0, "T_right": 50.0})
+    _, args = d.route(params)
+    assert args["T_left"] == 0.0 and args["T_right"] == 50.0
+
+
+def test_unsupported_pde_type_error_envelope():
+    d = DispatcherAgent()
+    res = run(d.dispatch(PDEParameters(pde_type="wave", dim=1)))
+    assert "error" in res and "wave" in res["error"]
+
+
+# ----------------------------------------------------------------------
+# Orchestrator end-to-end (hermetic)
+# ----------------------------------------------------------------------
+
+@pytest.fixture()
+def orch(tmp_path):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        yield MultiAgentOrchestrator(llm=None, memory_file=str(tmp_path / "mem.json"))
+    finally:
+        os.chdir(cwd)
+
+
+def test_orchestrator_greeting(orch):
+    res = run(orch.solve("hello there"))
+    assert res["status"] == "greeting"
+    assert res["html_path"] is None
+
+
+def test_orchestrator_full_solve_and_followup(orch):
+    res = run(orch.solve(
+        "Solve 1D heat transfer in a 2 meter rod with 16 nodes, left end at "
+        "20°C, right end at 0°C, 5 steps"))
+    assert "error" not in res, res
+    assert os.path.exists(res["data_file"])
+    assert os.path.exists(res["html_path"])
+    assert res["pde_params"]["dim"] == 1
+    assert "Simulation Summary" in res["summary"]
+
+    # follow-up: change one boundary, everything else preserved
+    res2 = run(orch.solve("change the left boundary to 50"))
+    assert "error" not in res2, res2
+    assert res2["pde_params"]["bc_values"]["T_left"] == 50.0
+    assert res2["pde_params"]["bc_values"]["T_right"] == 0.0
+    assert res2["pde_params"]["domain_size"]["length"] == 2.0
+    assert res2["pde_params"]["num_steps"] == 5
+
+
+def test_orchestrator_memory_persistence(orch, tmp_path):
+    run(orch.solve("Solve 1D heat in a 1 meter rod, 8 nodes, 2 steps, left end at 5°C"))
+    mem2 = ConversationMemory(persist_file=str(tmp_path / "mem.json"))
+    assert mem2.current_simulation is not None
+    assert mem2.current_simulation.pde_params["dim"] == 1
+
+
+def test_orchestrator_llm_validation_rejects_non_pde(tmp_path):
+    llm = FakeLLM(responses=[
+        json.dumps({"is_pde_problem": False, "justification": "It is a joke request."}),
+    ])
+    orch = MultiAgentOrchestrator(llm=llm, memory_file=None)
+    res = run(orch.solve("solve me a funny joke equation"))
+    assert res["status"] == "not_pde"
+
+
+def test_orchestrator_normalize_domain_nested(orch):
+    out = orch._normalize_domain_size({"domain_size": 2.5}, 2, "a 2m x 1m plate")
+    assert out == {"Lx": 2.0, "Ly": 1.0}
+    out2 = orch._normalize_domain_size({"domain_size": 2.5}, 3, "no dims here")
+    assert out2 == {"Lx": 2.5, "Ly": 2.5, "Lz": 2.5}
