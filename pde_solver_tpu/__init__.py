@@ -23,12 +23,27 @@ surface exactly (same names, signatures, defaults and result metadata) so that
 the agent layer routes queries unchanged.
 """
 
+import os as _os
+
 import jax
 
 # The framework uses explicit dtypes everywhere; x64 is enabled so float64
 # residual/refinement passes are available (TPU emulates f64 — used only for
 # occasional high-precision steps, never the hot path).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: OFF by default.  On the axon-tunneled
+# TPU a cache *hit* ships the serialized executable to the device server at
+# ~50 KB/s — far slower than recompiling.  The framework instead keeps every
+# jitted program small (see ops.linsolve).  Opt in with
+# PDE_TPU_COMPILE_CACHE=/path when running on directly-attached hardware.
+_cache_dir = _os.environ.get("PDE_TPU_COMPILE_CACHE")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs — not fatal
+        pass
 
 __version__ = "0.1.0"
 

@@ -24,10 +24,15 @@ import jax
 class SolverConfig:
     precision: str = "auto"       # "auto" | "f32" | "f64" | "mixed"
     tol: float = 1e-11            # outer (f64) relative residual target
-    inner_tol: float = 5e-8       # f32 inner CG relative residual
-    maxiter: Optional[int] = None # None → 10 * sqrt(N) + 1000 heuristic
-    refine_rounds: int = 3        # f64 refinement rounds in mixed mode
-    transient_refine_rounds: int = 2
+    inner_tol: float = 1e-4       # f32 inner CG target per refinement round
+                                  # (pushing past ~1e-4 wastes iterations: the
+                                  # f32 recursive residual drifts from the
+                                  # true one near ε32·κ)
+    maxiter: Optional[int] = None # None → 20·sqrt(N) + 2000 heuristic
+    refine_rounds: int = 7        # f64 refinement rounds in mixed mode
+                                  # (early-exits once tol is reached)
+    transient_inner_tol: float = 1e-6  # implicit steps are mass-dominated
+    transient_refine_rounds: int = 1
     snapshot_dtype: str = "f32"   # dtype snapshots are stored in on device
 
     def resolve_precision(self) -> str:

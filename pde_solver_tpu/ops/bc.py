@@ -26,14 +26,18 @@ from pde_solver_tpu.mesh import StructuredMesh
 @dataclass(frozen=True)
 class DirichletBC:
     """free_mask: 1.0 on free DOFs, 0.0 on constrained; values: g on
-    constrained DOFs (anything on free DOFs — it is masked)."""
+    constrained DOFs (anything on free DOFs — it is masked).
 
-    free_mask: jnp.ndarray  # [*node_shape] or [*node_shape, v]
-    values: jnp.ndarray     # same shape
+    Masks are kept as *host numpy* arrays: BC data feeds host-side system
+    preparation and jit-traced closures, and must never force device
+    round-trips (device→host pulls over the axon tunnel cost seconds)."""
+
+    free_mask: np.ndarray  # [*node_shape] or [*node_shape, v]
+    values: np.ndarray     # same shape
 
     @staticmethod
     def from_masks(pairs: Sequence[Tuple[np.ndarray, float]], node_shape,
-                   vdim: int = 1, dtype=jnp.float64) -> "DirichletBC":
+                   vdim: int = 1, dtype=np.float64) -> "DirichletBC":
         """Build from (bool mask, value) pairs.  Later pairs win on overlap
         (matching DOLFIN's last-applied-BC-wins semantics for bc lists)."""
         shape = tuple(node_shape) + ((vdim,) if vdim > 1 else ())
@@ -45,13 +49,16 @@ class DirichletBC:
                 m = np.repeat(m[..., None], vdim, axis=-1)
             constrained |= m
             values = np.where(m, float(val), values)
+        np_dtype = np.dtype(str(jnp.dtype(dtype))) if dtype is not None else np.float64
         return DirichletBC(
-            free_mask=jnp.asarray(~constrained, dtype=dtype),
-            values=jnp.asarray(values, dtype=dtype),
+            free_mask=np.asarray(~constrained, dtype=np_dtype),
+            values=np.asarray(values, dtype=np_dtype),
         )
 
     def astype(self, dtype) -> "DirichletBC":
-        return DirichletBC(self.free_mask.astype(dtype), self.values.astype(dtype))
+        np_dtype = np.dtype(str(jnp.dtype(dtype)))
+        return DirichletBC(np.asarray(self.free_mask, np_dtype),
+                           np.asarray(self.values, np_dtype))
 
     # --------------------------------------------------------------
     def constrain_operator(self, apply_A: Callable) -> Callable:

@@ -1,13 +1,35 @@
 """Linear-solve facade: stencil system + BC → solution, per precision policy.
 
-One entry point used by every model (heat, elasticity, projections).  Hides
-the f64-direct vs f32+refinement choice (``pde_solver_tpu.config``) and
-returns float64 grid fields plus :class:`SolveStats`.
+One entry point used by every model (heat, elasticity, projections).
+
+System preparation (host, numpy, once per solve):
+
+* **Dirichlet masking is baked into the weights** — constrained rows/columns
+  are zeroed and the diagonal gets 1 there, so the device operator is a pure
+  stencil SpMV (no mask multiplies per iteration, SPD preserved);
+* **symmetric Jacobi scaling** is baked in too: scalar D^{-1/2} A D^{-1/2}
+  for scalar fields, block-Cholesky C^{-1} A C^{-T} (3×3 node blocks) for
+  elasticity.  The scaled system has an identity (block-)diagonal, which
+  (a) is Jacobi / block-Jacobi preconditioning and (b) keeps float32
+  arithmetic well-ranged even for E≈2e11 Pa;
+* the RHS lift b̃ = free ⊙ (b − A g) + g happens on host in float64.
+
+Solve modes:
+
+* "f64" — one jitted CG program in float64 (CPU / tests).
+* "mixed" (TPU default) — float32 CG inner solves + float64 residual
+  refinement, **decomposed into small separately-jitted programs** driven by
+  a host loop.  Fusing the refinement into one XLA program multiplies
+  compile time ~10× (emulated-f64 stencils inside nested while_loops) and
+  produced 14 MB executables whose persistent-cache round-trip through the
+  axon tunnel was slower than recompiling; the decomposed pieces compile in
+  ~1-8 s and only scalars cross the host boundary per round.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,13 +38,194 @@ import numpy as np
 from pde_solver_tpu.config import SolverConfig, get_config
 from pde_solver_tpu.mesh import StructuredMesh
 from pde_solver_tpu.ops.bc import DirichletBC
-from pde_solver_tpu.ops.cg import SolveStats, pcg, solve_refined
-from pde_solver_tpu.ops.stencil import StencilOperator
+from pde_solver_tpu.ops.cg import SolveStats
+
+Offset = Tuple[int, ...]
 
 
-def _safe_inv(d: jnp.ndarray) -> jnp.ndarray:
-    return 1.0 / jnp.where(d == 0, jnp.ones_like(d), d)
+# ----------------------------------------------------------------------
+# Host-side system preparation (numpy, float64)
+# ----------------------------------------------------------------------
 
+def _np_shift(arr: np.ndarray, off: Offset, grid_dim: int) -> np.ndarray:
+    """arr evaluated at n+off with zero padding (host helper)."""
+    pad = [(1, 1)] * grid_dim + [(0, 0)] * (arr.ndim - grid_dim)
+    ap = np.pad(arr, pad)
+    sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, arr.shape[:grid_dim]))
+    return ap[sl + (Ellipsis,)]
+
+
+def np_stencil_apply(stencil: Dict[Offset, np.ndarray], x: np.ndarray,
+                     grid_dim: int, vdim: int = 1) -> np.ndarray:
+    y = np.zeros_like(x)
+    for off, W in stencil.items():
+        xs = _np_shift(x, off, grid_dim)
+        if vdim == 1:
+            y += W * xs
+        else:
+            y += np.einsum("...ij,...j->...i", W, xs)
+    return y
+
+
+class ScaledSystem(NamedTuple):
+    """Masked + diagonally-scaled stencil system (host arrays, float64)."""
+
+    offsets: Tuple[Offset, ...]
+    weights: list                  # scaled Ŵ_o, aligned with offsets
+    b_hat: np.ndarray              # scaled, lifted RHS
+    gvals: np.ndarray              # Dirichlet values (0 on free DOFs)
+    scale_kind: str                # "scalar" | "block"
+    s: Optional[np.ndarray]        # scalar: 1/sqrt(diag)
+    Ct: Optional[np.ndarray]       # block: C^T  (x̂ = C^T x)
+    CinvT: Optional[np.ndarray]    # block: C^{-T} (x = C^{-T} x̂)
+
+    def from_hat_x(self, x_hat: np.ndarray) -> np.ndarray:
+        if self.scale_kind == "scalar":
+            return self.s * x_hat
+        return np.einsum("...ij,...j->...i", self.CinvT, x_hat)
+
+    def to_hat_x(self, x: np.ndarray) -> np.ndarray:
+        if self.scale_kind == "scalar":
+            return x / self.s
+        return np.einsum("...ij,...j->...i", self.Ct, x)
+
+
+def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
+                   bc: DirichletBC, rhs: np.ndarray, vdim: int = 1
+                   ) -> ScaledSystem:
+    """Bake masking + (block-)diagonal scaling into the weights."""
+    d = mesh.dim
+    free = np.asarray(bc.free_mask, dtype=np.float64)
+    gvals = np.asarray(bc.values, dtype=np.float64) * (1.0 - free)
+
+    # RHS lift with the *unmasked* operator (host, one pass)
+    Ag = np_stencil_apply(stencil, gvals, d, vdim)
+    b_t = free * (np.asarray(rhs, dtype=np.float64) - Ag) + gvals
+
+    zero = tuple(0 for _ in range(d))
+    offsets = tuple(sorted(stencil.keys()))
+
+    if vdim == 1:
+        diag = stencil[zero] * free + (1.0 - free)
+        diag = np.where(diag <= 0, 1.0, diag)
+        s = 1.0 / np.sqrt(diag)
+        scaled = []
+        for off in offsets:
+            W = np.array(stencil[off], dtype=np.float64)
+            free_o = _np_shift(free, off, d)
+            s_o = _np_shift(s, off, d)
+            W = W * (free * free_o) * (s * s_o)
+            if off == zero:
+                W = W + (1.0 - free)
+            scaled.append(W)
+        return ScaledSystem(offsets, scaled, s * b_t, gvals, "scalar", s,
+                            None, None)
+
+    # vdim > 1: block-Cholesky scaling (block-Jacobi preconditioning baked in)
+    eye = np.eye(vdim)
+    masked = {}
+    for off in offsets:
+        W = np.array(stencil[off], dtype=np.float64)
+        free_o = _np_shift(free, off, d)
+        W = W * (free[..., :, None] * free_o[..., None, :])
+        if off == zero:
+            W = W + (1.0 - free)[..., :, None] * eye
+        masked[off] = W
+    D = masked[zero]                       # [..., v, v] SPD blocks
+    C = np.linalg.cholesky(D)
+    Cinv = np.linalg.inv(C)
+    scaled = []
+    for off in offsets:
+        Cinv_o = _np_shift(Cinv, off, d)
+        # Ŵ_o[n] = C^{-1}[n] W_o[n] C^{-T}[n+o]
+        W = np.einsum("...ab,...bc,...dc->...ad", Cinv, masked[off], Cinv_o)
+        scaled.append(W)
+    b_hat = np.einsum("...ab,...b->...a", Cinv, b_t)
+    Ct = np.swapaxes(C, -1, -2)
+    CinvT = np.swapaxes(Cinv, -1, -2)
+    return ScaledSystem(offsets, scaled, b_hat, gvals, "block", None, Ct, CinvT)
+
+
+# ----------------------------------------------------------------------
+# Device programs (each small — compile stays cheap; see module docstring)
+# ----------------------------------------------------------------------
+
+def _stencil_apply(offsets: Tuple[Offset, ...], weights, x: jnp.ndarray,
+                   grid_dim: int, vdim: int) -> jnp.ndarray:
+    pad = [(1, 1)] * grid_dim + [(0, 0)] * (x.ndim - grid_dim)
+    xp = jnp.pad(x, pad)
+    shape = x.shape[:grid_dim]
+    y = None
+    for off, W in zip(offsets, weights):
+        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+        xs = xp[sl + (Ellipsis,)]
+        term = W * xs if vdim == 1 else jnp.einsum("...ij,...j->...i", W, xs)
+        y = term if y is None else y + term
+    return y
+
+
+def _cg_unit_diag(offsets, weights, b, x0, tol, maxiter, grid_dim, vdim):
+    """CG on the scaled (identity-diagonal) system — no preconditioner."""
+    dtype = b.dtype
+
+    def A(x):
+        return _stencil_apply(offsets, weights, x, grid_dim, vdim)
+
+    def dot(a, c):
+        return jnp.vdot(a.reshape(-1), c.reshape(-1))
+
+    x = x0
+    r = b - A(x)
+    p = r
+    rz = dot(r, r)
+    bnorm2 = dot(b, b)
+    bnorm2 = jnp.where(bnorm2 == 0, jnp.asarray(1.0, dtype), bnorm2)
+    tol2 = (tol * tol) * bnorm2
+
+    def cond(state):
+        _, _, _, rz, k = state
+        return jnp.logical_and(rz > tol2, k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = A(p)
+        pAp = dot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, jnp.asarray(1.0, dtype), pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = dot(r, r)
+        beta = rz_new / jnp.where(rz == 0, jnp.asarray(1.0, dtype), rz)
+        return x, r, r + beta * p, rz_new, k + 1
+
+    x, r, p, rz, k = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
+    relres = jnp.sqrt(rz / bnorm2)
+    return x, k, relres
+
+
+@partial(jax.jit, static_argnames=("offsets", "grid_dim", "vdim"))
+def _jit_cg(offsets, weights, b, x0, tol, maxiter, grid_dim, vdim):
+    return _cg_unit_diag(offsets, weights, b, x0, tol,
+                         jnp.asarray(maxiter, jnp.int32), grid_dim, vdim)
+
+
+@partial(jax.jit, static_argnames=("offsets", "grid_dim", "vdim"))
+def _jit_residual64(offsets, weights64, b64, x64, grid_dim, vdim):
+    """r = b - A x in f64; returns (r scaled to f32, ||r||², scale)."""
+    r = b64 - _stencil_apply(offsets, weights64, x64, grid_dim, vdim)
+    rnorm2 = jnp.vdot(r.reshape(-1), r.reshape(-1))
+    scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+    return (r / scale).astype(jnp.float32), rnorm2, scale
+
+
+@jax.jit
+def _jit_axpy64(x64, scale, d32):
+    return x64 + scale * d32.astype(jnp.float64)
+
+
+# ----------------------------------------------------------------------
+# Public facade
+# ----------------------------------------------------------------------
 
 def solve_stencil_system(
     stencil_np: Dict,
@@ -31,51 +234,79 @@ def solve_stencil_system(
     rhs_np: np.ndarray,
     vdim: int = 1,
     config: Optional[SolverConfig] = None,
-    x0: Optional[jnp.ndarray] = None,
+    x0: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, SolveStats]:
     """Solve A x = b with Dirichlet symmetric elimination.
 
     ``stencil_np``: numpy stencil from ``ops.assembly``; ``rhs_np``: the raw
-    (unconstrained) load vector.  Returns (x float64 numpy, stats).
+    (unconstrained) load vector.  Returns (x float64 numpy grid, stats).
     """
     cfg = config or get_config()
     prec = cfg.resolve_precision()
+    d = mesh.dim
     n = int(np.prod(mesh.node_shape)) * vdim
     maxiter = cfg.resolved_maxiter(n)
 
-    b = jnp.asarray(rhs_np, dtype=jnp.float64)
+    sysm = prepare_system(stencil_np, mesh, bc, rhs_np, vdim)
+    offsets = sysm.offsets
+    x0_hat = (np.zeros_like(sysm.b_hat) if x0 is None
+              else sysm.to_hat_x(np.asarray(x0, dtype=np.float64)))
 
     if prec == "f64":
-        op = StencilOperator.from_numpy(stencil_np, mesh.node_shape, dtype=jnp.float64, vdim=vdim)
-        bc64 = bc.astype(jnp.float64)
-        apply_c = bc64.constrain_operator(op.apply)
-        # Jacobi preconditioner: free-DOF diagonal + 1 on constrained DOFs.
-        diag = op.diagonal() * bc64.free_mask + (1.0 - bc64.free_mask)
-        bt = bc64.constrain_rhs(op.apply, b)
-        x, stats = pcg(apply_c, bt, inv_diag=_safe_inv(diag), tol=cfg.tol,
-                       maxiter=maxiter, x0=x0)
-        return np.asarray(x, dtype=np.float64), stats
+        w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
+        xh, k, relres = _jit_cg(offsets, w64, jnp.asarray(sysm.b_hat),
+                                jnp.asarray(x0_hat), cfg.tol, maxiter, d, vdim)
+        tol_used = cfg.tol
+        iters = int(k)
+        relres = float(relres)
+        x_hat = np.asarray(xh, dtype=np.float64)
+    elif prec == "f32":
+        w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
+        tol_used = max(cfg.inner_tol, 1e-7)
+        xh, k, relres = _jit_cg(offsets, w32,
+                                jnp.asarray(sysm.b_hat, dtype=jnp.float32),
+                                jnp.asarray(x0_hat, dtype=jnp.float32),
+                                tol_used, maxiter, d, vdim)
+        iters = int(k)
+        relres = float(relres)
+        x_hat = np.asarray(xh, dtype=np.float64)
+    else:  # mixed: f32 CG on device + float64 refinement on host.
+        # The f64 residual runs in host numpy against the host copy of the
+        # scaled weights: no f64 programs on device (their emulation makes
+        # XLA compiles ~10× slower) and no double-precision weight uploads
+        # (2× the f32 bytes over a ~30 MB/s link).  Per round only the f32
+        # residual/correction vectors cross the link.
+        w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
+        scaled_np = {o: W for o, W in zip(offsets, sysm.weights)}
+        x_hat = np.asarray(x0_hat, dtype=np.float64)
+        bnorm = float(np.linalg.norm(sysm.b_hat.reshape(-1)))
+        tol_used = cfg.tol
+        iters = 0
+        relres = 1.0
+        if bnorm == 0.0:
+            x_hat = np.zeros_like(sysm.b_hat)
+            relres = 0.0
+        else:
+            for _ in range(cfg.refine_rounds):
+                r = sysm.b_hat - np_stencil_apply(scaled_np, x_hat, d, vdim)
+                relres = float(np.linalg.norm(r.reshape(-1))) / bnorm
+                if relres <= cfg.tol or not np.isfinite(relres):
+                    break
+                scale = float(np.max(np.abs(r)))
+                r32 = jnp.asarray(r / scale, dtype=jnp.float32)
+                d32, k, _ = _jit_cg(offsets, w32, r32,
+                                    jnp.zeros_like(r32), cfg.inner_tol,
+                                    maxiter, d, vdim)
+                x_hat = x_hat + scale * np.asarray(d32, dtype=np.float64)
+                iters += int(k)
+            else:
+                r = sysm.b_hat - np_stencil_apply(scaled_np, x_hat, d, vdim)
+                relres = float(np.linalg.norm(r.reshape(-1))) / bnorm
 
-    if prec == "f32":
-        op = StencilOperator.from_numpy(stencil_np, mesh.node_shape, dtype=jnp.float32, vdim=vdim)
-        bc32 = bc.astype(jnp.float32)
-        apply_c = bc32.constrain_operator(op.apply)
-        diag = op.diagonal() * bc32.free_mask + (1.0 - bc32.free_mask)
-        bt = bc32.constrain_rhs(op.apply, b.astype(jnp.float32))
-        x, stats = pcg(apply_c, bt, inv_diag=_safe_inv(diag), tol=max(cfg.inner_tol, 1e-7),
-                       maxiter=maxiter, x0=None if x0 is None else x0.astype(jnp.float32))
-        return np.asarray(x, dtype=np.float64), stats
-
-    # mixed: f32 inner CG + f64 refinement
-    op64 = StencilOperator.from_numpy(stencil_np, mesh.node_shape, dtype=jnp.float64, vdim=vdim)
-    op32 = op64.astype(jnp.float32)
-    bc64 = bc.astype(jnp.float64)
-    bc32 = bc.astype(jnp.float32)
-    a64 = bc64.constrain_operator(op64.apply)
-    a32 = bc32.constrain_operator(op32.apply)
-    diag32 = op32.diagonal() * bc32.free_mask + (1.0 - bc32.free_mask)
-    bt = bc64.constrain_rhs(op64.apply, b)
-    x, stats = solve_refined(a32, a64, bt, inv_diag32=_safe_inv(diag32),
-                             tol=cfg.tol, inner_tol=cfg.inner_tol,
-                             maxiter=maxiter, refine_rounds=cfg.refine_rounds, x0=x0)
-    return np.asarray(x, dtype=np.float64), stats
+    x = sysm.from_hat_x(x_hat)
+    stats = SolveStats(
+        iterations=np.int32(iters if prec == "mixed" else iters),
+        relative_residual=np.float64(relres),
+        converged=bool(np.float64(relres) <= tol_used * 100),
+    )
+    return x, stats

@@ -8,17 +8,20 @@ single jit-compiled θ-scheme scan:
     (M + θ Δt K) u^{n+1} = (M − (1−θ) Δt K) u^n + Δt b
 
 θ=1 is backward Euler (reference parity); θ=1/2 is Crank-Nicolson (new
-capability, BASELINE.md config 3).  Each step solves with warm-started
-Jacobi-PCG; snapshots stack on device and transfer once at the end.
+capability, BASELINE.md config 3).  The implicit operator gets Dirichlet
+masking and symmetric Jacobi scaling baked into its stencil weights on host
+(see ops.linsolve); each step solves with warm-started CG on the scaled
+unit-diagonal system.  Snapshots stack on device and transfer once.
 
-Mixed-precision mode keeps the state in float64 while the CG inner loop runs
-in float32; a fixed number of float64 refinement passes per step bounds
-drift over long horizons.
+The whole scan is compiled behind a module-level jit whose cache keys on
+(offsets, shapes, num_steps, mode) — repeated transients on the same mesh
+shape dispatch once.
 """
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from functools import partial
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +30,12 @@ import numpy as np
 from pde_solver_tpu.config import SolverConfig, get_config
 from pde_solver_tpu.mesh import StructuredMesh
 from pde_solver_tpu.ops.bc import DirichletBC
-from pde_solver_tpu.ops.cg import pcg
-from pde_solver_tpu.ops.stencil import StencilOperator
+from pde_solver_tpu.ops.linsolve import (
+    _cg_unit_diag,
+    _stencil_apply,
+    np_stencil_apply,
+    prepare_system,
+)
 
 
 class TransientResult(NamedTuple):
@@ -42,10 +49,71 @@ def _combine(K: Dict, M: Dict, alpha: float, beta: float) -> Dict:
     """beta*M + alpha*K as a numpy stencil."""
     out = {}
     for o, W in M.items():
-        out[o] = beta * W
+        out[o] = beta * np.asarray(W, dtype=np.float64)
     for o, W in K.items():
-        out[o] = out.get(o, 0.0) + alpha * W
+        out[o] = out.get(o, 0.0) + alpha * np.asarray(W, dtype=np.float64)
     return out
+
+
+@partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
+                                   "refine", "grid_dim", "vdim", "mode",
+                                   "snap32"))
+def _transient_scan(offsets, A32, A64, B_w, free, g, s, b_src, Ag, u0,
+                    inner_tol, num_steps, maxiter, refine, grid_dim, vdim,
+                    mode, snap32):
+    """One fused scan over implicit steps on the scaled system.
+
+    mode: "f64" | "f32" | "mixed".  All weight tuples are aligned with
+    ``offsets``; ``B_w`` is the unmasked explicit-side operator.
+    """
+    state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
+    u0 = u0.astype(state_dtype)
+    snap_dtype = jnp.float32 if snap32 else state_dtype
+
+    def B(x):
+        return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
+
+    def step(carry, _):
+        u, iters_acc, res_acc = carry
+        rhs = B(u) + b_src
+        bt = free * (rhs - Ag) + g
+        b_hat = s * bt
+        x0_hat = u / s
+
+        if mode == "f64":
+            xh, k, relres = _cg_unit_diag(offsets, A64, b_hat, x0_hat,
+                                          inner_tol, maxiter, grid_dim, vdim)
+        elif mode == "f32":
+            xh, k, relres = _cg_unit_diag(offsets, A32, b_hat, x0_hat,
+                                          inner_tol, maxiter, grid_dim, vdim)
+        else:  # mixed: f32 inner solves from warm start + f64 refinement
+            def A64f(x):
+                return _stencil_apply(offsets, A64, x, grid_dim, vdim)
+
+            xh = x0_hat
+            k = jnp.asarray(0, jnp.int32)
+            for _r in range(1 + refine):
+                r = b_hat - A64f(xh)
+                scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+                d32, ki, _ = _cg_unit_diag(offsets, A32,
+                                           (r / scale).astype(jnp.float32),
+                                           jnp.zeros(r.shape, jnp.float32),
+                                           inner_tol, maxiter, grid_dim, vdim)
+                xh = xh + scale * d32.astype(jnp.float64)
+                k = k + ki
+            r = b_hat - A64f(xh)
+            bn = jnp.maximum(jnp.sqrt(jnp.vdot(b_hat.reshape(-1),
+                                               b_hat.reshape(-1))), 1e-300)
+            relres = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1))) / bn
+
+        u_new = (s * xh).astype(state_dtype)
+        return ((u_new, iters_acc + k,
+                 jnp.maximum(res_acc, relres.astype(state_dtype))),
+                u_new.astype(snap_dtype))
+
+    carry0 = (u0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, state_dtype))
+    (u_f, iters, res), snaps = jax.lax.scan(step, carry0, None, length=num_steps)
+    return snaps, iters, res
 
 
 def run_transient(
@@ -63,72 +131,49 @@ def run_transient(
 ) -> TransientResult:
     cfg = config or get_config()
     prec = cfg.resolve_precision()
+    d = mesh.dim
     n = int(np.prod(mesh.node_shape)) * vdim
     maxiter = cfg.resolved_maxiter(n)
 
     A_np = _combine(K_np, M_np, alpha=theta * dt, beta=1.0)
     B_np = _combine(K_np, M_np, alpha=-(1.0 - theta) * dt, beta=1.0)
 
+    # Scaled, masked implicit operator (zero rhs — we only need the weights,
+    # the per-step lift happens inside the scan with precomputed A g).
+    if vdim != 1:
+        raise NotImplementedError("transient stepping is scalar-field only")
+    sysm = prepare_system(A_np, mesh, bc, np.zeros(u0_np.shape), vdim)
+    offsets, scaled, s_np, gvals = (sysm.offsets, sysm.weights, sysm.s,
+                                    sysm.gvals)
+    Ag_np = np_stencil_apply(A_np, gvals, d, vdim)
+    free_np = np.asarray(bc.free_mask, dtype=np.float64)
+    B_list = [np.asarray(B_np.get(o, np.zeros_like(scaled[i])), dtype=np.float64)
+              for i, o in enumerate(offsets)]
+
     state_dtype = jnp.float64 if prec in ("f64", "mixed") else jnp.float32
-    cg_dtype = jnp.float64 if prec == "f64" else jnp.float32
+    A64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in scaled) \
+        if prec in ("f64", "mixed") else None
+    A32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in scaled) \
+        if prec in ("f32", "mixed") else None
+    B_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in B_list)
 
-    A_state = StencilOperator.from_numpy(A_np, mesh.node_shape, dtype=state_dtype, vdim=vdim)
-    B_state = StencilOperator.from_numpy(B_np, mesh.node_shape, dtype=state_dtype, vdim=vdim)
-    A_cg = A_state if cg_dtype == state_dtype else A_state.astype(cg_dtype)
-
-    bc_s = bc.astype(state_dtype)
-    bc_cg = bc.astype(cg_dtype)
-    a_state = bc_s.constrain_operator(A_state.apply)
-    a_cg = bc_cg.constrain_operator(A_cg.apply)
-    diag = A_cg.diagonal() * bc_cg.free_mask + (1.0 - bc_cg.free_mask)
-    inv_diag = 1.0 / jnp.where(diag == 0, jnp.ones_like(diag), diag)
-
-    g = (bc_s.values * (1.0 - bc_s.free_mask)).astype(state_dtype)
-    Ag = A_state.apply(g)
-    b_src = jnp.asarray(dt * b_source_np, dtype=state_dtype)
-    u0 = jnp.asarray(u0_np, dtype=state_dtype)
-
-    inner_tol = cfg.tol if prec == "f64" else cfg.inner_tol
+    inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
     refine = cfg.transient_refine_rounds if prec == "mixed" else 0
-    snap_dtype = jnp.float32 if cfg.snapshot_dtype == "f32" and prec != "f64" else state_dtype
+    snap32 = cfg.snapshot_dtype == "f32" and prec != "f64"
 
-    def step(carry, _):
-        u, iters_acc, res_acc = carry
-        rhs = B_state.apply(u) + b_src
-        bt = bc_s.free_mask * (rhs - Ag) + g
+    snaps, iters, res = _transient_scan(
+        offsets, A32, A64, B_w,
+        jnp.asarray(free_np, dtype=state_dtype),
+        jnp.asarray(gvals, dtype=state_dtype),
+        jnp.asarray(s_np, dtype=state_dtype),
+        jnp.asarray(dt * b_source_np, dtype=state_dtype),
+        jnp.asarray(Ag_np, dtype=state_dtype),
+        jnp.asarray(u0_np, dtype=state_dtype),
+        inner_tol, int(num_steps), maxiter, refine, d, vdim, prec, snap32)
 
-        if prec == "mixed":
-            # f32 inner solve from warm start, then f64 refinement passes.
-            x = u
-            total = jnp.asarray(0, jnp.int32)
-            for _r in range(1 + refine):
-                r = bt - a_state(x)
-                scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
-                d32, st = pcg(a_cg, (r / scale).astype(cg_dtype),
-                              inv_diag=inv_diag, tol=inner_tol, maxiter=maxiter)
-                x = x + scale * d32.astype(state_dtype)
-                total = total + st.iterations
-            r = bt - a_state(x)
-            relres = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1))) / jnp.maximum(
-                jnp.sqrt(jnp.vdot(bt.reshape(-1), bt.reshape(-1))), 1e-300)
-            u_new, iters = x, total
-        else:
-            u_new, st = pcg(a_cg, bt.astype(cg_dtype), inv_diag=inv_diag,
-                            tol=inner_tol, maxiter=maxiter, x0=u.astype(cg_dtype))
-            u_new = u_new.astype(state_dtype)
-            iters, relres = st.iterations, st.relative_residual
-        return (u_new, iters_acc + iters, jnp.maximum(res_acc, relres)), u_new.astype(snap_dtype)
-
-    @jax.jit
-    def run(u_init):
-        carry0 = (u_init, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, state_dtype))
-        (u_f, iters, res), snaps = jax.lax.scan(step, carry0, None, length=num_steps)
-        return snaps, iters, res
-
-    snaps, iters, res = run(u0)
     values = np.concatenate(
-        [np.asarray(u0, dtype=np.float64)[None], np.asarray(snaps, dtype=np.float64)], axis=0
-    )
+        [np.asarray(u0_np, dtype=np.float64)[None],
+         np.asarray(snaps, dtype=np.float64)], axis=0)
     times = dt * np.arange(num_steps + 1, dtype=np.float64)
     return TransientResult(values=values, times=times,
                            total_cg_iterations=int(iters),

@@ -1,0 +1,196 @@
+"""Domain decomposition across TPU chips: shard_map + halo exchange + psum-CG.
+
+The reference has no application-level parallelism at all (single-process
+stdio server, fenics_mcp_server.py:4554; SURVEY.md §2 'parallelism' row).
+The TPU-native scaling axis for FEM is *spatial DOFs*: the structured node
+grid is sharded along its first axis over a 1-D ``jax.sharding.Mesh``;
+stencil application exchanges a one-node halo with lattice neighbors via
+``lax.ppermute`` (the ICI analog of MPI ghost exchange) and CG dot products
+become ``lax.psum`` reductions.  Everything compiles to XLA collectives —
+no NCCL/MPI anywhere.
+
+Two modes:
+
+* :func:`sharded_heat_step` — an explicitly shard_mapped backward-Euler step
+  (halo exchange + psum-CG spelled out); used by ``__graft_entry__``'s
+  multi-chip dry run and the fake-8-device CPU tests.
+* plain jit + ``NamedSharding`` on the same stencil code — GSPMD inserts the
+  halo collectives automatically; useful when the operator mixes with other
+  sharded computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pde_solver_tpu.mesh import StructuredMesh
+from pde_solver_tpu.ops import assembly
+from pde_solver_tpu.ops.bc import DirichletBC
+
+AXIS = "shard_x"  # mesh axis name for the spatial decomposition
+
+
+def device_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+# ----------------------------------------------------------------------
+# Halo exchange + local stencil application (inside shard_map)
+# ----------------------------------------------------------------------
+
+def halo_exchange(x: jnp.ndarray, axis_name: str = AXIS) -> jnp.ndarray:
+    """Extend the local block by one node layer from each lattice neighbor
+    along axis 0.  Edge shards receive zeros (global Dirichlet-free zone —
+    the stencil weights are already truncated there by assembly)."""
+    n = jax.lax.axis_size(axis_name)
+    lo_shape = x[:1].shape
+    if n == 1:
+        zero = jnp.zeros(lo_shape, x.dtype)
+        return jnp.concatenate([zero, x, zero], axis=0)
+    from_left = jax.lax.ppermute(x[-1:], axis_name,
+                                 [(j, j + 1) for j in range(n - 1)])
+    from_right = jax.lax.ppermute(x[:1], axis_name,
+                                  [(j + 1, j) for j in range(n - 1)])
+    return jnp.concatenate([from_left, x, from_right], axis=0)
+
+
+def local_stencil_apply(offsets: Tuple[Tuple[int, ...], ...],
+                        weights: Tuple[jnp.ndarray, ...],
+                        x: jnp.ndarray, vdim: int = 1,
+                        axis_name: str = AXIS) -> jnp.ndarray:
+    """y = A x on one shard: halo along axis 0, zero padding on other axes."""
+    d = len(offsets[0])
+    x_ext = halo_exchange(x, axis_name)
+    pad = [(0, 0)] + [(1, 1)] * (d - 1) + [(0, 0)] * (x.ndim - d)
+    xp = jnp.pad(x_ext, pad)
+    local_shape = x.shape[:d]
+    y = None
+    for off, W in zip(offsets, weights):
+        sl = tuple([slice(1 + off[0], 1 + off[0] + local_shape[0])]
+                   + [slice(1 + o, 1 + o + s) for o, s in zip(off[1:], local_shape[1:])])
+        xs = xp[sl]
+        term = W * xs if vdim == 1 else jnp.einsum("...ij,...j->...i", W, xs)
+        y = term if y is None else y + term
+    return y
+
+
+def pdot(a: jnp.ndarray, b: jnp.ndarray, axis_name: str = AXIS) -> jnp.ndarray:
+    """Globally-reduced inner product (CG dots ride ICI via psum)."""
+    return jax.lax.psum(jnp.vdot(a.reshape(-1), b.reshape(-1)), axis_name)
+
+
+def sharded_pcg(apply_A, b, inv_diag, tol=1e-8, maxiter=500,
+                x0=None, axis_name: str = AXIS):
+    """Jacobi-PCG with psum reductions — runs inside shard_map."""
+    dtype = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_A(x)
+    z = r * inv_diag
+    p = z
+    rz = pdot(r, z, axis_name)
+    bnorm2 = pdot(b, b, axis_name)
+    bnorm2 = jnp.where(bnorm2 == 0, jnp.asarray(1.0, dtype), bnorm2)
+    tol2 = (tol ** 2) * bnorm2
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(pdot(r, r, axis_name) > tol2, k < maxiter)
+
+    def body(state):
+        x, r, p, z, rz, k = state
+        Ap = apply_A(p)
+        pAp = pdot(p, Ap, axis_name)
+        alpha = rz / jnp.where(pAp == 0, jnp.asarray(1.0, dtype), pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = r * inv_diag
+        rz_new = pdot(r, z, axis_name)
+        beta = rz_new / jnp.where(rz == 0, jnp.asarray(1.0, dtype), rz)
+        return x, r, z + beta * p, z, rz_new, k + 1
+
+    x, r, p, z, rz, k = jax.lax.while_loop(
+        cond, body, (x, r, p, z, rz, jnp.asarray(0, jnp.int32)))
+    relres = jnp.sqrt(pdot(r, r, axis_name) / bnorm2)
+    return x, k, relres
+
+
+# ----------------------------------------------------------------------
+# Sharded backward-Euler heat step (the multi-chip "training step")
+# ----------------------------------------------------------------------
+
+def build_sharded_heat_step(mesh_geo: StructuredMesh, mesh_dev: Mesh,
+                            diffusivity: float, dt: float,
+                            bc: DirichletBC, dtype=jnp.float32,
+                            tol: float = 1e-7, maxiter: int = 500):
+    """Compile one implicit heat step sharded over ``mesh_dev``.
+
+    Returns (step_fn, inputs) where ``step_fn(u, *inputs)`` performs
+    u ← (M + dt K)⁻¹ (M u + dt b) with halo-exchange SpMV and psum-CG.
+    Assembly happens once on host; the weight arrays are sharded along grid
+    axis 0 like the state.
+    """
+    K = assembly.assemble_scalar_stencil(mesh_geo, "stiffness")
+    M = assembly.assemble_scalar_stencil(mesh_geo, "mass")
+    offsets = tuple(sorted(set(K) | set(M)))
+    A_w = tuple(jnp.asarray(M.get(o, 0.0) + dt * diffusivity * K.get(o, 0.0),
+                            dtype=dtype) for o in offsets)
+    M_w = tuple(jnp.asarray(M.get(o, np.zeros(mesh_geo.node_shape)), dtype=dtype)
+                for o in offsets)
+    free = bc.free_mask.astype(dtype)
+    gvals = (bc.values * (1.0 - bc.free_mask)).astype(dtype)
+
+    d = mesh_geo.dim
+    grid_spec = P(AXIS, *([None] * (d - 1)))
+
+    def local_step(u, A_w, M_w, free, gvals):
+        def apply_c(x):
+            xf = x * free
+            y = local_stencil_apply(offsets, A_w, xf)
+            return y * free + (x - xf)
+
+        diag = A_w[offsets.index(tuple(0 for _ in range(d)))]
+        diag = diag * free + (1.0 - free)
+        inv_diag = 1.0 / jnp.where(diag == 0, jnp.ones_like(diag), diag)
+        rhs = local_stencil_apply(offsets, M_w, u)
+        Ag = local_stencil_apply(offsets, A_w, gvals)
+        bt = free * (rhs - Ag) + gvals
+        x, iters, relres = sharded_pcg(apply_c, bt, inv_diag,
+                                       tol=tol, maxiter=maxiter, x0=u)
+        return x, iters, relres
+
+    w_specs = tuple(grid_spec for _ in offsets)
+    step = shard_map(
+        local_step, mesh=mesh_dev,
+        in_specs=(grid_spec, w_specs, w_specs, grid_spec, grid_spec),
+        out_specs=(grid_spec, P(), P()),
+        check_vma=False,
+    )
+    step = jax.jit(step)
+    return step, (A_w, M_w, free, gvals)
+
+
+# ----------------------------------------------------------------------
+# GSPMD path: same stencil code, sharding via NamedSharding annotations
+# ----------------------------------------------------------------------
+
+def gspmd_operator(mesh_geo: StructuredMesh, mesh_dev: Mesh, stencil: Dict,
+                   dtype=jnp.float32):
+    """Shard a StencilOperator's arrays with NamedSharding(P(AXIS)) and let
+    GSPMD insert halo collectives for the shifted-slice reads."""
+    from pde_solver_tpu.ops.stencil import StencilOperator
+
+    d = mesh_geo.dim
+    sharding = NamedSharding(mesh_dev, P(AXIS, *([None] * (d - 1))))
+    op = StencilOperator.from_numpy(stencil, mesh_geo.node_shape, dtype=dtype)
+    weights = tuple(jax.device_put(w, sharding) for w in op.weights)
+    return StencilOperator(offsets=op.offsets, weights=weights,
+                           node_shape=op.node_shape, vdim=op.vdim), sharding

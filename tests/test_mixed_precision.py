@@ -1,0 +1,52 @@
+"""Mixed-precision path (the TPU default) exercised on CPU: f32 device CG +
+host f64 refinement must reach f64-level accuracy."""
+
+import numpy as np
+import pytest
+
+from pde_solver_tpu.config import set_config, get_config
+from pde_solver_tpu.mesh import box_mesh, interval_mesh
+from pde_solver_tpu.models import heat
+from pde_solver_tpu.models.elasticity import solve_elasticity_nd
+
+
+@pytest.fixture()
+def mixed_cfg():
+    old = get_config()
+    set_config(precision="mixed")
+    yield
+    set_config(precision=old.precision)
+
+
+def test_mixed_heat_steady_matches_analytic(mixed_cfg):
+    mesh = interval_mesh(128, 0.0, 2.0)
+    p = heat.HeatProblem(mesh=mesh, steady=True,
+                         bc_pairs=[(mesh.face_mask(0, 0), 20.0),
+                                   (mesh.face_mask(0, 1), 0.0)])
+    _, values, info = heat.solve_heat_problem(p)
+    exact = 20.0 * (1 - mesh.axis_nodes(0) / 2.0)
+    assert info["converged"]
+    assert np.max(np.abs(values[0] - exact)) < 1e-7
+
+
+def test_mixed_elasticity_matches_f64(mixed_cfg):
+    mesh = box_mesh(8, 4, 4, (0, 0, 0), (1.0, 0.2, 0.2))
+    body = np.array([0.0, 0.0, -7.65e4])
+    vm_mixed, info = solve_elasticity_nd(mesh, 210e9, 0.3, body, "3d", "stress")
+    assert info["converged"], info
+    set_config(precision="f64")
+    vm_f64, _ = solve_elasticity_nd(mesh, 210e9, 0.3, body, "3d", "stress")
+    rel = np.linalg.norm(vm_mixed - vm_f64) / np.linalg.norm(vm_f64)
+    assert rel < 1e-6, rel
+
+
+def test_mixed_transient_matches_f64(mixed_cfg):
+    mesh = interval_mesh(64, 0.0, 1.0)
+    p = heat.HeatProblem(mesh=mesh, dt=0.005, num_steps=10, T_initial=20.0,
+                         bc_pairs=[(mesh.face_mask(0, 0), 0.0),
+                                   (mesh.face_mask(0, 1), 0.0)])
+    _, v_mixed, _ = heat.solve_heat_problem(p)
+    set_config(precision="f64")
+    _, v_f64, _ = heat.solve_heat_problem(p)
+    rel = np.linalg.norm(v_mixed - v_f64) / np.linalg.norm(v_f64)
+    assert rel < 5e-6, rel

@@ -1,0 +1,79 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY.md §4 point 3):
+sharded halo-exchange SpMV and psum-CG must match the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pde_solver_tpu.mesh import box_mesh, rectangle_mesh
+from pde_solver_tpu.ops import assembly
+from pde_solver_tpu.ops.bc import DirichletBC, all_boundary
+from pde_solver_tpu.ops.stencil import StencilOperator
+from pde_solver_tpu.ops.cg import pcg
+from pde_solver_tpu.parallel import shard as psh
+
+
+needs_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@needs_multidevice
+def test_sharded_heat_step_matches_single_device():
+    # 16 nodes along x (divisible by 8 shards), 2D
+    mesh = rectangle_mesh(15, 6, (0.0, 0.0), (1.0, 1.0))
+    bc = DirichletBC.from_masks([(all_boundary(mesh), 0.0)], mesh.node_shape,
+                                dtype=jnp.float64)
+    dev_mesh = psh.device_mesh(8)
+    dt, kappa = 0.01, 1.3
+    step, inputs = psh.build_sharded_heat_step(
+        mesh, dev_mesh, kappa, dt, bc, dtype=jnp.float64, tol=1e-12, maxiter=2000)
+
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.random(mesh.node_shape))
+    u0 = bc.apply_values(u0)
+    u1, iters, relres = step(u0, *inputs)
+    assert float(relres) < 1e-10
+
+    # single-device reference with the ordinary operator
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    M = assembly.assemble_scalar_stencil(mesh, "mass")
+    A = {o: M.get(o, 0.0) + dt * kappa * K.get(o, 0.0) for o in set(K) | set(M)}
+    opA = StencilOperator.from_numpy(A, mesh.node_shape, dtype=jnp.float64)
+    opM = StencilOperator.from_numpy(M, mesh.node_shape, dtype=jnp.float64)
+    apply_c = bc.constrain_operator(opA.apply)
+    bt = bc.constrain_rhs(opA.apply, opM.apply(u0))
+    ref, stats = pcg(apply_c, bt, inv_diag=1.0 / opA.diagonal(), tol=1e-12)
+    assert np.allclose(np.asarray(u1), np.asarray(ref), atol=1e-9)
+
+
+@needs_multidevice
+def test_sharded_3d_step_runs():
+    mesh = box_mesh(7, 4, 4, (0, 0, 0), (1, 1, 1))  # 8 node-planes along x
+    bc = DirichletBC.from_masks([(all_boundary(mesh), 5.0)], mesh.node_shape,
+                                dtype=jnp.float64)
+    dev_mesh = psh.device_mesh(8)
+    step, inputs = psh.build_sharded_heat_step(
+        mesh, dev_mesh, 1.0, 0.01, bc, dtype=jnp.float64, tol=1e-11)
+    u0 = bc.apply_values(jnp.full(mesh.node_shape, 20.0, jnp.float64))
+    u1, iters, relres = step(u0, *inputs)
+    assert float(relres) < 1e-9
+    assert np.isfinite(np.asarray(u1)).all()
+    # boundary values preserved
+    bmask = np.asarray(all_boundary(mesh))
+    assert np.allclose(np.asarray(u1)[bmask], 5.0)
+
+
+@needs_multidevice
+def test_gspmd_operator_matches_dense_apply():
+    mesh = box_mesh(7, 3, 3, (0, 0, 0), (1, 1, 1))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    dev_mesh = psh.device_mesh(8)
+    op_sharded, sharding = psh.gspmd_operator(mesh, dev_mesh, K, dtype=jnp.float64)
+    op_local = StencilOperator.from_numpy(K, mesh.node_shape, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random(mesh.node_shape))
+    xs = jax.device_put(x, sharding)
+    y_sharded = jax.jit(op_sharded.apply)(xs)
+    y_local = op_local.apply(x)
+    assert np.allclose(np.asarray(y_sharded), np.asarray(y_local), atol=1e-12)
