@@ -33,6 +33,9 @@ class SolverConfig:
                                   # (early-exits once tol is reached)
     transient_inner_tol: float = 1e-6  # implicit steps are mass-dominated
     transient_refine_rounds: int = 1
+    use_multigrid: bool = True    # MG-PCG when a level builder is available
+    mg_threshold: int = 20000     # min DOF count before MG pays off
+    mg_maxiter: int = 300         # MG-PCG iteration cap per (refinement) solve
     snapshot_dtype: str = "f32"   # dtype snapshots are stored in on device
 
     def resolve_precision(self) -> str:

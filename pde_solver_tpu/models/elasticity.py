@@ -129,8 +129,18 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
     K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
     b = assembly.assemble_vector_load(mesh, np.asarray(body_force, dtype=np.float64))
     bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)], mesh.node_shape, vdim=d)
+
+    def level_builder(mesh_c):
+        # re-assemble on the coarse mesh — exact Galerkin operator for
+        # nested P1 spaces with homogeneous coefficients
+        K_c = assembly.assemble_elasticity_stencil(mesh_c, lam, mu)
+        bc_c = DirichletBC.from_masks([(mesh_c.face_mask(0, 0), 0.0)],
+                                      mesh_c.node_shape, vdim=d)
+        return K_c, bc_c
+
     t1 = time.perf_counter()
-    u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg)
+    u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg,
+                                         mg_level_builder=level_builder)
     t2 = time.perf_counter()
     vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu)
     vm = vm_strain if quantity == "strain" else vm_stress

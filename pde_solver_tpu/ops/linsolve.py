@@ -74,6 +74,7 @@ class ScaledSystem(NamedTuple):
     weights: list                  # scaled Ŵ_o, aligned with offsets
     b_hat: np.ndarray              # scaled, lifted RHS
     gvals: np.ndarray              # Dirichlet values (0 on free DOFs)
+    free: np.ndarray               # 1.0 on free DOFs, 0.0 on constrained
     scale_kind: str                # "scalar" | "block"
     s: Optional[np.ndarray]        # scalar: 1/sqrt(diag)
     Ct: Optional[np.ndarray]       # block: C^T  (x̂ = C^T x)
@@ -118,7 +119,7 @@ def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
             if off == zero:
                 W = W + (1.0 - free)
             scaled.append(W)
-        return ScaledSystem(offsets, scaled, s * b_t, gvals, "scalar", s,
+        return ScaledSystem(offsets, scaled, s * b_t, gvals, free, "scalar", s,
                             None, None)
 
     # vdim > 1: block-Cholesky scaling (block-Jacobi preconditioning baked in)
@@ -143,7 +144,8 @@ def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
     b_hat = np.einsum("...ab,...b->...a", Cinv, b_t)
     Ct = np.swapaxes(C, -1, -2)
     CinvT = np.swapaxes(Cinv, -1, -2)
-    return ScaledSystem(offsets, scaled, b_hat, gvals, "block", None, Ct, CinvT)
+    return ScaledSystem(offsets, scaled, b_hat, gvals, free, "block", None, Ct,
+                        CinvT)
 
 
 # ----------------------------------------------------------------------
@@ -235,11 +237,14 @@ def solve_stencil_system(
     vdim: int = 1,
     config: Optional[SolverConfig] = None,
     x0: Optional[np.ndarray] = None,
+    mg_level_builder=None,
 ) -> Tuple[np.ndarray, SolveStats]:
     """Solve A x = b with Dirichlet symmetric elimination.
 
     ``stencil_np``: numpy stencil from ``ops.assembly``; ``rhs_np``: the raw
-    (unconstrained) load vector.  Returns (x float64 numpy grid, stats).
+    (unconstrained) load vector.  ``mg_level_builder(mesh_c) → (stencil, bc)``
+    enables geometric-multigrid preconditioning (ops.multigrid) for large
+    systems.  Returns (x float64 numpy grid, stats).
     """
     cfg = config or get_config()
     prec = cfg.resolve_precision()
@@ -252,10 +257,24 @@ def solve_stencil_system(
     x0_hat = (np.zeros_like(sysm.b_hat) if x0 is None
               else sysm.to_hat_x(np.asarray(x0, dtype=np.float64)))
 
+    hierarchy = None
+    if (mg_level_builder is not None and cfg.use_multigrid
+            and n >= cfg.mg_threshold):
+        from pde_solver_tpu.ops import multigrid as mg
+        mg_dtype = jnp.float64 if prec == "f64" else jnp.float32
+        hierarchy = mg.build_hierarchy(mesh, sysm, mg_level_builder,
+                                       vdim=vdim, dtype=mg_dtype)
+
     if prec == "f64":
-        w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
-        xh, k, relres = _jit_cg(offsets, w64, jnp.asarray(sysm.b_hat),
-                                jnp.asarray(x0_hat), cfg.tol, maxiter, d, vdim)
+        if hierarchy is not None:
+            from pde_solver_tpu.ops.multigrid import solve_mg
+            xh, k, relres = solve_mg(hierarchy, sysm.b_hat, x0_hat,
+                                     cfg.tol, cfg.mg_maxiter)
+        else:
+            w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
+            xh, k, relres = _jit_cg(offsets, w64, jnp.asarray(sysm.b_hat),
+                                    jnp.asarray(x0_hat), cfg.tol, maxiter, d,
+                                    vdim)
         tol_used = cfg.tol
         iters = int(k)
         relres = float(relres)
@@ -276,7 +295,21 @@ def solve_stencil_system(
         # XLA compiles ~10× slower) and no double-precision weight uploads
         # (2× the f32 bytes over a ~30 MB/s link).  Per round only the f32
         # residual/correction vectors cross the link.
-        w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
+        if hierarchy is not None:
+            from pde_solver_tpu.ops.multigrid import solve_mg
+            w32 = None
+
+            def inner_solve(r32):
+                return solve_mg(hierarchy, r32, None, cfg.inner_tol,
+                                cfg.mg_maxiter)
+        else:
+            w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
+
+            def inner_solve(r32):
+                return _jit_cg(offsets, w32, jnp.asarray(r32, jnp.float32),
+                               jnp.zeros(r32.shape, jnp.float32),
+                               cfg.inner_tol, maxiter, d, vdim)
+
         scaled_np = {o: W for o, W in zip(offsets, sysm.weights)}
         x_hat = np.asarray(x0_hat, dtype=np.float64)
         bnorm = float(np.linalg.norm(sysm.b_hat.reshape(-1)))
@@ -293,10 +326,7 @@ def solve_stencil_system(
                 if relres <= cfg.tol or not np.isfinite(relres):
                     break
                 scale = float(np.max(np.abs(r)))
-                r32 = jnp.asarray(r / scale, dtype=jnp.float32)
-                d32, k, _ = _jit_cg(offsets, w32, r32,
-                                    jnp.zeros_like(r32), cfg.inner_tol,
-                                    maxiter, d, vdim)
+                d32, k, _ = inner_solve(np.asarray(r / scale, dtype=np.float32))
                 x_hat = x_hat + scale * np.asarray(d32, dtype=np.float64)
                 iters += int(k)
             else:
