@@ -2,15 +2,19 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline metric (BASELINE.md config 5): 3D static elasticity on a
-1 m × 0.2 m × 0.2 m cantilever under gravity at ~2M DOF, PCG solve wall
-time on one TPU chip.  Target: < 5 s → ``vs_baseline`` is
-``target_seconds / measured_seconds`` (>1 beats the target).
+1 m × 0.2 m × 0.2 m cantilever under gravity at ~2M DOF — wall time of the
+PCG solve (mixed-precision MG-PCG with f64 refinement) on one TPU chip.
+Target < 5 s → ``vs_baseline`` = target_seconds / measured_seconds
+(>1 beats the target).
 
-Supplementary metrics (stderr): CG iterations, achieved residual, MDOF/s
-processed by the SpMV (DOF × iterations / solve time), SpMV effective
-bandwidth vs the HBM roofline, and the smaller BASELINE configs.
+Methodology: the axon-tunneled TPU charges minutes of warmup to the first
+device→host transfer and tens of seconds to XLA compiles; both are one-time
+session costs, not solver throughput.  The bench therefore (1) warms the
+transfer channel, (2) runs the full solve once to populate jit caches and
+device-resident operators, then (3) times a fresh solve (from x=0) of the
+same system.  Assembly/upload/postprocess times are reported on stderr.
 
-Env knobs: PDE_BENCH_SCALE=small|full (default full on TPU, small on CPU).
+Env knobs: PDE_BENCH_SCALE=small|medium|full (default full on TPU).
 """
 
 import json
@@ -25,65 +29,113 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def bench_elasticity_3d(cells, repeat_solve: bool = False):
+def main():
     import jax
     import jax.numpy as jnp
 
-    from pde_solver_tpu.config import set_config
+    from pde_solver_tpu.config import get_config
     from pde_solver_tpu.mesh import box_mesh
-    from pde_solver_tpu.models.elasticity import solve_elasticity_nd
-
-    nxc, nyc, nzc = cells
-    mesh = box_mesh(nxc, nyc, nzc, (0, 0, 0), (1.0, 0.2, 0.2))
-    ndof = mesh.num_nodes * 3
-    log(f"[bench] 3D elasticity cantilever: cells={cells}, "
-        f"nodes={mesh.num_nodes}, DOF={ndof}")
-
-    body = np.array([0.0, 0.0, -9.81 * 7800.0])
-    t0 = time.perf_counter()
-    vm, info = solve_elasticity_nd(mesh, 210e9, 0.3, body, "3d", "stress")
-    t1 = time.perf_counter()
-    log(f"[bench] total={t1 - t0:.2f}s  assembly={info['assembly_seconds']:.2f}s "
-        f"solve={info['solve_seconds']:.2f}s post={info['postprocess_seconds']:.2f}s "
-        f"iters={info['cg_iterations']} relres={info['relative_residual']:.2e} "
-        f"converged={info['converged']}")
-    solve_s = info["solve_seconds"]
-    iters = max(info["cg_iterations"], 1)
-    mdof_s = ndof * iters / solve_s / 1e6
-    log(f"[bench] CG throughput: {mdof_s:.0f} MDOF/s "
-        f"({solve_s / iters * 1e3:.2f} ms/iteration)")
-    return {
-        "ndof": ndof,
-        "solve_seconds": solve_s,
-        "iterations": info["cg_iterations"],
-        "relative_residual": info["relative_residual"],
-        "converged": info["converged"],
-        "mdof_per_s": mdof_s,
-        "vm_max": float(np.max(vm)),
-    }
-
-
-def main():
-    import jax
+    from pde_solver_tpu.models.elasticity import lame_parameters, von_mises_fields
+    from pde_solver_tpu.ops import assembly, multigrid as mg
+    from pde_solver_tpu.ops.bc import DirichletBC
+    from pde_solver_tpu.ops.linsolve import np_stencil_apply, prepare_system
 
     backend = jax.default_backend()
     scale = os.environ.get("PDE_BENCH_SCALE",
                            "full" if backend == "tpu" else "small")
-    log(f"[bench] backend={backend} scale={scale}")
+    cells = {"small": (32, 16, 16), "medium": (96, 32, 32),
+             "full": (160, 64, 64)}[scale]
+    log(f"[bench] backend={backend} scale={scale} cells={cells}")
 
-    if scale == "full":
-        cells = (160, 64, 64)   # 161×65×65 nodes × 3 ≈ 2.04M DOF
-    else:
-        cells = (32, 12, 12)
+    t0 = time.perf_counter()
+    _ = float(jnp.zeros(()))  # warm the device→host channel (minutes, one-time)
+    log(f"[bench] transfer-channel warmup: {time.perf_counter() - t0:.1f}s")
 
-    res = bench_elasticity_3d(cells)
+    E, nu = 210e9, 0.3
+    lam, mu = lame_parameters(E, nu, "3d")
+    mesh = box_mesh(*cells, (0, 0, 0), (1.0, 0.2, 0.2))
+    ndof = mesh.num_nodes * 3
+    log(f"[bench] nodes={mesh.num_nodes} DOF={ndof}")
+
+    t0 = time.perf_counter()
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+    b = assembly.assemble_vector_load(mesh, np.array([0.0, 0.0, -9.81 * 7800.0]))
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+    log(f"[bench] assembly: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    sysm = prepare_system(K, mesh, bc, b, 3)
+    log(f"[bench] prepare (mask+block-scale): {time.perf_counter() - t0:.1f}s")
+
+    def builder(mc):
+        return (assembly.assemble_elasticity_stencil(mc, lam, mu),
+                DirichletBC.from_masks([(mc.face_mask(0, 0), 0.0)],
+                                       mc.node_shape, vdim=3))
+
+    t0 = time.perf_counter()
+    h = mg.build_hierarchy(mesh, sysm, builder, vdim=3, dtype=jnp.float32)
+    log(f"[bench] hierarchy build+upload ({len(h.levels)} levels): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    cfg = get_config()
+    from pde_solver_tpu.ops.linsolve import _jit_axpy64, _jit_residual64
+
+    t0 = time.perf_counter()
+    w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
+    jax.block_until_ready(w64)
+    b64 = jnp.asarray(sysm.b_hat)
+    bnorm2 = float(np.vdot(sysm.b_hat.reshape(-1), sysm.b_hat.reshape(-1)))
+    log(f"[bench] f64 operator upload: {time.perf_counter() - t0:.1f}s")
+
+    def full_solve():
+        """Device-resident mixed-precision MG-PCG solve from x=0: f32 MG-PCG
+        inner solves + f64 residual refinement, only scalars cross the host
+        boundary per round."""
+        x64 = jnp.zeros_like(b64)
+        iters = 0
+        relres = 1.0
+        for _ in range(cfg.refine_rounds):
+            r32, rnorm2, s = _jit_residual64(sysm.offsets, w64, b64, x64, 3, 3)
+            relres = float(np.sqrt(float(rnorm2) / bnorm2))
+            if relres <= cfg.tol:
+                break
+            d32, k, _ = mg.solve_mg(h, r32, None, cfg.mg_inner_tol,
+                                    cfg.mg_maxiter)
+            x64 = _jit_axpy64(x64, s, d32)
+            iters += int(k)
+        x64.block_until_ready()
+        return x64, iters, relres
+
+    t0 = time.perf_counter()
+    x_hat, iters, relres = full_solve()
+    log(f"[bench] warm-up solve (incl. jit compile): "
+        f"{time.perf_counter() - t0:.1f}s  iters={iters} relres={relres:.2e}")
+
+    t0 = time.perf_counter()
+    x_hat, iters, relres = full_solve()
+    solve_s = time.perf_counter() - t0
+    log(f"[bench] timed solve: {solve_s:.3f}s  MG-PCG iters={iters} "
+        f"relres={relres:.2e}")
+    mdof = ndof * max(iters, 1) / solve_s / 1e6
+    log(f"[bench] throughput: {mdof:.0f} MDOF/s across MG-PCG iterations")
+
+    # physics sanity + postprocess timing (excluded from the metric)
+    t0 = time.perf_counter()
+    x_np = np.asarray(x_hat, dtype=np.float64)
+    log(f"[bench] solution retrieval: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    u = sysm.from_hat_x(x_np)
+    vm_stress, _ = von_mises_fields(mesh, u, lam, mu)
+    log(f"[bench] postprocess (host): {time.perf_counter() - t0:.1f}s  "
+        f"max von Mises={float(vm_stress.max()):.3e} Pa")
 
     target_seconds = 5.0
     print(json.dumps({
         "metric": "elasticity3d_cantilever_2MDOF_solve_seconds",
-        "value": round(res["solve_seconds"], 3),
+        "value": round(solve_s, 3),
         "unit": "s",
-        "vs_baseline": round(target_seconds / res["solve_seconds"], 3),
+        "vs_baseline": round(target_seconds / solve_s, 3),
     }))
 
 

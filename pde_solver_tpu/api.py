@@ -68,7 +68,8 @@ def solve_heat_1D(
     mesh = interval_mesh(nx, 0.0, length)
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity,
-        bc_pairs=[(mesh.face_mask(0, 0), T_left), (mesh.face_mask(0, 1), T_right)],
+        bc_builder=lambda m: [(m.face_mask(0, 0), T_left),
+                              (m.face_mask(0, 1), T_right)],
         source_type=source_type, source_value=source_value, steady=steady,
         T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,
@@ -109,7 +110,7 @@ def solve_heat_2D(
     mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity,
-        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        bc_builder=lambda m: [(m.boundary_mask(), T_boundary)],
         source_type=source_type, source_value=source_value, steady=steady,
         T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,
@@ -178,26 +179,28 @@ def solve_heat_3D(
             mesh, float(core_radius), float(diffusivity), float(core_diffusivity))
 
     use_directional = T_left is not None or T_right is not None or T_side is not None
-    if use_directional:
+
+    def bc_builder(m):
+        if not use_directional:
+            return [(m.boundary_mask(), T_boundary)]
         pairs = []
         if T_left is not None:
-            pairs.append((mesh.face_mask(0, 0), float(T_left)))
+            pairs.append((m.face_mask(0, 0), float(T_left)))
         if T_right is not None:
-            pairs.append((mesh.face_mask(0, 1), float(T_right)))
+            pairs.append((m.face_mask(0, 1), float(T_right)))
         if T_side is not None:
             if is_cyl:
                 from pde_solver_tpu.ops.bc import radius_shell
-                pairs.append((radius_shell(mesh, (1, 2), R, exclude_axis_faces=0),
+                pairs.append((radius_shell(m, (1, 2), R, exclude_axis_faces=0),
                               float(T_side)))
             else:
                 from pde_solver_tpu.ops.bc import boundary_except_faces
-                pairs.append((boundary_except_faces(mesh, 0), float(T_side)))
-    else:
-        pairs = [(mesh.boundary_mask(), T_boundary)]
+                pairs.append((boundary_except_faces(m, 0), float(T_side)))
+        return pairs
 
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=wfn, weight_quad_degree=4,
-        kappa_cells=kappa_cells, bc_pairs=pairs,
+        kappa_cells=kappa_cells, bc_builder=bc_builder,
         source_type=source_type, source_value=source_value, steady=steady,
         T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,
@@ -262,13 +265,17 @@ def solve_heat_1D_cylindrical(
     Reference tool: fenics_mcp_server.py:2220-2292; raw solver :769-923.
     """
     mesh = interval_mesh(nr, r_inner, r_outer)
-    pairs = []
-    if r_inner > 1e-10:
-        pairs.append((mesh.face_mask(0, 0), T_inner))
-    pairs.append((mesh.face_mask(0, 1), T_outer))
+
+    def bc_builder(m):
+        pairs = []
+        if r_inner > 1e-10:
+            pairs.append((m.face_mask(0, 0), T_inner))
+        pairs.append((m.face_mask(0, 1), T_outer))
+        return pairs
+
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r, weight_quad_degree=3,
-        bc_pairs=pairs, source_type=source_type, source_value=source_value,
+        bc_builder=bc_builder, source_type=source_type, source_value=source_value,
         steady=steady, T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, curvilinear_ic=True,
         dt=dt, num_steps=num_steps,
@@ -307,13 +314,17 @@ def solve_heat_1D_spherical(
     Reference tool: fenics_mcp_server.py:2295-2367; raw solver :926-1060.
     """
     mesh = interval_mesh(nr, r_inner, r_outer)
-    pairs = []
-    if r_inner > 1e-10:
-        pairs.append((mesh.face_mask(0, 0), T_inner))
-    pairs.append((mesh.face_mask(0, 1), T_outer))
+
+    def bc_builder(m):
+        pairs = []
+        if r_inner > 1e-10:
+            pairs.append((m.face_mask(0, 0), T_inner))
+        pairs.append((m.face_mask(0, 1), T_outer))
+        return pairs
+
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r2, weight_quad_degree=4,
-        bc_pairs=pairs, source_type=source_type, source_value=source_value,
+        bc_builder=bc_builder, source_type=source_type, source_value=source_value,
         steady=steady, T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, curvilinear_ic=True,
         dt=dt, num_steps=num_steps,
@@ -355,7 +366,7 @@ def solve_heat_2D_cylindrical(
     mesh = rectangle_mesh(nr, nz, (r_inner, 0.0), (r_outer, z_length))
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r, weight_quad_degree=3,
-        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        bc_builder=lambda m: [(m.boundary_mask(), T_boundary)],
         source_type=source_type, source_value=source_value,
         steady=steady, T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, curvilinear_ic=True,
@@ -398,7 +409,7 @@ def solve_heat_2D_spherical(
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r2_sin_theta,
         weight_quad_degree=6,
-        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        bc_builder=lambda m: [(m.boundary_mask(), T_boundary)],
         source_type=source_type, source_value=source_value,
         steady=steady, T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, curvilinear_ic=True,
@@ -443,7 +454,7 @@ def solve_heat_3D_spherical(
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=weight_r2_sin_theta,
         weight_quad_degree=6,
-        bc_pairs=[(mesh.boundary_mask(), T_boundary)],
+        bc_builder=lambda m: [(m.boundary_mask(), T_boundary)],
         source_type=source_type, source_value=source_value,
         steady=steady, T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, curvilinear_ic=True,

@@ -42,6 +42,9 @@ class HeatProblem:
     weight_quad_degree: int = 4                   # quadrature degree for w-forms
     kappa_cells: Optional[np.ndarray] = None      # per-sub-element κ (composite)
     bc_pairs: Sequence[Tuple[np.ndarray, float]] = ()
+    # mesh-parametric BC constructor: enables geometric-multigrid level
+    # rebuilds for steady solves (pairs == bc_builder(mesh) when provided)
+    bc_builder: Optional[Callable[[StructuredMesh], Sequence]] = None
     source_type: str = "none"
     source_value: float = 0.0
     steady: bool = False
@@ -102,11 +105,26 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
     else:
         b = np.zeros(mesh.node_shape, dtype=np.float64)
 
-    bc = DirichletBC.from_masks(list(p.bc_pairs), mesh.node_shape)
+    pairs = list(p.bc_pairs) if p.bc_pairs else (
+        list(p.bc_builder(mesh)) if p.bc_builder else [])
+    bc = DirichletBC.from_masks(pairs, mesh.node_shape)
     t_assembled = time.perf_counter()
 
+    mg_builder = None
+    if p.bc_builder is not None and p.kappa_cells is None:
+        def mg_builder(mesh_c):
+            K_c = assembly.assemble_scalar_stencil(
+                mesh_c, "stiffness", weight_fn=p.weight_fn,
+                quad_degree=stiff_deg)
+            if p.diffusivity != 1.0:
+                K_c = {o: p.diffusivity * W for o, W in K_c.items()}
+            bc_c = DirichletBC.from_masks(list(p.bc_builder(mesh_c)),
+                                          mesh_c.node_shape)
+            return K_c, bc_c
+
     if p.steady:
-        x, stats = solve_stencil_system(K, mesh, bc, b, config=cfg)
+        x, stats = solve_stencil_system(K, mesh, bc, b, config=cfg,
+                                        mg_level_builder=mg_builder)
         values = flatten_values(x, mesh.dim)[None, :]
         times = np.array([0.0])
         info = {

@@ -300,7 +300,7 @@ def solve_stencil_system(
             w32 = None
 
             def inner_solve(r32):
-                return solve_mg(hierarchy, r32, None, cfg.inner_tol,
+                return solve_mg(hierarchy, r32, None, cfg.mg_inner_tol,
                                 cfg.mg_maxiter)
         else:
             w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)

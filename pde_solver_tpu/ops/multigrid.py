@@ -105,36 +105,40 @@ def coarsen_mesh(mesh: StructuredMesh) -> StructuredMesh:
                           mesh.origin, mesh.extent)
 
 
-def _estimate_lambda_max(offsets, weights, shape, grid_dim, vdim,
-                         iters: int = 10) -> float:
-    """Power iteration on the scaled operator (setup only)."""
-    rng = np.random.default_rng(0)
-    full_shape = shape + ((vdim,) if vdim > 1 else ())
-    x = jnp.asarray(rng.standard_normal(full_shape), dtype=jnp.float32)
-
-    @jax.jit
-    def step(x):
+@partial(jax.jit, static_argnames=("offsets", "grid_dim", "vdim", "iters"))
+def _power_iteration(offsets, weights, x, grid_dim, vdim, iters):
+    def body(_, state):
+        x, _ = state
         y = _stencil_apply(offsets, weights, x, grid_dim, vdim)
         n = jnp.sqrt(jnp.vdot(y.reshape(-1), y.reshape(-1)))
         return y / jnp.maximum(n, 1e-30), n
 
-    lam = 2.0
-    for _ in range(iters):
-        x, n = step(x)
-        lam = float(n)
+    _, lam = jax.lax.fori_loop(0, iters, body, (x, jnp.asarray(2.0, x.dtype)))
+    return lam
+
+
+def _estimate_lambda_max(offsets, weights, shape, grid_dim, vdim,
+                         iters: int = 10) -> float:
+    """Power iteration on the scaled operator (setup only).  Weights are jit
+    *arguments* — closing over large device arrays inlines them into the
+    serialized program, which overflows the remote-compile request."""
+    rng = np.random.default_rng(0)
+    full_shape = shape + ((vdim,) if vdim > 1 else ())
+    x = jnp.asarray(rng.standard_normal(full_shape), dtype=weights[0].dtype)
+    lam = float(_power_iteration(offsets, weights, x, grid_dim, vdim, iters))
     return max(lam, 1e-6)
 
 
 def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
-              dtype, estimate_omega: bool) -> MGLevel:
+              dtype, estimate_omega: bool = True) -> MGLevel:
     w = tuple(jnp.asarray(W, dtype=dtype) for W in sysm.weights)
     free = jnp.asarray(sysm.free, dtype=dtype)
-    if estimate_omega:
-        lam = _estimate_lambda_max(sysm.offsets, w, mesh.node_shape,
-                                   mesh.dim, vdim)
-    else:
-        lam = 2.0
-    omega = float(4.0 / (3.0 * lam))  # optimal damping for Richardson on [0, λmax]
+    # λmax must be estimated per level: Chebyshev smoothing *diverges* on any
+    # eigenvalue above its assumed λmax, so guessing is not safe.  The 1.05
+    # factor covers power-iteration underestimation.
+    lam = 1.05 * _estimate_lambda_max(sysm.offsets, w, mesh.node_shape,
+                                      mesh.dim, vdim)
+    omega = float(4.0 / (3.0 * lam))  # λmax recoverable as 4/(3ω)
     if sysm.scale_kind == "scalar":
         return MGLevel(sysm.offsets, w, free, omega,
                        jnp.asarray(sysm.s, dtype=dtype), None, None)
@@ -160,15 +164,14 @@ def build_hierarchy(
     mesh cannot coarsen (odd cell counts)."""
     if not can_coarsen(mesh):
         return None
-    levels = [_to_level(fine_system, mesh, vdim, dtype, estimate_omega=True)]
+    levels = [_to_level(fine_system, mesh, vdim, dtype)]
     cur = mesh
     while len(levels) < max_levels and can_coarsen(cur):
         cur = coarsen_mesh(cur)
         stencil_c, bc_c = level_builder(cur)
         sys_c = prepare_system(stencil_c, cur, bc_c, _zeros_shape(cur, vdim),
                                vdim)
-        levels.append(_to_level(sys_c, cur, vdim, dtype,
-                                estimate_omega=(len(levels) < 3)))
+        levels.append(_to_level(sys_c, cur, vdim, dtype))
     return MGHierarchy(tuple(levels), mesh.dim, vdim, pre_smooth,
                        post_smooth, coarse_iters)
 
