@@ -39,37 +39,54 @@ Offset = Tuple[int, ...]
 # Transfers (separable, structured, factor 2 per axis)
 # ----------------------------------------------------------------------
 
-def _prolong_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Linear interpolation along one axis: m+1 coarse → 2m+1 fine nodes."""
-    v = jnp.moveaxis(v, axis, 0)
-    odd = 0.5 * (v[:-1] + v[1:])
-    out = jnp.zeros((2 * v.shape[0] - 1,) + v.shape[1:], v.dtype)
-    out = out.at[0::2].set(v)
-    out = out.at[1::2].set(odd)
-    return jnp.moveaxis(out, 0, axis)
-
-
-def _restrict_axis(r: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Adjoint of :func:`_prolong_axis` (full weighting, unnormalized)."""
-    r = jnp.moveaxis(r, axis, 0)
-    even = r[0::2]
-    odd = r[1::2]
-    out = even
-    out = out.at[:-1].add(0.5 * odd)
-    out = out.at[1:].add(0.5 * odd)
-    return jnp.moveaxis(out, 0, axis)
+def _parities(grid_dim: int):
+    import itertools
+    return list(itertools.product((0, 1), repeat=grid_dim))
 
 
 def prolong(v: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
-    for a in range(grid_dim):
-        v = _prolong_axis(v, a)
-    return v
+    """Simplicial P1 interpolation on the Freudenthal/right-diagonal split.
+
+    Every fine node bisects a *triangulation edge* (or coincides with a
+    coarse node): for parity p ∈ {0,1}^d the fine node at 2c+p gets
+    ½(v[c] + v[c+p]) — including the (1,1)/(1,1,1) parities, which average
+    along the cell diagonal rather than over all corners.  This makes the
+    coarse P1 space exactly nested in the fine one, so the re-assembled
+    coarse operator equals the Galerkin operator PᵀAP — the property the
+    coarse-grid correction needs (separable trilinear interpolation broke
+    it and stalled the V-cycle on elasticity)."""
+    shape_c = v.shape[:grid_dim]
+    extra = v.shape[grid_dim:]
+    shape_f = tuple(2 * s - 1 for s in shape_c)
+    out = jnp.zeros(shape_f + extra, v.dtype)
+    for p in _parities(grid_dim):
+        base = tuple(slice(0, s - pi if pi else s) for s, pi in zip(shape_c, p))
+        top = tuple(slice(pi, s) for s, pi in zip(shape_c, p))
+        dst = tuple(slice(pi, None, 2) for pi in p)
+        out = out.at[dst].set(0.5 * (v[base] + v[top]))
+        if not any(p):
+            out = out.at[dst].set(v)
+    return out
 
 
 def restrict(r: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
-    for a in range(grid_dim):
-        r = _restrict_axis(r, a)
-    return r
+    """Adjoint of :func:`prolong` (unnormalized full weighting on the
+    triangulation edges)."""
+    shape_f = r.shape[:grid_dim]
+    extra = r.shape[grid_dim:]
+    shape_c = tuple((s + 1) // 2 for s in shape_f)
+    out = jnp.zeros(shape_c + extra, r.dtype)
+    for p in _parities(grid_dim):
+        src = tuple(slice(pi, None, 2) for pi in p)
+        rp = r[src]
+        base = tuple(slice(0, s - pi if pi else s) for s, pi in zip(shape_c, p))
+        top = tuple(slice(pi, s) for s, pi in zip(shape_c, p))
+        if not any(p):
+            out = out.at[base].add(rp)
+        else:
+            out = out.at[base].add(0.5 * rp)
+            out = out.at[top].add(0.5 * rp)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -85,6 +102,7 @@ class MGLevel(NamedTuple):
     s: Optional[jnp.ndarray]             # scalar 1/sqrt(diag); None for block
     C: Optional[jnp.ndarray]             # block Cholesky factor [.., v, v]
     Cinv: Optional[jnp.ndarray]
+    Ainv: Optional[jnp.ndarray] = None   # dense inverse (coarsest level only)
 
 
 class MGHierarchy(NamedTuple):
@@ -93,7 +111,33 @@ class MGHierarchy(NamedTuple):
     vdim: int
     pre_smooth: int
     post_smooth: int
-    coarse_iters: int
+    coarse_iters: int  # fallback only — used when no dense inverse fits
+
+
+def dense_from_stencil(offsets, weights, node_shape, vdim: int) -> np.ndarray:
+    """Densify a stencil into [N·v, N·v] with C-order DOF numbering
+    (matching ``grid.reshape(-1)``)."""
+    N = int(np.prod(node_shape))
+    strides = []
+    acc = 1
+    for s in reversed(node_shape):
+        strides.append(acc)
+        acc *= s
+    strides = list(reversed(strides))
+    n = N * vdim
+    A = np.zeros((n, n))
+    rows = np.arange(N)
+    for off, W in zip(offsets, weights):
+        delta = int(sum(o * st for o, st in zip(off, strides)))
+        cols = rows + delta
+        valid = (cols >= 0) & (cols < N)
+        Wf = (np.asarray(W, np.float64).reshape(N, vdim, vdim) if vdim > 1
+              else np.asarray(W, np.float64).reshape(N, 1, 1))
+        r, c = rows[valid], cols[valid]
+        for a in range(vdim):
+            for b in range(vdim):
+                A[r * vdim + a, c * vdim + b] += Wf[valid, a, b]
+    return A
 
 
 def can_coarsen(mesh: StructuredMesh, min_cells: int = 2) -> bool:
@@ -166,12 +210,22 @@ def build_hierarchy(
         return None
     levels = [_to_level(fine_system, mesh, vdim, dtype)]
     cur = mesh
+    cur_sys = fine_system
     while len(levels) < max_levels and can_coarsen(cur):
         cur = coarsen_mesh(cur)
         stencil_c, bc_c = level_builder(cur)
-        sys_c = prepare_system(stencil_c, cur, bc_c, _zeros_shape(cur, vdim),
-                               vdim)
-        levels.append(_to_level(sys_c, cur, vdim, dtype))
+        cur_sys = prepare_system(stencil_c, cur, bc_c, _zeros_shape(cur, vdim),
+                                 vdim)
+        levels.append(_to_level(cur_sys, cur, vdim, dtype))
+    # Exact dense inverse at the coarsest level: an iterative coarse "solve"
+    # leaves the preconditioner non-SPD (observed: negative M⁻¹ eigenvalues →
+    # PCG breakdown at scale).  Coarsest systems here are tiny (≤ few k DOF).
+    n_coarse = int(np.prod(cur.node_shape)) * vdim
+    if n_coarse <= 20000:
+        A_dense = dense_from_stencil(cur_sys.offsets, cur_sys.weights,
+                                     cur.node_shape, vdim)
+        Ainv = np.linalg.inv(A_dense)
+        levels[-1] = levels[-1]._replace(Ainv=jnp.asarray(Ainv, dtype=dtype))
     return MGHierarchy(tuple(levels), mesh.dim, vdim, pre_smooth,
                        post_smooth, coarse_iters)
 
@@ -220,7 +274,11 @@ def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0) -> jnp.ndarray:
         return _stencil_apply(lv.offsets, lv.weights, x, d, vdim)
 
     if level == len(h.levels) - 1:
-        # coarsest: fixed-iteration CG (cheap, tiny grid)
+        if lv.Ainv is not None:
+            # exact dense solve (keeps the V-cycle a fixed SPD operator)
+            flat = r_hat.reshape(-1)
+            return (lv.Ainv @ flat).reshape(r_hat.shape)
+        # fallback: fixed-iteration CG (only when the dense inverse is too big)
         x = jnp.zeros_like(r_hat)
         r = r_hat
         p = r
@@ -272,7 +330,13 @@ def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0) -> jnp.ndarray:
 
 
 def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
-    """CG on the finest scaled system with one V-cycle as preconditioner."""
+    """Flexible PCG on the finest scaled system, one V-cycle per application.
+
+    *Flexible* (Polak-Ribière β = z·(r−r_prev)/rz_prev) because the V-cycle
+    with an iterative coarse solve is not an exactly fixed linear operator —
+    textbook PCG silently loses the true residual in that setting (observed:
+    recursive 5e-7 vs true 0.2 at 2M DOF).  Convergence is checked on the
+    *true* residual norm ‖r‖ (always recurrence-tracked, cheap)."""
     lv = h.levels[0]
     d, vdim = h.grid_dim, h.vdim
     dtype = b.dtype
@@ -306,11 +370,18 @@ def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
         pAp = dot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, jnp.asarray(1.0, dtype), pAp)
         x = x + alpha * p
-        r = r - alpha * Ap
-        z = M(r)
-        rz_new = dot(r, z)
-        beta = rz_new / jnp.where(rz == 0, jnp.asarray(1.0, dtype), rz)
-        return x, r, z + beta * p, z, rz_new, k + 1
+        r_new = r - alpha * Ap
+        # periodic true-residual resync: the recurrence drifts from b − A x
+        # in f32 once conjugacy degrades
+        r_new = jax.lax.cond(k % 16 == 15, lambda _: b - A(x),
+                             lambda _: r_new, None)
+        z = M(r_new)
+        # Polak-Ribière: β = z·(r_new − r)/rz — robust to inexact M
+        rz_new = dot(r_new, z)
+        beta = (rz_new - dot(z, r)) / jnp.where(rz == 0,
+                                                jnp.asarray(1.0, dtype), rz)
+        beta = jnp.maximum(beta, jnp.asarray(0.0, dtype))  # restart guard
+        return x, r_new, z + beta * p, z, rz_new, k + 1
 
     x, r, p, z, rz, k = jax.lax.while_loop(
         cond, body, (x, r, p, z, rz, jnp.asarray(0, jnp.int32)))
