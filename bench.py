@@ -14,7 +14,11 @@ transfer channel, (2) runs the full solve once to populate jit caches and
 device-resident operators, then (3) times a fresh solve (from x=0) of the
 same system.  Assembly/upload/postprocess times are reported on stderr.
 
-Env knobs: PDE_BENCH_SCALE=small|medium|full (default full on TPU).
+Secondary metric (PDE_BENCH_CONFIG=heat3d): backward-Euler time-steps/s on
+3D transient heat at 64³ cells (275k DOF).
+
+Env knobs: PDE_BENCH_SCALE=small|medium|full (default full on TPU),
+PDE_BENCH_CONFIG=elasticity3d|heat3d.
 """
 
 import json
@@ -29,7 +33,54 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def bench_heat3d():
+    """Transient 3D heat: backward-Euler steps/s (BASELINE 'steps/s' metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pde_solver_tpu.mesh import box_mesh
+    from pde_solver_tpu.models import heat
+
+    scale = os.environ.get("PDE_BENCH_SCALE",
+                           "full" if jax.default_backend() == "tpu" else "small")
+    cells = {"small": 16, "medium": 40, "full": 64}[scale]
+    num_steps = 50
+    t0 = time.perf_counter()
+    _ = float(jnp.zeros(()))
+    log(f"[bench] warmup: {time.perf_counter() - t0:.1f}s")
+
+    mesh = box_mesh(cells, cells, cells, (0, 0, 0), (1.0, 1.0, 1.0))
+    log(f"[bench] heat3d transient: {cells}³ cells, {mesh.num_nodes} DOF, "
+        f"{num_steps} backward-Euler steps")
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=1.0,
+        bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
+        T_initial=20.0, dt=0.01, num_steps=num_steps)
+
+    t0 = time.perf_counter()
+    _, _, info = heat.solve_heat_problem(p)
+    log(f"[bench] warm-up run (incl. compile): {time.perf_counter() - t0:.1f}s "
+        f"iters={info['cg_iterations']} relres={info['relative_residual']:.1e}")
+    t0 = time.perf_counter()
+    times, values, info = heat.solve_heat_problem(p)
+    total = time.perf_counter() - t0
+    solve_s = info["solve_seconds"]
+    steps_s = num_steps / solve_s
+    log(f"[bench] timed: total={total:.2f}s solve={solve_s:.2f}s "
+        f"→ {steps_s:.1f} steps/s  (CG iters total {info['cg_iterations']}, "
+        f"relres {info['relative_residual']:.1e})")
+    print(json.dumps({
+        "metric": f"heat3d_{cells}cubed_backward_euler_steps_per_s",
+        "value": round(steps_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_s / 10.0, 3),  # ref-class: ~10 PETSc solves/s
+    }))
+
+
 def main():
+    if os.environ.get("PDE_BENCH_CONFIG", "elasticity3d") == "heat3d":
+        bench_heat3d()
+        return
     import jax
     import jax.numpy as jnp
 
@@ -88,12 +139,19 @@ def main():
     bnorm2 = float(np.vdot(sysm.b_hat.reshape(-1), sysm.b_hat.reshape(-1)))
     log(f"[bench] f64 operator upload: {time.perf_counter() - t0:.1f}s")
 
+    sub = mg.MGHierarchy(h.levels[1:], 3, 3, h.pre_smooth, h.post_smooth,
+                         h.coarse_iters)
+    b1 = mg.np_restrict_hat(h.levels[0], h.levels[1], sysm.b_hat, 3)
+
     def full_solve():
-        """Device-resident mixed-precision MG-PCG solve from x=0: f32 MG-PCG
-        inner solves + f64 residual refinement, only scalars cross the host
-        boundary per round."""
-        x64 = jnp.zeros_like(b64)
-        iters = 0
+        """Nested-iteration mixed-precision solve: coarse Galerkin levels
+        first (f32 floor is harmless there), prolonged as the fine initial
+        guess; finest-level f64 refinement stays device-resident — only
+        scalars cross the host boundary per round."""
+        x_c, iters, _ = mg.solve_nested(sub, b1, cfg.tol, cfg.mg_inner_tol,
+                                        cfg.mg_maxiter)
+        x0 = mg.np_prolong_hat(h.levels[0], h.levels[1], x_c, 3)
+        x64 = jnp.asarray(x0)
         relres = 1.0
         for _ in range(cfg.refine_rounds):
             r32, rnorm2, s = _jit_residual64(sysm.offsets, w64, b64, x64, 3, 3)

@@ -36,8 +36,9 @@ class SolverConfig:
     use_multigrid: bool = True    # MG-PCG when a level builder is available
     mg_threshold: int = 20000     # min DOF count before MG pays off
     mg_maxiter: int = 300         # MG-PCG iteration cap per (refinement) solve
-    mg_inner_tol: float = 1e-6    # MG-PCG can solve much deeper than plain
-                                  # f32 CG per round → fewer refinement rounds
+    mg_inner_tol: float = 1e-4    # per-round inner target: f32 recursion
+                                  # can't certify deeper anyway; the nested
+                                  # refinement ladder supplies the depth
     snapshot_dtype: str = "f32"   # dtype snapshots are stored in on device
 
     def resolve_precision(self) -> str:

@@ -296,12 +296,21 @@ def solve_stencil_system(
         # (2× the f32 bytes over a ~30 MB/s link).  Per round only the f32
         # residual/correction vectors cross the link.
         if hierarchy is not None:
-            from pde_solver_tpu.ops.multigrid import solve_mg
-            w32 = None
-
-            def inner_solve(r32):
-                return solve_mg(hierarchy, r32, None, cfg.mg_inner_tol,
-                                cfg.mg_maxiter)
+            # Nested iteration (full multigrid): coarse Galerkin problems
+            # solved first and prolonged as initial guesses, so each level's
+            # f32 correction is small-norm — the plain refinement loop stalls
+            # at κ_eff·ε32 on ill-conditioned problems (see ops.multigrid).
+            from pde_solver_tpu.ops.multigrid import solve_nested
+            x_hat, iters, relres = solve_nested(
+                hierarchy, sysm.b_hat, cfg.tol, cfg.mg_inner_tol,
+                cfg.mg_maxiter, max_rounds=cfg.refine_rounds)
+            x = sysm.from_hat_x(x_hat)
+            stats = SolveStats(
+                iterations=np.int32(iters),
+                relative_residual=np.float64(relres),
+                converged=bool(relres <= cfg.tol * 100),
+            )
+            return x, stats
         else:
             w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
 

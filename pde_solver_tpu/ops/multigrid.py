@@ -103,6 +103,9 @@ class MGLevel(NamedTuple):
     C: Optional[jnp.ndarray]             # block Cholesky factor [.., v, v]
     Cinv: Optional[jnp.ndarray]
     Ainv: Optional[jnp.ndarray] = None   # dense inverse (coarsest level only)
+    host_weights: Optional[list] = None  # f64 numpy copies (nested refinement)
+    host_Ainv: Optional[np.ndarray] = None
+    host_scale: Optional[tuple] = None   # (s,) or (C, Cinv) f64 numpy
 
 
 class MGHierarchy(NamedTuple):
@@ -176,6 +179,7 @@ def _estimate_lambda_max(offsets, weights, shape, grid_dim, vdim,
 def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
               dtype, estimate_omega: bool = True) -> MGLevel:
     w = tuple(jnp.asarray(W, dtype=dtype) for W in sysm.weights)
+    host_w = [np.asarray(W, dtype=np.float64) for W in sysm.weights]
     free = jnp.asarray(sysm.free, dtype=dtype)
     # λmax must be estimated per level: Chebyshev smoothing *diverges* on any
     # eigenvalue above its assumed λmax, so guessing is not safe.  The 1.05
@@ -185,10 +189,14 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     omega = float(4.0 / (3.0 * lam))  # λmax recoverable as 4/(3ω)
     if sysm.scale_kind == "scalar":
         return MGLevel(sysm.offsets, w, free, omega,
-                       jnp.asarray(sysm.s, dtype=dtype), None, None)
-    C = jnp.asarray(np.swapaxes(sysm.Ct, -1, -2), dtype=dtype)
-    Cinv = jnp.asarray(np.swapaxes(sysm.CinvT, -1, -2), dtype=dtype)
-    return MGLevel(sysm.offsets, w, free, omega, None, C, Cinv)
+                       jnp.asarray(sysm.s, dtype=dtype), None, None,
+                       host_weights=host_w, host_scale=(np.asarray(sysm.s),))
+    C_np = np.swapaxes(sysm.Ct, -1, -2)
+    Cinv_np = np.swapaxes(sysm.CinvT, -1, -2)
+    C = jnp.asarray(C_np, dtype=dtype)
+    Cinv = jnp.asarray(Cinv_np, dtype=dtype)
+    return MGLevel(sysm.offsets, w, free, omega, None, C, Cinv,
+                   host_weights=host_w, host_scale=(C_np, Cinv_np))
 
 
 def build_hierarchy(
@@ -225,7 +233,8 @@ def build_hierarchy(
         A_dense = dense_from_stencil(cur_sys.offsets, cur_sys.weights,
                                      cur.node_shape, vdim)
         Ainv = np.linalg.inv(A_dense)
-        levels[-1] = levels[-1]._replace(Ainv=jnp.asarray(Ainv, dtype=dtype))
+        levels[-1] = levels[-1]._replace(Ainv=jnp.asarray(Ainv, dtype=dtype),
+                                         host_Ainv=Ainv)
     return MGHierarchy(tuple(levels), mesh.dim, vdim, pre_smooth,
                        post_smooth, coarse_iters)
 
@@ -416,3 +425,166 @@ def solve_mg(h: MGHierarchy, b_hat: np.ndarray, x0_hat: Optional[np.ndarray],
     b = jnp.asarray(b_hat, dtype=dtype)
     x0 = jnp.zeros_like(b) if x0_hat is None else jnp.asarray(x0_hat, dtype=dtype)
     return _jit_mg_pcg(h_struct, level_arrays, b, x0, tol, maxiter)
+
+
+# ----------------------------------------------------------------------
+# Nested iteration (full-multigrid) mixed-precision solve
+# ----------------------------------------------------------------------
+#
+# Float32 iterative refinement alone stalls once κ_eff·ε32 ≈ 1: for a thin
+# cantilever at 2M DOF the dominant (bending) component of the solution has
+# such a large norm that a single-level f32 inner solve can only reduce the
+# true residual by ~0.5 per round.  Nested iteration fixes this structurally:
+# the Galerkin-coarse problems (Â_c = P̂ᵀÂP̂ exactly, b̂_c = P̂ᵀb̂) are solved
+# first — at coarse sizes the f32 floor is harmless — and prolonged as the
+# initial guess, so each level's remaining correction is O(h²)-small and
+# comfortably inside f32 range.  Residuals are evaluated in float64 on the
+# host (numpy / the OpenMP native kernel), never on the TPU.
+
+def _np_prolong(v: np.ndarray, grid_dim: int) -> np.ndarray:
+    import itertools
+    shape_c = v.shape[:grid_dim]
+    extra = v.shape[grid_dim:]
+    out = np.zeros(tuple(2 * s - 1 for s in shape_c) + extra, v.dtype)
+    for pp in itertools.product((0, 1), repeat=grid_dim):
+        base = tuple(slice(0, s - pi if pi else s) for s, pi in zip(shape_c, pp))
+        top = tuple(slice(pi, s) for s, pi in zip(shape_c, pp))
+        dst = tuple(slice(pi, None, 2) for pi in pp)
+        out[dst] = v[base] if not any(pp) else 0.5 * (v[base] + v[top])
+    return out
+
+
+def _np_restrict(r: np.ndarray, grid_dim: int) -> np.ndarray:
+    import itertools
+    shape_f = r.shape[:grid_dim]
+    extra = r.shape[grid_dim:]
+    shape_c = tuple((s + 1) // 2 for s in shape_f)
+    out = np.zeros(shape_c + extra, r.dtype)
+    for pp in itertools.product((0, 1), repeat=grid_dim):
+        src = tuple(slice(pi, None, 2) for pi in pp)
+        rp = r[src]
+        base = tuple(slice(0, s - pi if pi else s) for s, pi in zip(shape_c, pp))
+        top = tuple(slice(pi, s) for s, pi in zip(shape_c, pp))
+        if not any(pp):
+            out[base] += rp
+        else:
+            out[base] += 0.5 * rp
+            out[top] += 0.5 * rp
+    return out
+
+
+def _np_scale_mul(level: MGLevel, v: np.ndarray, kind: str) -> np.ndarray:
+    """Apply a scale factor on host: kind ∈ {C, Ct, Cinv, CinvT} for block,
+    {s, inv_s} for scalar."""
+    hs = level.host_scale
+    if len(hs) == 1:  # scalar
+        s = hs[0]
+        return v * s if kind in ("s",) else v / s
+    C_np, Cinv_np = hs
+    mats = {"C": C_np, "Ct": np.swapaxes(C_np, -1, -2),
+            "Cinv": Cinv_np, "CinvT": np.swapaxes(Cinv_np, -1, -2)}[kind]
+    return np.einsum("...ij,...j->...i", mats, v)
+
+
+def np_restrict_hat(fine: MGLevel, coarse: MGLevel, r_hat: np.ndarray,
+                    grid_dim: int) -> np.ndarray:
+    free_c = np.asarray(coarse.free)
+    if len(fine.host_scale) == 1:
+        rc = _np_restrict(r_hat / fine.host_scale[0], grid_dim)
+        return free_c * (coarse.host_scale[0] * rc)
+    r_phys = _np_scale_mul(fine, r_hat, "C")
+    rc = _np_restrict(r_phys, grid_dim)
+    return free_c * _np_scale_mul(coarse, rc, "Cinv")
+
+
+def np_prolong_hat(fine: MGLevel, coarse: MGLevel, e_hat_c: np.ndarray,
+                   grid_dim: int) -> np.ndarray:
+    free_f = np.asarray(fine.free)
+    if len(fine.host_scale) == 1:
+        ef = _np_prolong(coarse.host_scale[0] * e_hat_c, grid_dim)
+        return free_f * (ef / fine.host_scale[0])
+    e_phys = _np_scale_mul(coarse, e_hat_c, "CinvT")
+    ef = _np_prolong(e_phys, grid_dim)
+    return free_f * _np_scale_mul(fine, ef, "Ct")
+
+
+def _host_apply(level: MGLevel, x: np.ndarray, grid_dim: int, vdim: int
+                ) -> np.ndarray:
+    """Float64 stencil apply on host (native OpenMP kernel when available)."""
+    from pde_solver_tpu import native
+    if native.available():
+        node_shape = x.shape[:grid_dim]
+        W, deltas = _host_pack(level, node_shape, vdim)
+        N = int(np.prod(node_shape))
+        xf = x.reshape(N, vdim) if vdim > 1 else x.reshape(N)
+        y = native.stencil_apply(W, deltas, xf, vdim)
+        return y.reshape(x.shape)
+    from pde_solver_tpu.ops.linsolve import np_stencil_apply
+    return np_stencil_apply(dict(zip(level.offsets, level.host_weights)), x,
+                            grid_dim, vdim)
+
+
+_HOST_PACK_CACHE: dict = {}
+
+
+def _host_pack(level: MGLevel, node_shape, vdim: int):
+    from pde_solver_tpu import native
+    key = (id(level.host_weights), node_shape, vdim)
+    if key not in _HOST_PACK_CACHE:
+        _HOST_PACK_CACHE[key] = native.pack_flat_stencil(
+            level.offsets, level.host_weights, node_shape, vdim)
+        if len(_HOST_PACK_CACHE) > 32:
+            _HOST_PACK_CACHE.pop(next(iter(_HOST_PACK_CACHE)))
+    return _HOST_PACK_CACHE[key]
+
+
+def solve_nested(h: MGHierarchy, b_hat: np.ndarray, tol: float,
+                 inner_tol: float, maxiter: int, max_rounds: int = 10):
+    """Nested-iteration mixed-precision solve of the finest system.
+
+    Returns (x_hat float64 numpy, total_inner_iters, relres float).
+    """
+    d, vdim = h.grid_dim, h.vdim
+    n_levels = len(h.levels)
+
+    # Galerkin RHS per level: b_{l+1} = R̂_l b_l  (host, float64)
+    b_levels = [np.asarray(b_hat, dtype=np.float64)]
+    for l in range(n_levels - 1):
+        b_levels.append(np_restrict_hat(h.levels[l], h.levels[l + 1],
+                                        b_levels[l], d))
+
+    total_iters = 0
+    # coarsest: exact host solve
+    lv = h.levels[-1]
+    bc_ = b_levels[-1]
+    if lv.host_Ainv is not None:
+        x = (lv.host_Ainv @ bc_.reshape(-1)).reshape(bc_.shape)
+    else:
+        x = np.zeros_like(bc_)
+
+    relres = 1.0
+    for l in range(n_levels - 2, -1, -1):
+        x = np_prolong_hat(h.levels[l], h.levels[l + 1], x, d)
+        lv = h.levels[l]
+        b_l = b_levels[l]
+        bnorm = float(np.linalg.norm(b_l.reshape(-1)))
+        if bnorm == 0.0:
+            x = np.zeros_like(b_l)
+            relres = 0.0
+            continue
+        sub = MGHierarchy(h.levels[l:], d, vdim, h.pre_smooth, h.post_smooth,
+                          h.coarse_iters)
+        # refinement rounds at this level (f32 MG-PCG inner solves)
+        for _ in range(max_rounds):
+            r = b_l - _host_apply(lv, x, d, vdim)
+            relres = float(np.linalg.norm(r.reshape(-1))) / bnorm
+            # coarser levels only need enough accuracy to seed the next level
+            target = tol if l == 0 else max(tol, 1e-8)
+            if relres <= target or not np.isfinite(relres):
+                break
+            scale = float(np.max(np.abs(r)))
+            d32, k, _ = solve_mg(sub, (r / scale).astype(np.float32), None,
+                                 inner_tol, maxiter)
+            x = x + scale * np.asarray(d32, dtype=np.float64)
+            total_iters += int(k)
+    return x, total_iters, relres
