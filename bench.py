@@ -130,40 +130,15 @@ def main():
         f"{time.perf_counter() - t0:.1f}s")
 
     cfg = get_config()
-    from pde_solver_tpu.ops.linsolve import _jit_axpy64, _jit_residual64
-
     t0 = time.perf_counter()
-    w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
-    jax.block_until_ready(w64)
-    b64 = jnp.asarray(sysm.b_hat)
-    bnorm2 = float(np.vdot(sysm.b_hat.reshape(-1), sysm.b_hat.reshape(-1)))
-    log(f"[bench] f64 operator upload: {time.perf_counter() - t0:.1f}s")
-
-    sub = mg.MGHierarchy(h.levels[1:], 3, 3, h.pre_smooth, h.post_smooth,
-                         h.coarse_iters)
-    b1 = mg.np_restrict_hat(h.levels[0], h.levels[1], sysm.b_hat, 3)
+    ladder = mg.build_device_ladder(h, sysm.b_hat)
+    jax.block_until_ready(ladder.w64)
+    log(f"[bench] f64 ladder upload: {time.perf_counter() - t0:.1f}s")
 
     def full_solve():
-        """Nested-iteration mixed-precision solve: coarse Galerkin levels
-        first (f32 floor is harmless there), prolonged as the fine initial
-        guess; finest-level f64 refinement stays device-resident — only
-        scalars cross the host boundary per round."""
-        x_c, iters, _ = mg.solve_nested(sub, b1, cfg.tol, cfg.mg_inner_tol,
-                                        cfg.mg_maxiter)
-        x0 = mg.np_prolong_hat(h.levels[0], h.levels[1], x_c, 3)
-        x64 = jnp.asarray(x0)
-        relres = 1.0
-        for _ in range(cfg.refine_rounds):
-            r32, rnorm2, s = _jit_residual64(sysm.offsets, w64, b64, x64, 3, 3)
-            relres = float(np.sqrt(float(rnorm2) / bnorm2))
-            if relres <= cfg.tol:
-                break
-            d32, k, _ = mg.solve_mg(h, r32, None, cfg.mg_inner_tol,
-                                    cfg.mg_maxiter)
-            x64 = _jit_axpy64(x64, s, d32)
-            iters += int(k)
-        x64.block_until_ready()
-        return x64, iters, relres
+        """Fused device-resident F-cycle rounds (one dispatch + one scalar
+        pull per round): f64 residual ladder + f32 MG-PCG corrections."""
+        return mg.solve_fcycle_fused(h, ladder, 1e-10, passes=1, max_rounds=8)
 
     t0 = time.perf_counter()
     x_hat, iters, relres = full_solve()

@@ -538,53 +538,405 @@ def _host_pack(level: MGLevel, node_shape, vdim: int):
     return _HOST_PACK_CACHE[key]
 
 
+@partial(jax.jit, static_argnames=("offsets", "grid_dim", "vdim"))
+def _jit_residual64_dev(offsets, w64, b64, x64, grid_dim, vdim):
+    r = b64 - _stencil_apply(offsets, w64, x64, grid_dim, vdim)
+    rnorm2 = jnp.vdot(r.reshape(-1), r.reshape(-1))
+    return r, rnorm2
+
+
+@partial(jax.jit, static_argnames=("grid_dim",))
+def _jit_restrict_hat64(fine_scale, coarse_scale, coarse_free, r64, grid_dim):
+    """f64 scaled restriction, level l → l+1 on device.
+
+    ``*_scale`` is (s,) for scalar systems or (C, Cinv) for block systems.
+    """
+    if len(fine_scale) == 1:
+        rc = restrict(r64 / fine_scale[0], grid_dim)
+        return coarse_free * (coarse_scale[0] * rc)
+    r_phys = jnp.einsum("...ij,...j->...i", fine_scale[0], r64)
+    rc = restrict(r_phys, grid_dim)
+    return coarse_free * jnp.einsum("...ij,...j->...i", coarse_scale[1], rc)
+
+
+@partial(jax.jit, static_argnames=("grid_dim",))
+def _jit_prolong_hat64(fine_scale, coarse_scale, fine_free, e64, grid_dim):
+    if len(fine_scale) == 1:
+        ef = prolong(coarse_scale[0] * e64, grid_dim)
+        return fine_free * (ef / fine_scale[0])
+    e_phys = jnp.einsum("...ji,...j->...i", coarse_scale[1], e64)  # Cinv^T e
+    ef = prolong(e_phys, grid_dim)
+    return fine_free * jnp.einsum("...ji,...j->...i", fine_scale[0], ef)  # C^T
+
+
+@jax.jit
+def _jit_add_scaled(x64, scale, d):
+    return x64 + scale * d.astype(jnp.float64)
+
+
+class DeviceLevel0(NamedTuple):
+    """Float64 device-resident data for the finest level (bench/TPU path):
+    keeps all O(N_fine) work on the accelerator — the host here may have a
+    single core, and the tunnel moves ~30 MB/s."""
+
+    w64: Tuple[jnp.ndarray, ...]
+    b64: jnp.ndarray
+    free64: jnp.ndarray
+    scale64: tuple            # (s,) or (C, Cinv) in f64
+    coarse_free64: jnp.ndarray
+    coarse_scale64: tuple
+
+
+def make_device_level0(h: MGHierarchy, sysm, b_hat: np.ndarray) -> DeviceLevel0:
+    f, c = h.levels[0], h.levels[1]
+    w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
+    if len(f.host_scale) == 1:
+        fs = (jnp.asarray(f.host_scale[0]),)
+        cs = (jnp.asarray(c.host_scale[0]),)
+    else:
+        fs = (jnp.asarray(f.host_scale[0]), jnp.asarray(f.host_scale[1]))
+        cs = (jnp.asarray(c.host_scale[0]), jnp.asarray(c.host_scale[1]))
+    return DeviceLevel0(
+        w64=w64, b64=jnp.asarray(b_hat, dtype=jnp.float64),
+        free64=jnp.asarray(np.asarray(f.free), dtype=jnp.float64),
+        scale64=fs, coarse_free64=jnp.asarray(np.asarray(c.free),
+                                              dtype=jnp.float64),
+        coarse_scale64=cs)
+
+
 def solve_nested(h: MGHierarchy, b_hat: np.ndarray, tol: float,
-                 inner_tol: float, maxiter: int, max_rounds: int = 10):
+                 inner_tol: float, maxiter: int, max_rounds: int = 10,
+                 device_level0: Optional[DeviceLevel0] = None,
+                 device_w64=None):
     """Nested-iteration mixed-precision solve of the finest system.
 
-    Returns (x_hat float64 numpy, total_inner_iters, relres float).
+    Recursive FMG with float64 bookkeeping: each level is seeded by the
+    prolonged solution of the Galerkin-coarse problem, then refined by
+    alternating (a) coarse pre-corrections — the low-mode residual content
+    solved one level down with float64 bookkeeping, bottoming out in the
+    exact f64 dense coarsest solve — and (b) float32 MG-PCG solves of the
+    remaining small-norm correction.  The alternation + the f64 anchor is
+    what beats the f32 accuracy floor ε32·κ(correction).
+
+    ``device_level0`` (preferred on TPU) keeps every finest-level O(N)
+    operation on the accelerator; only level-1-and-coarser vectors cross the
+    host boundary.  ``device_w64`` is the older residual-only variant.
+
+    Returns (x_hat float64 numpy/device, total_inner_iters, relres float).
     """
+    import os as _os
+    import sys as _sys
+    debug = bool(_os.environ.get("PDE_TPU_MG_DEBUG"))
+
+    def _dbg(msg):
+        if debug:
+            print(f"[mg] {msg}", file=_sys.stderr, flush=True)
+
     d, vdim = h.grid_dim, h.vdim
     n_levels = len(h.levels)
+    stats = {"iters": 0}
 
-    # Galerkin RHS per level: b_{l+1} = R̂_l b_l  (host, float64)
-    b_levels = [np.asarray(b_hat, dtype=np.float64)]
-    for l in range(n_levels - 1):
-        b_levels.append(np_restrict_hat(h.levels[l], h.levels[l + 1],
-                                        b_levels[l], d))
-
-    total_iters = 0
-    # coarsest: exact host solve
-    lv = h.levels[-1]
-    bc_ = b_levels[-1]
-    if lv.host_Ainv is not None:
-        x = (lv.host_Ainv @ bc_.reshape(-1)).reshape(bc_.shape)
-    else:
-        x = np.zeros_like(bc_)
-
-    relres = 1.0
-    for l in range(n_levels - 2, -1, -1):
-        x = np_prolong_hat(h.levels[l], h.levels[l + 1], x, d)
-        lv = h.levels[l]
-        b_l = b_levels[l]
-        bnorm = float(np.linalg.norm(b_l.reshape(-1)))
-        if bnorm == 0.0:
-            x = np.zeros_like(b_l)
-            relres = 0.0
-            continue
+    def f32_correct(l: int, r: np.ndarray):
         sub = MGHierarchy(h.levels[l:], d, vdim, h.pre_smooth, h.post_smooth,
                           h.coarse_iters)
-        # refinement rounds at this level (f32 MG-PCG inner solves)
-        for _ in range(max_rounds):
-            r = b_l - _host_apply(lv, x, d, vdim)
+        scale = float(np.max(np.abs(r)))
+        if scale == 0.0 or not np.isfinite(scale):
+            return np.zeros_like(r), 0.0
+        d32, k, rr32 = solve_mg(sub, (r / scale).astype(np.float32), None,
+                                inner_tol, maxiter)
+        stats["iters"] += int(k)
+        _dbg(f"f32_correct l={l} iters={int(k)} rec_relres={float(rr32):.1e}")
+        return d32, scale
+
+    def host_residual(l: int, x, b_l):
+        return b_l - _host_apply(h.levels[l], x, d, vdim)
+
+    def solve_level(l: int, b_l: np.ndarray, tol_l: float,
+                    rounds: int) -> np.ndarray:
+        lv = h.levels[l]
+        if l == n_levels - 1:
+            if lv.host_Ainv is not None:
+                return (lv.host_Ainv @ b_l.reshape(-1)).reshape(b_l.shape)
+            d32, scale = f32_correct(l, b_l)
+            return scale * np.asarray(d32, dtype=np.float64)
+        bnorm = float(np.linalg.norm(b_l.reshape(-1)))
+        if bnorm == 0.0:
+            return np.zeros_like(b_l)
+        b_c = np_restrict_hat(lv, h.levels[l + 1], b_l, d)
+        x = np_prolong_hat(lv, h.levels[l + 1],
+                           solve_level(l + 1, b_c, max(tol_l, 1e-9), rounds),
+                           d)
+        for rnd in range(rounds):
+            r = host_residual(l, x, b_l)
             relres = float(np.linalg.norm(r.reshape(-1))) / bnorm
-            # coarser levels only need enough accuracy to seed the next level
-            target = tol if l == 0 else max(tol, 1e-8)
-            if relres <= target or not np.isfinite(relres):
+            _dbg(f"level {l} round {rnd}: relres={relres:.2e} (target {tol_l:.1e})")
+            if relres <= tol_l or not np.isfinite(relres):
                 break
-            scale = float(np.max(np.abs(r)))
-            d32, k, _ = solve_mg(sub, (r / scale).astype(np.float32), None,
-                                 inner_tol, maxiter)
+            r_c = np_restrict_hat(lv, h.levels[l + 1], r, d)
+            x = x + np_prolong_hat(lv, h.levels[l + 1],
+                                   solve_level(l + 1, r_c,
+                                               max(relres * 1e-2, 1e-10), 1),
+                                   d)
+            r = host_residual(l, x, b_l)
+            d32, scale = f32_correct(l, r)
             x = x + scale * np.asarray(d32, dtype=np.float64)
-            total_iters += int(k)
-    return x, total_iters, relres
+        return x
+
+    b64_np = np.asarray(b_hat, dtype=np.float64)
+
+    if device_level0 is None:
+        x = solve_level(0, b64_np, tol, max_rounds)
+        r = b64_np - _host_apply(h.levels[0], x, d, vdim)
+        relres = float(np.linalg.norm(r.reshape(-1))
+                       / max(np.linalg.norm(b64_np.reshape(-1)), 1e-300))
+        return x, stats["iters"], relres
+
+    # ---- device-resident finest level ----
+    dl = device_level0
+    f, c = h.levels[0], h.levels[1]
+    lv0_off = f.offsets
+    bnorm = float(np.sqrt(float(jnp.vdot(dl.b64.reshape(-1),
+                                         dl.b64.reshape(-1)))))
+    if bnorm == 0.0:
+        return np.zeros(dl.b64.shape), 0, 0.0
+
+    # seed: solve the Galerkin level-1 problem on host (cheap levels)
+    b_c = np.asarray(_jit_restrict_hat64(dl.scale64, dl.coarse_scale64,
+                                         dl.coarse_free64, dl.b64, d),
+                     dtype=np.float64)
+    x_c = solve_level(1, b_c, max(tol, 1e-9), max_rounds)
+    x64 = _jit_prolong_hat64(dl.scale64, dl.coarse_scale64, dl.free64,
+                             jnp.asarray(x_c), d)
+
+    relres = 1.0
+    for rnd in range(max_rounds):
+        r64, rnorm2 = _jit_residual64_dev(lv0_off, dl.w64, dl.b64, x64, d, vdim)
+        relres = float(np.sqrt(float(rnorm2))) / bnorm
+        _dbg(f"FINEST round {rnd}: relres={relres:.2e}")
+        if relres <= tol or not np.isfinite(relres):
+            break
+        # (a) coarse pre-correction: restrict on device, recurse on host
+        rc = np.asarray(_jit_restrict_hat64(dl.scale64, dl.coarse_scale64,
+                                            dl.coarse_free64, r64, d),
+                        dtype=np.float64)
+        dc = solve_level(1, rc, max(relres * 1e-2, 1e-10), 1)
+        x64 = x64 + _jit_prolong_hat64(dl.scale64, dl.coarse_scale64,
+                                       dl.free64, jnp.asarray(dc), d)
+        # (b) f32 MG-PCG on the remaining fine correction (device-resident)
+        r64, rnorm2 = _jit_residual64_dev(lv0_off, dl.w64, dl.b64, x64, d, vdim)
+        scale = float(np.sqrt(float(rnorm2))) + 1e-300
+        d32, k, rr32 = solve_mg(h, (r64 / scale).astype(jnp.float32), None,
+                                inner_tol, maxiter)
+        stats["iters"] += int(k)
+        _dbg(f"FINEST f32 solve: iters={int(k)} rec_relres={float(rr32):.1e}")
+        x64 = _jit_add_scaled(x64, scale, d32)
+    return np.asarray(x64, dtype=np.float64), stats["iters"], relres
+
+
+# ----------------------------------------------------------------------
+# Device-resident F-cycle solve (the TPU fast path)
+# ----------------------------------------------------------------------
+#
+# The recursive host-driven ladder above converges in very few inner
+# iterations (~11 per f32 correction, gains ~1e-3 per round) — on the
+# tunneled TPU its cost is almost entirely dispatch/transfer latency, not
+# compute.  This variant keeps every vector on device and fuses each
+# ascend step into ONE jitted program per level:
+#
+#   descend:  r_{m+1} = R̂_m r_m                      (f64, device)
+#   coarsest: e_L = A_L^{-1} r_L                      (dense f64, device)
+#   ascend:   e_m = P̂ e_{m+1};  ρ = r_m − Â_m e_m;    (f64)
+#             e_m += s · MG-PCG_f32(levels m.., ρ/s)  (fixed iteration count)
+#
+# One F-cycle is one outer round; the host loop pulls a single scalar per
+# round for the convergence check.
+
+class DeviceLadder(NamedTuple):
+    w64: Tuple[Tuple[jnp.ndarray, ...], ...]   # f64 scaled weights per level
+    scale64: Tuple[tuple, ...]                 # (s,) or (C, Cinv) per level
+    free64: Tuple[jnp.ndarray, ...]
+    Ainv64: jnp.ndarray                        # coarsest dense inverse
+    b64: jnp.ndarray                           # finest RHS (hat space)
+
+
+def build_device_ladder(h: MGHierarchy, b_hat: np.ndarray) -> DeviceLadder:
+    w64, sc64, fr64 = [], [], []
+    for lv in h.levels:
+        w64.append(tuple(jnp.asarray(W, dtype=jnp.float64)
+                         for W in lv.host_weights))
+        sc64.append(tuple(jnp.asarray(S) for S in lv.host_scale))
+        fr64.append(jnp.asarray(np.asarray(lv.free), dtype=jnp.float64))
+    Ainv = jnp.asarray(h.levels[-1].host_Ainv)
+    return DeviceLadder(tuple(w64), tuple(sc64), tuple(fr64), Ainv,
+                        jnp.asarray(b_hat, dtype=jnp.float64))
+
+
+@partial(jax.jit, static_argnames=("grid_dim",))
+def _jit_coarsest64(Ainv, r64, grid_dim):
+    return (Ainv @ r64.reshape(-1)).reshape(r64.shape)
+
+
+@partial(jax.jit, static_argnames=("h_struct", "level", "inner_iters"))
+def _jit_ascend_step(h_struct, level_arrays, w64_m, scale_m, scale_c,
+                     free_m, r_m, e_c, level, inner_iters):
+    """One fused ascend step at level ``level`` (see module comment).
+
+    ``h_struct``/``level_arrays`` describe the f32 sub-hierarchy levels[m:].
+    Returns the f64 correction e_m.
+    """
+    (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
+    levels = []
+    for i, arrs in enumerate(level_arrays):
+        weights, free, s, C, Cinv, Ainv = arrs
+        levels.append(MGLevel(offsets_per_level[i], weights, free,
+                              omegas[i], s, C, Cinv, Ainv))
+    sub = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
+
+    e_m = _jit_prolong_hat64(scale_m, scale_c, free_m, e_c, grid_dim)
+    rho = r_m - _stencil_apply(offsets_per_level[0], w64_m, e_m, grid_dim,
+                               vdim)
+    scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1), rho.reshape(-1))),
+                        1e-300)
+    r32 = (rho / scale).astype(jnp.float32)
+    d32, k, _ = mg_pcg(sub, r32, jnp.zeros_like(r32), 1e-5, inner_iters)
+    return e_m + scale * d32.astype(jnp.float64), k
+
+
+def solve_fcycle_device(h: MGHierarchy, ladder: DeviceLadder, tol: float,
+                        inner_iters: int = 14, max_rounds: int = 12):
+    """Run device-resident F-cycle rounds until ‖r‖/‖b‖ ≤ tol.
+
+    Returns (x64 device array, total_inner_iters, relres)."""
+    d, vdim = h.grid_dim, h.vdim
+    L = len(h.levels) - 1
+
+    def h_struct_from(m):
+        return (tuple(lv.offsets for lv in h.levels[m:]),
+                tuple(lv.omega for lv in h.levels[m:]),
+                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
+
+    def level_arrays_from(m):
+        return tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
+                     for lv in h.levels[m:])
+
+    bnorm = float(jnp.sqrt(jnp.vdot(ladder.b64.reshape(-1),
+                                    ladder.b64.reshape(-1))))
+    if bnorm == 0.0:
+        return jnp.zeros_like(ladder.b64), 0, 0.0
+
+    def fcycle(r0):
+        """One F-cycle: returns the f64 correction for residual r0."""
+        iters = 0
+        rs = [r0]
+        for m in range(L):
+            rs.append(_jit_restrict_hat64(ladder.scale64[m],
+                                          ladder.scale64[m + 1],
+                                          ladder.free64[m + 1], rs[m], d))
+        e = _jit_coarsest64(ladder.Ainv64, rs[L], d)
+        for m in range(L - 1, -1, -1):
+            e, k = _jit_ascend_step(h_struct_from(m), level_arrays_from(m),
+                                    ladder.w64[m], ladder.scale64[m],
+                                    ladder.scale64[m + 1], ladder.free64[m],
+                                    rs[m], e, m, inner_iters)
+            iters += int(k)
+        return e, iters
+
+    x = jnp.zeros_like(ladder.b64)
+    total = 0
+    relres = 1.0
+    for rnd in range(max_rounds):
+        r, rnorm2 = _jit_residual64_dev(h.levels[0].offsets, ladder.w64[0],
+                                        ladder.b64, x, d, vdim)
+        relres = float(np.sqrt(float(rnorm2))) / bnorm
+        if relres <= tol or not np.isfinite(relres):
+            break
+        e, k = fcycle(r)
+        total += k
+        x = x + e
+    return x, total, relres
+
+
+def _fcycle_body(h: MGHierarchy, ladder_w64, ladder_scale64, ladder_free64,
+                 Ainv64, r0):
+    """One F-cycle correction, fully traced (called inside jit)."""
+    d, vdim = h.grid_dim, h.vdim
+    L = len(h.levels) - 1
+    iters = jnp.asarray(0, jnp.int32)
+    rs = [r0]
+    for m in range(L):
+        rs.append(_jit_restrict_hat64(ladder_scale64[m], ladder_scale64[m + 1],
+                                      ladder_free64[m + 1], rs[m], d))
+    e = (Ainv64 @ rs[L].reshape(-1)).reshape(rs[L].shape)
+    for m in range(L - 1, -1, -1):
+        e = _jit_prolong_hat64(ladder_scale64[m], ladder_scale64[m + 1],
+                               ladder_free64[m], e, d)
+        sub = MGHierarchy(h.levels[m:], d, vdim, h.pre_smooth, h.post_smooth,
+                          h.coarse_iters)
+        # two f64-residual-refreshed f32 corrections at coarser levels (the
+        # repeat is what lifts per-round gains from ~6× to ~1e2-1e3×); one
+        # at the finest, whose f64 SpMV dominates the cycle cost
+        n_corr = 1 if m == 0 else 2
+        for _ in range(n_corr):
+            rho = rs[m] - _stencil_apply(h.levels[m].offsets, ladder_w64[m],
+                                         e, d, vdim)
+            scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
+                                                  rho.reshape(-1))), 1e-300)
+            d32, k, _ = mg_pcg(sub, (rho / scale).astype(jnp.float32),
+                               jnp.zeros(rho.shape, jnp.float32), 1e-5, 14)
+            e = e + scale * d32.astype(jnp.float64)
+            iters = iters + k
+    return e, iters
+
+
+@partial(jax.jit, static_argnames=("h_struct", "passes"))
+def _jit_fcycle_round(h_struct, level_arrays, ladder_w64, ladder_scale64,
+                      ladder_free64, Ainv64, b64, x64, passes):
+    """``passes`` stacked F-cycle corrections with in-program f64 residual
+    recomputation between them; returns (x_new, ||r_new||², iters)."""
+    (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
+    levels = []
+    for i, arrs in enumerate(level_arrays):
+        weights, free, s, C, Cinv, Ainv = arrs
+        levels.append(MGLevel(offsets_per_level[i], weights, free,
+                              omegas[i], s, C, Cinv, Ainv))
+    h = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
+    iters = jnp.asarray(0, jnp.int32)
+    for _ in range(passes):
+        r = b64 - _stencil_apply(offsets_per_level[0], ladder_w64[0], x64,
+                                 grid_dim, vdim)
+        e, k = _fcycle_body(h, ladder_w64, ladder_scale64, ladder_free64,
+                            Ainv64, r)
+        x64 = x64 + e
+        iters = iters + k
+    r = b64 - _stencil_apply(offsets_per_level[0], ladder_w64[0], x64,
+                             grid_dim, vdim)
+    rnorm2 = jnp.vdot(r.reshape(-1), r.reshape(-1))
+    return x64, rnorm2, iters
+
+
+def solve_fcycle_fused(h: MGHierarchy, ladder: DeviceLadder, tol: float,
+                       passes: int = 2, max_rounds: int = 8):
+    """Device-resident fused F-cycle solve: one dispatch + one scalar pull
+    per round.  Returns (x64 device, total_inner_iters, relres)."""
+    d, vdim = h.grid_dim, h.vdim
+    h_struct = (tuple(lv.offsets for lv in h.levels),
+                tuple(lv.omega for lv in h.levels),
+                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
+    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
+                         for lv in h.levels)
+    bnorm = float(jnp.sqrt(jnp.vdot(ladder.b64.reshape(-1),
+                                    ladder.b64.reshape(-1))))
+    if bnorm == 0.0:
+        return jnp.zeros_like(ladder.b64), 0, 0.0
+    x = jnp.zeros_like(ladder.b64)
+    total = 0
+    relres = 1.0
+    for rnd in range(max_rounds):
+        x, rnorm2, k = _jit_fcycle_round(h_struct, level_arrays, ladder.w64,
+                                         ladder.scale64, ladder.free64,
+                                         ladder.Ainv64, ladder.b64, x, passes)
+        total += int(k)
+        relres = float(np.sqrt(float(rnorm2))) / bnorm
+        if relres <= tol or not np.isfinite(relres):
+            break
+    return x, total, relres

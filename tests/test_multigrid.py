@@ -105,3 +105,24 @@ def test_solve_facade_uses_mg_for_large_elasticity():
         assert info["cg_iterations"] <= 100
     finally:
         set_config(mg_threshold=20000)
+
+
+def test_nested_mixed_precision_facade():
+    """Mixed-precision + MG → solve_nested path reaches f64-level accuracy."""
+    from pde_solver_tpu.models.elasticity import solve_elasticity_nd
+    set_config(precision="mixed", mg_threshold=1000)
+    try:
+        mesh = box_mesh(16, 8, 8, (0, 0, 0), (1.0, 0.2, 0.2))
+        vm_mixed, info = solve_elasticity_nd(mesh, 210e9, 0.3,
+                                             np.array([0, 0, -7.65e4]),
+                                             "3d", "stress")
+        assert info["converged"], info
+        assert info["relative_residual"] < 1e-9
+        set_config(precision="f64")
+        vm_f64, _ = solve_elasticity_nd(mesh, 210e9, 0.3,
+                                        np.array([0, 0, -7.65e4]),
+                                        "3d", "stress")
+        rel = np.linalg.norm(vm_mixed - vm_f64) / np.linalg.norm(vm_f64)
+        assert rel < 1e-6, rel
+    finally:
+        set_config(precision="auto", mg_threshold=20000)
