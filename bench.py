@@ -138,7 +138,7 @@ def main():
     def full_solve():
         """Fused device-resident F-cycle rounds (one dispatch + one scalar
         pull per round): f64 residual ladder + f32 MG-PCG corrections."""
-        return mg.solve_fcycle_fused(h, ladder, 1e-10, passes=1, max_rounds=8)
+        return mg.solve_fcycle_device(h, ladder, 1e-10, inner_iters=14, max_rounds=8)
 
     t0 = time.perf_counter()
     x_hat, iters, relres = full_solve()

@@ -776,13 +776,16 @@ def _jit_coarsest64(Ainv, r64, grid_dim):
     return (Ainv @ r64.reshape(-1)).reshape(r64.shape)
 
 
-@partial(jax.jit, static_argnames=("h_struct", "level", "inner_iters"))
+@partial(jax.jit, static_argnames=("h_struct", "level", "inner_iters",
+                                   "n_corr"))
 def _jit_ascend_step(h_struct, level_arrays, w64_m, scale_m, scale_c,
-                     free_m, r_m, e_c, level, inner_iters):
+                     free_m, r_m, e_c, level, inner_iters, n_corr=1):
     """One fused ascend step at level ``level`` (see module comment).
 
     ``h_struct``/``level_arrays`` describe the f32 sub-hierarchy levels[m:].
-    Returns the f64 correction e_m.
+    ``n_corr`` f64-residual-refreshed f32 corrections are applied (2 at
+    coarser levels lifts per-round gains from ~6× to ~1e2-1e3×).
+    Returns the f64 correction e_m and the inner iteration count.
     """
     (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
     levels = []
@@ -793,13 +796,17 @@ def _jit_ascend_step(h_struct, level_arrays, w64_m, scale_m, scale_c,
     sub = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
 
     e_m = _jit_prolong_hat64(scale_m, scale_c, free_m, e_c, grid_dim)
-    rho = r_m - _stencil_apply(offsets_per_level[0], w64_m, e_m, grid_dim,
-                               vdim)
-    scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1), rho.reshape(-1))),
-                        1e-300)
-    r32 = (rho / scale).astype(jnp.float32)
-    d32, k, _ = mg_pcg(sub, r32, jnp.zeros_like(r32), 1e-5, inner_iters)
-    return e_m + scale * d32.astype(jnp.float64), k
+    iters = jnp.asarray(0, jnp.int32)
+    for _ in range(n_corr):
+        rho = r_m - _stencil_apply(offsets_per_level[0], w64_m, e_m,
+                                   grid_dim, vdim)
+        scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
+                                              rho.reshape(-1))), 1e-300)
+        r32 = (rho / scale).astype(jnp.float32)
+        d32, k, _ = mg_pcg(sub, r32, jnp.zeros_like(r32), 1e-5, inner_iters)
+        e_m = e_m + scale * d32.astype(jnp.float64)
+        iters = iters + k
+    return e_m, iters
 
 
 def solve_fcycle_device(h: MGHierarchy, ladder: DeviceLadder, tol: float,
@@ -824,6 +831,16 @@ def solve_fcycle_device(h: MGHierarchy, ladder: DeviceLadder, tol: float,
     if bnorm == 0.0:
         return jnp.zeros_like(ladder.b64), 0, 0.0
 
+    import os as _os
+    import sys as _sys
+    debug = bool(_os.environ.get("PDE_TPU_MG_DEBUG"))
+
+    def _dbg(msg):
+        if debug:
+            print(f"[fcycle] {msg}", file=_sys.stderr, flush=True)
+
+    host_Ainv = h.levels[-1].host_Ainv
+
     def fcycle(r0):
         """One F-cycle: returns the f64 correction for residual r0."""
         iters = 0
@@ -832,13 +849,20 @@ def solve_fcycle_device(h: MGHierarchy, ladder: DeviceLadder, tol: float,
             rs.append(_jit_restrict_hat64(ladder.scale64[m],
                                           ladder.scale64[m + 1],
                                           ladder.free64[m + 1], rs[m], d))
-        e = _jit_coarsest64(ladder.Ainv64, rs[L], d)
+            _dbg(f"restrict {m}->{m+1} ok")
+        # coarsest dense solve on HOST: the vector is tiny, and the emulated
+        # f64 matmul on device was implicated in TPU worker crashes
+        rL = np.asarray(rs[L], dtype=np.float64)
+        e = jnp.asarray((host_Ainv @ rL.reshape(-1)).reshape(rL.shape))
+        _dbg("coarsest host solve ok")
         for m in range(L - 1, -1, -1):
             e, k = _jit_ascend_step(h_struct_from(m), level_arrays_from(m),
                                     ladder.w64[m], ladder.scale64[m],
                                     ladder.scale64[m + 1], ladder.free64[m],
-                                    rs[m], e, m, inner_iters)
+                                    rs[m], e, m, inner_iters,
+                                    n_corr=1 if m == 0 else 2)
             iters += int(k)
+            _dbg(f"ascend {m} ok (k={iters})")
         return e, iters
 
     x = jnp.zeros_like(ladder.b64)
