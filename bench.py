@@ -131,14 +131,18 @@ def main():
 
     cfg = get_config()
     t0 = time.perf_counter()
-    ladder = mg.build_device_ladder(h, sysm.b_hat)
-    jax.block_until_ready(ladder.w64)
-    log(f"[bench] f64 ladder upload: {time.perf_counter() - t0:.1f}s")
+    ladder = mg.build_df_ladder(h, sysm, sysm.b_hat)
+    jax.block_until_ready(ladder.Whi0)
+    log(f"[bench] double-f32 ladder upload: {time.perf_counter() - t0:.1f}s")
 
     def full_solve():
-        """Fused device-resident F-cycle rounds (one dispatch + one scalar
-        pull per round): f64 residual ladder + f32 MG-PCG corrections."""
-        return mg.solve_fcycle_device(h, ladder, 1e-10, inner_iters=14, max_rounds=8)
+        """Double-float32 F-cycle: the finest level runs entirely on the f32
+        VPU (error-free-transformation defects), coarser levels use cheap
+        f64; one dispatch chain + one scalar pull per round."""
+        from pde_solver_tpu.ops import df32 as _df
+        x_hi, x_lo, iters, relres = mg.solve_fcycle_df(
+            h, ladder, 1e-8, inner_iters=14, max_rounds=12)
+        return (x_hi, x_lo), iters, relres
 
     t0 = time.perf_counter()
     x_hat, iters, relres = full_solve()
@@ -155,7 +159,8 @@ def main():
 
     # physics sanity + postprocess timing (excluded from the metric)
     t0 = time.perf_counter()
-    x_np = np.asarray(x_hat, dtype=np.float64)
+    from pde_solver_tpu.ops import df32 as _df
+    x_np = _df.df_to_f64(np.asarray(x_hat[0]), np.asarray(x_hat[1]))
     log(f"[bench] solution retrieval: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     u = sysm.from_hat_x(x_np)
