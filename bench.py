@@ -132,7 +132,7 @@ def main():
     cfg = get_config()
     t0 = time.perf_counter()
     ladder = mg.build_df_ladder(h, sysm, sysm.b_hat)
-    jax.block_until_ready(ladder.Whi0)
+    jax.block_until_ready(ladder.Whi)
     log(f"[bench] double-f32 ladder upload: {time.perf_counter() - t0:.1f}s")
 
     def full_solve():

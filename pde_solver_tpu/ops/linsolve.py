@@ -296,19 +296,23 @@ def solve_stencil_system(
         # (2× the f32 bytes over a ~30 MB/s link).  Per round only the f32
         # residual/correction vectors cross the link.
         if hierarchy is not None:
-            # Nested iteration (full multigrid): coarse Galerkin problems
-            # solved first and prolonged as initial guesses, so each level's
-            # f32 correction is small-norm — the plain refinement loop stalls
-            # at κ_eff·ε32 on ill-conditioned problems (see ops.multigrid).
-            from pde_solver_tpu.ops.multigrid import solve_nested
-            x_hat, iters, relres = solve_nested(
-                hierarchy, sysm.b_hat, cfg.tol, cfg.mg_inner_tol,
-                cfg.mg_maxiter, max_rounds=cfg.refine_rounds)
+            # Double-float32 F-cycle (ops.multigrid): Galerkin ladder with an
+            # exact f64 coarsest anchor and error-free-transformation defects
+            # at the finest level — beats the κ_eff·ε32 floor that stalls a
+            # plain f32 refinement loop on ill-conditioned problems.
+            from pde_solver_tpu.ops import df32
+            from pde_solver_tpu.ops.multigrid import (build_df_ladder,
+                                                      solve_fcycle_df)
+            ladder = build_df_ladder(hierarchy, sysm, sysm.b_hat)
+            x_hi, x_lo, iters, relres = solve_fcycle_df(
+                hierarchy, ladder, max(cfg.tol, 1e-9),
+                max_rounds=max(cfg.refine_rounds, 8))
+            x_hat = df32.df_to_f64(np.asarray(x_hi), np.asarray(x_lo))
             x = sysm.from_hat_x(x_hat)
             stats = SolveStats(
                 iterations=np.int32(iters),
                 relative_residual=np.float64(relres),
-                converged=bool(relres <= cfg.tol * 100),
+                converged=bool(relres <= 1e-6),
             )
             return x, stats
         else:

@@ -978,52 +978,44 @@ def solve_fcycle_fused(h: MGHierarchy, ladder: DeviceLadder, tol: float,
 # are ≤1/8 the size, so their f64 refreshes stay as-is.
 
 class DFLadder(NamedTuple):
-    Whi0: Tuple[jnp.ndarray, ...]     # finest weights, double-f32 pair
-    Wlo0: Tuple[jnp.ndarray, ...]
+    """Per-level double-f32 stencil pairs + f32 transfer scales.
+
+    No float64 tensor ever touches the device: emulated-f64 programs both
+    run ~50× slower and intermittently crash the tunneled TPU worker.  The
+    only f64 left is the host-side dense coarsest solve."""
+
+    Whi: Tuple[Tuple[jnp.ndarray, ...], ...]   # per level
+    Wlo: Tuple[Tuple[jnp.ndarray, ...], ...]
     bhi0: jnp.ndarray
     blo0: jnp.ndarray
-    w32_0: Tuple[jnp.ndarray, ...]    # finest f32 weights (ascend refresh)
-    scale32_0: tuple                  # finest scale arrays in f32
-    scale32_1: tuple
-    free32_0: jnp.ndarray
-    free32_1: jnp.ndarray
-    # f64 data for levels >= 1 (small)
-    w64: Tuple[Tuple[jnp.ndarray, ...], ...]
-    scale64: Tuple[tuple, ...]
-    free64: Tuple[jnp.ndarray, ...]
+    scale32: Tuple[tuple, ...]                 # per level, f32
+    free32: Tuple[jnp.ndarray, ...]
 
 
 def build_df_ladder(h: MGHierarchy, sysm, b_hat: np.ndarray) -> DFLadder:
     from pde_solver_tpu.ops import df32
 
-    Whi, Wlo = df32.pack_df_weights(h.levels[0].host_weights)
+    Whis, Wlos, scales, frees = [], [], [], []
+    for lv in h.levels:
+        Whi, Wlo = df32.pack_df_weights(lv.host_weights)
+        Whis.append(Whi)
+        Wlos.append(Wlo)
+        scales.append(tuple(jnp.asarray(S, dtype=jnp.float32)
+                            for S in lv.host_scale))
+        frees.append(lv.free)
     bhi_np, blo_np = df32.df_from_f64(np.asarray(b_hat, dtype=np.float64))
-    w64, sc64, fr64 = [], [], []
-    for lv in h.levels[1:]:
-        w64.append(tuple(jnp.asarray(W, dtype=jnp.float64)
-                         for W in lv.host_weights))
-        sc64.append(tuple(jnp.asarray(S) for S in lv.host_scale))
-        fr64.append(jnp.asarray(np.asarray(lv.free), dtype=jnp.float64))
-    f, c = h.levels[0], h.levels[1]
-    return DFLadder(
-        Whi0=Whi, Wlo0=Wlo,
-        bhi0=jnp.asarray(bhi_np), blo0=jnp.asarray(blo_np),
-        w32_0=f.weights,
-        scale32_0=tuple(jnp.asarray(S, dtype=jnp.float32)
-                        for S in f.host_scale),
-        scale32_1=tuple(jnp.asarray(S, dtype=jnp.float32)
-                        for S in c.host_scale),
-        free32_0=f.free, free32_1=c.free,
-        w64=tuple(w64), scale64=tuple(sc64), free64=tuple(fr64))
+    return DFLadder(Whi=tuple(Whis), Wlo=tuple(Wlos),
+                    bhi0=jnp.asarray(bhi_np), blo0=jnp.asarray(blo_np),
+                    scale32=tuple(scales), free32=tuple(frees))
 
 
-@partial(jax.jit, static_argnames=("h_struct", "inner_iters"))
-def _jit_finest_ascend32(h_struct, level_arrays, w32_0, scale32_0, scale32_1,
-                         free32_0, r32, e1_32, inner_iters):
-    """Finest ascend step, all f32: prolong e1, refresh ρ, MG-PCG correct.
+@partial(jax.jit, static_argnames=("h_struct", "inner_iters", "n_corr"))
+def _jit_ascend_df(h_struct, level_arrays, Whi_m, Wlo_m, scale_m, scale_c,
+                   free_m, r_m, e_c, inner_iters, n_corr):
+    """Ascend step at one level, float32-only: prolong e, then ``n_corr``
+    rounds of df32-exact residual refresh + f32 MG-PCG correction."""
+    from pde_solver_tpu.ops.df32 import df_stencil_residual
 
-    Returns the combined finest correction d32 (to be pair-accumulated) and
-    the inner iteration count."""
     (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
     levels = []
     for i, arrs in enumerate(level_arrays):
@@ -1031,23 +1023,30 @@ def _jit_finest_ascend32(h_struct, level_arrays, w32_0, scale32_0, scale32_1,
         levels.append(MGLevel(offsets_per_level[i], weights, free,
                               omegas[i], s, C, Cinv, Ainv))
     hh = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
-    e0 = _jit_prolong_hat64(scale32_0, scale32_1, free32_0, e1_32, grid_dim)
-    rho = r32 - _stencil_apply(offsets_per_level[0], w32_0, e0, grid_dim,
-                               vdim)
-    scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1), rho.reshape(-1))),
-                        1e-30)
-    d32, k, _ = mg_pcg(hh, rho / scale, jnp.zeros_like(rho), 1e-5,
-                       inner_iters)
-    return e0 + scale * d32, k
+
+    e = _jit_prolong_hat64(scale_m, scale_c, free_m, e_c, grid_dim)
+    zero = jnp.zeros_like(r_m)
+    iters = jnp.asarray(0, jnp.int32)
+    for _ in range(n_corr):
+        # exact cancellation of r_m − A e even though both are single f32:
+        # TwoProd makes the products error-free
+        rho, _ = df_stencil_residual(offsets_per_level[0], Whi_m, Wlo_m,
+                                     r_m, zero, e, zero, grid_dim, vdim)
+        scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
+                                              rho.reshape(-1))), 1e-30)
+        d32, k, _ = mg_pcg(hh, rho / scale, jnp.zeros_like(rho), 1e-5,
+                           inner_iters)
+        e = e + scale * d32
+        iters = iters + k
+    return e, iters
 
 
 def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
                     inner_iters: int = 14, max_rounds: int = 10):
-    """Double-float32 F-cycle rounds; returns (x_hi, x_lo, iters, relres).
+    """Double-float32 F-cycle rounds; float32-only on device.
 
-    The solution is maintained as an f32 pair; convert with
-    ``df32.df_to_f64``."""
-    from pde_solver_tpu.ops import df32
+    Returns (x_hi, x_lo, iters, relres); convert with ``df32.df_to_f64``."""
+    from pde_solver_tpu.ops.df32 import jit_df_residual, jit_df_update
 
     d, vdim = h.grid_dim, h.vdim
     L = len(h.levels) - 1
@@ -1074,35 +1073,29 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
     total = 0
     relres = 1.0
     for rnd in range(max_rounds):
-        from pde_solver_tpu.ops.df32 import jit_df_residual, jit_df_update
-        r32, rnorm2 = jit_df_residual(offsets0, ladder.Whi0, ladder.Wlo0,
+        r32, rnorm2 = jit_df_residual(offsets0, ladder.Whi[0], ladder.Wlo[0],
                                       ladder.bhi0, ladder.blo0,
                                       x_hi, x_lo, d, vdim)
         relres = float(np.sqrt(float(rnorm2))) / bnorm
         if relres <= tol or not np.isfinite(relres):
             break
-        # descend: finest restrict in f32 (r is f32-accurate), deeper in f64
-        rc = _jit_restrict_hat64(ladder.scale32_0, ladder.scale32_1,
-                                 ladder.free32_1, r32, d)
-        rs = [jnp.asarray(rc, dtype=jnp.float64)]
-        for m in range(1, L):
-            rs.append(_jit_restrict_hat64(ladder.scale64[m - 1],
-                                          ladder.scale64[m],
-                                          ladder.free64[m], rs[m - 1], d))
-        rL = np.asarray(rs[L - 1], dtype=np.float64)
-        e = jnp.asarray((host_Ainv @ rL.reshape(-1)).reshape(rL.shape))
-        for m in range(L - 1, 0, -1):
-            e, k = _jit_ascend_step(h_struct_from(m), level_arrays_from(m),
-                                    ladder.w64[m - 1], ladder.scale64[m - 1],
-                                    ladder.scale64[m], ladder.free64[m - 1],
-                                    rs[m - 1], e, m, inner_iters,
-                                    n_corr=1 if m == 0 else 2)
+        # descend (all f32 — the residual itself carries f32 information)
+        rs = [r32]
+        for m in range(L):
+            rs.append(_jit_restrict_hat64(ladder.scale32[m],
+                                          ladder.scale32[m + 1],
+                                          ladder.free32[m + 1], rs[m], d))
+        # coarsest: exact dense solve on host in f64 (the precision anchor)
+        rL = np.asarray(rs[L], dtype=np.float64)
+        e = jnp.asarray((host_Ainv @ rL.reshape(-1)).reshape(rL.shape),
+                        dtype=jnp.float32)
+        for m in range(L - 1, -1, -1):
+            e, k = _jit_ascend_df(h_struct_from(m), level_arrays_from(m),
+                                  ladder.Whi[m], ladder.Wlo[m],
+                                  ladder.scale32[m], ladder.scale32[m + 1],
+                                  ladder.free32[m], rs[m], e, inner_iters,
+                                  1 if m == 0 else 2)
             total += int(k)
-        d32, k = _jit_finest_ascend32(h_struct_from(0), level_arrays_from(0),
-                                      ladder.w32_0, ladder.scale32_0,
-                                      ladder.scale32_1, ladder.free32_0,
-                                      r32, e.astype(jnp.float32), inner_iters)
-        total += int(k)
         x_hi, x_lo = jit_df_update(x_hi, x_lo, jnp.asarray(1.0, jnp.float32),
-                                   d32)
+                                   e)
     return x_hi, x_lo, total, relres
