@@ -131,6 +131,13 @@ def run_transient(
 ) -> TransientResult:
     cfg = config or get_config()
     prec = cfg.resolve_precision()
+    if prec == "mixed":
+        # No f64 inside device scans: emulated-f64 programs compile 10-40×
+        # slower and intermittently crash the tunneled TPU worker (see
+        # CLAUDE.md).  Implicit stepping is contractive and each step is
+        # solved to 1e-6 with a warm start, so a pure-f32 scan holds the
+        # trajectory well below the time-discretization error.
+        prec = "f32"
     d = mesh.dim
     n = int(np.prod(mesh.node_shape)) * vdim
     maxiter = cfg.resolved_maxiter(n)
