@@ -20,7 +20,7 @@ for double-double on GPUs, applied here to the TPU's f32-only fast path.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +92,138 @@ def df_scale_add(x_hi, x_lo, alpha, d):
 # Stencil defect in double-float32
 # ----------------------------------------------------------------------
 
+class CSPairOp(NamedTuple):
+    """Constant-interior form of a double-f32 stencil pair.
+
+    Same decomposition as :class:`~pde_solver_tpu.ops.linsolve.CSOp`
+    (constant interior weights + exact thickness-2 boundary slabs), with
+    every weight stored as an (hi, lo) float32 pair.  Like CSOp this is NOT
+    wired into the XLA solve paths (no speedup under XLA fusion — see the
+    CSOp docstring); it is the weight representation for Pallas defect
+    kernels.
+    """
+
+    wc_hi: jnp.ndarray                 # [n_off] | [n_off, v, v]
+    wc_lo: jnp.ndarray
+    slabs_hi: Tuple[jnp.ndarray, ...]  # 2·grid_dim stacked face arrays
+    slabs_lo: Tuple[jnp.ndarray, ...]
+
+
+def pack_df_weights_cs(host_weights64, grid_dim: int
+                       ) -> "Optional[CSPairOp]":
+    """CS split of f64 host weights into (hi, lo) pairs, or None when the
+    stencil is not exactly translation-invariant on the strict interior."""
+    from pde_solver_tpu.ops.linsolve import _CS_SHELL
+    t = _CS_SHELL
+    W0 = np.asarray(host_weights64[0])
+    node_shape = W0.shape[:grid_dim]
+    if any(int(s) < 2 * t + 1 for s in node_shape):
+        return None
+    interior = tuple(slice(t, -t) for _ in range(grid_dim))
+    center = tuple(int(s) // 2 for s in node_shape)
+    wcs = []
+    for W in host_weights64:
+        W = np.asarray(W, dtype=np.float64)
+        c = W[center]
+        if not np.all(W[interior + (Ellipsis,)] == c):
+            return None
+        wcs.append(c)
+    wc_hi, wc_lo = df_from_f64(np.stack(wcs))
+    slabs_hi, slabs_lo = [], []
+    for axis in range(grid_dim):
+        for side in (0, 1):
+            idx = tuple(
+                (slice(0, t) if side == 0
+                 else slice(node_shape[axis] - t, node_shape[axis]))
+                if a == axis else slice(None)
+                for a in range(grid_dim))
+            slab64 = np.stack([np.asarray(W, dtype=np.float64)[idx + (Ellipsis,)]
+                               for W in host_weights64])
+            hi, lo = df_from_f64(slab64)
+            slabs_hi.append(jnp.asarray(hi))
+            slabs_lo.append(jnp.asarray(lo))
+    return CSPairOp(wc_hi=jnp.asarray(wc_hi), wc_lo=jnp.asarray(wc_lo),
+                    slabs_hi=tuple(slabs_hi), slabs_lo=tuple(slabs_lo))
+
+
+def _df_cs_residual(offsets: Tuple[Offset, ...], op: CSPairOp,
+                    b_hi, b_lo, x_hi, x_lo, grid_dim: int, vdim: int):
+    """CS-form df32 defect: constant-weight pass + exact slab overwrite.
+    Identical EFT accumulation order as the dense path within each region."""
+    from pde_solver_tpu.ops.linsolve import _CS_SHELL
+    t = _CS_SHELL
+    pad = [(1, 1)] * grid_dim + [(0, 0)] * (x_hi.ndim - grid_dim)
+    xh = jnp.pad(x_hi, pad)
+    xl = jnp.pad(x_lo, pad)
+    shape = x_hi.shape[:grid_dim]
+
+    def accum(sl_list, Wh_at, Wl_at, bh_r, bl_r):
+        if vdim == 1:
+            rshape = bh_r.shape
+            s = jnp.zeros(rshape, jnp.float32)
+            e = jnp.zeros(rshape, jnp.float32)
+            for i, sl in enumerate(sl_list):
+                xsh = xh[sl]
+                xsl = xl[sl]
+                Wh, Wl = Wh_at(i), Wl_at(i)
+                p, pe = two_prod(Wh, xsh)
+                pe = pe + Wh * xsl + Wl * xsh
+                s, e2 = two_sum(s, p)
+                e, e3 = two_sum(e, e2 + pe)
+                s, e4 = fast_two_sum(s, e3)
+                e = e + e4
+            rs, re = two_sum(bh_r, -s)
+            return rs + (re + bl_r - e)
+        rshape = bh_r.shape[:-1]
+        comps = []
+        for a in range(vdim):
+            s = jnp.zeros(rshape, jnp.float32)
+            e = jnp.zeros(rshape, jnp.float32)
+            for i, sl in enumerate(sl_list):
+                xsh = xh[sl + (Ellipsis,)]
+                xsl = xl[sl + (Ellipsis,)]
+                Wh, Wl = Wh_at(i), Wl_at(i)
+                for c in range(vdim):
+                    wh = Wh[..., a, c]
+                    wl = Wl[..., a, c]
+                    p, pe = two_prod(wh, xsh[..., c])
+                    pe = pe + wh * xsl[..., c] + wl * xsh[..., c]
+                    s, e2 = two_sum(s, p)
+                    e, e3 = two_sum(e, e2 + pe)
+                    s, e4 = fast_two_sum(s, e3)
+                    e = e + e4
+            rs, re = two_sum(bh_r[..., a], -s)
+            comps.append(rs + (re + bl_r[..., a] - e))
+        return jnp.stack(comps, axis=-1)
+
+    main_slices = [tuple(slice(1 + o, 1 + o + n) for o, n in zip(off, shape))
+                   for off in offsets]
+    r = accum(main_slices, lambda i: op.wc_hi[i], lambda i: op.wc_lo[i],
+              b_hi, b_lo)
+    face = 0
+    for axis in range(grid_dim):
+        for side in (0, 1):
+            SH = op.slabs_hi[face]
+            SL = op.slabs_lo[face]
+            face += 1
+            base = 1 if side == 0 else shape[axis] - t + 1
+            sls = [tuple(slice(base + off[a], base + off[a] + t) if a == axis
+                         else slice(1 + off[a], 1 + off[a] + shape[a])
+                         for a in range(grid_dim)) for off in offsets]
+            set_idx = tuple(
+                (slice(0, t) if side == 0 else slice(shape[a] - t, shape[a]))
+                if a == axis else slice(None)
+                for a in range(grid_dim))
+            r_s = accum(sls,
+                        lambda i, SH=SH: SH[i],
+                        lambda i, SL=SL: SL[i],
+                        b_hi[set_idx + (Ellipsis,)],
+                        b_lo[set_idx + (Ellipsis,)])
+            r = r.at[set_idx + (Ellipsis,)].set(r_s)
+    rnorm2 = jnp.vdot(r.reshape(-1), r.reshape(-1))
+    return r, rnorm2
+
+
 def df_stencil_residual(offsets: Tuple[Offset, ...], W_hi, W_lo,
                         b_hi, b_lo, x_hi, x_lo,
                         grid_dim: int, vdim: int):
@@ -103,7 +235,13 @@ def df_stencil_residual(offsets: Tuple[Offset, ...], W_hi, W_lo,
     Returns the residual as a single f32 array (once the cancellation is
     done exactly, f32 represents r to 1e-7 of its own norm, which is all the
     downstream f32 solves can use) plus ‖r‖² in f32.
+
+    ``W_hi`` may be a :class:`CSPairOp` (constant-interior form) — then
+    ``W_lo`` is ignored (pass None).
     """
+    if isinstance(W_hi, CSPairOp):
+        return _df_cs_residual(offsets, W_hi, b_hi, b_lo, x_hi, x_lo,
+                               grid_dim, vdim)
     pad = [(1, 1)] * grid_dim + [(0, 0)] * (x_hi.ndim - grid_dim)
     xh = jnp.pad(x_hi, pad)
     xl = jnp.pad(x_lo, pad)

@@ -152,8 +152,137 @@ def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
 # Device programs (each small — compile stays cheap; see module docstring)
 # ----------------------------------------------------------------------
 
+class CSOp(NamedTuple):
+    """Constant-interior stencil operator: tiny constant weights + boundary
+    slab recompute.
+
+    On a translation-invariant structured mesh every interior node assembles
+    the identical element neighbourhood, and the baked-in diagonal scaling is
+    likewise constant away from the boundary — so the full per-node weight
+    arrays (27 offsets × v² components × N nodes ≈ 660 MB at 2M DOF) carry
+    ~1 scalar of information each.  This representation stores the constant
+    interior stencil (`wc`, a few hundred scalars) plus exact dense weights
+    on the six thickness-2 boundary face slabs only (~14 % of N).
+
+    Apply = constant-stencil pass over the whole grid, then overwrite the six
+    face slabs with the exact dense computation.  Rows whose weights differ
+    from the interior constant anywhere deeper than the two outermost node
+    layers (spatially-varying coefficients, interior Dirichlet shells) fail
+    the builder's exact-equality check and fall back to the dense operator.
+
+    NOTE (measured on v5e, 2M-DOF elasticity): under plain XLA this form is
+    NOT faster than the dense per-node apply — XLA's fusion already tiles x,
+    the shifted reads / slab updates dominate, and the extra HLO ops inflate
+    compile time ~10× (const-only pass: 1.85 ms vs 3.3 ms dense; with slab
+    fixups: 3.96 ms).  It is therefore NOT wired into the XLA solve paths;
+    it exists as the weight representation for the Pallas flat-stencil
+    kernel, where wc lives in registers/VMEM and the SpMV becomes
+    x-traffic-bound.  See BENCH_NOTES.md.
+    """
+
+    wc: jnp.ndarray                            # [n_off] | [n_off, v, v]
+    slabs: Tuple[jnp.ndarray, ...]             # 2·grid_dim stacked face arrays
+
+
+# Dirichlet column-masking perturbs weights one node INSIDE the boundary
+# too (couplings into constrained nodes are zeroed), so the recomputed
+# boundary shell is two nodes thick.
+_CS_SHELL = 2
+
+
+def make_cs_op(offsets: Tuple[Offset, ...], weights_np, grid_dim: int,
+               vdim: int, dtype) -> Optional[CSOp]:
+    """Build a CSOp from per-node weight arrays, or None if the stencil is
+    not exactly translation-invariant on the strict interior."""
+    t = _CS_SHELL
+    W0 = np.asarray(weights_np[0])
+    node_shape = W0.shape[:grid_dim]
+    if any(int(s) < 2 * t + 1 for s in node_shape):
+        return None
+    interior = tuple(slice(t, -t) for _ in range(grid_dim))
+    center = tuple(int(s) // 2 for s in node_shape)
+    wcs = []
+    for W in weights_np:
+        W = np.asarray(W, dtype=np.float64)
+        c = W[center]
+        if not np.all(W[interior + (Ellipsis,)] == c):
+            return None
+        wcs.append(c)
+    slabs_np = [[] for _ in range(2 * grid_dim)]
+    for Wsrc in weights_np:
+        W = np.asarray(Wsrc, dtype=np.float64)
+        f = 0
+        for axis in range(grid_dim):
+            for side in (0, 1):
+                idx = tuple(
+                    (slice(0, t) if side == 0
+                     else slice(node_shape[axis] - t, node_shape[axis]))
+                    if a == axis else slice(None)
+                    for a in range(grid_dim))
+                slabs_np[f].append(W[idx + (Ellipsis,)])
+                f += 1
+    wc = jnp.asarray(np.stack(wcs), dtype=dtype)
+    slabs = tuple(jnp.asarray(np.stack(sl), dtype=dtype) for sl in slabs_np)
+    return CSOp(wc=wc, slabs=slabs)
+
+
+def _apply_cs(offsets: Tuple[Offset, ...], op: CSOp, x: jnp.ndarray,
+              grid_dim: int, vdim: int) -> jnp.ndarray:
+    pad = [(1, 1)] * grid_dim + [(0, 0)] * (x.ndim - grid_dim)
+    xp = jnp.pad(x, pad)
+    shape = x.shape[:grid_dim]
+    # Constant pass.  For blocks, expand into explicit scalar multiplies: an
+    # einsum with a constant [v, v] matrix lowers to an MXU matmul in DEFAULT
+    # (bf16-pass) precision on TPU — numerically wrong for the smoother.
+    # Scalar broadcasts stay on the VPU in full f32.
+    if vdim == 1:
+        y = None
+        for i, off in enumerate(offsets):
+            sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+            xs = xp[sl]
+            term = op.wc[i] * xs
+            y = term if y is None else y + term
+    else:
+        comps = [None] * vdim
+        for i, off in enumerate(offsets):
+            sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+            xs = xp[sl + (Ellipsis,)]
+            for a in range(vdim):
+                term = None
+                for b in range(vdim):
+                    tb = op.wc[i, a, b] * xs[..., b]
+                    term = tb if term is None else term + tb
+                comps[a] = term if comps[a] is None else comps[a] + term
+        y = jnp.stack(comps, axis=-1)
+    t = _CS_SHELL
+    face = 0
+    for axis in range(grid_dim):
+        for side in (0, 1):
+            SW = op.slabs[face]
+            face += 1
+            base = 1 if side == 0 else shape[axis] - t + 1
+            ys = None
+            for i, off in enumerate(offsets):
+                sl = tuple(
+                    slice(base + off[a], base + off[a] + t) if a == axis
+                    else slice(1 + off[a], 1 + off[a] + shape[a])
+                    for a in range(grid_dim))
+                xs = xp[sl + (Ellipsis,)]
+                term = (SW[i] * xs if vdim == 1
+                        else jnp.einsum("...ij,...j->...i", SW[i], xs))
+                ys = term if ys is None else ys + term
+            set_idx = tuple(
+                (slice(0, t) if side == 0 else slice(shape[a] - t, shape[a]))
+                if a == axis else slice(None)
+                for a in range(grid_dim))
+            y = y.at[set_idx + (Ellipsis,)].set(ys)
+    return y
+
+
 def _stencil_apply(offsets: Tuple[Offset, ...], weights, x: jnp.ndarray,
                    grid_dim: int, vdim: int) -> jnp.ndarray:
+    if isinstance(weights, CSOp):
+        return _apply_cs(offsets, weights, x, grid_dim, vdim)
     pad = [(1, 1)] * grid_dim + [(0, 0)] * (x.ndim - grid_dim)
     xp = jnp.pad(x, pad)
     shape = x.shape[:grid_dim]
@@ -223,6 +352,16 @@ def _jit_residual64(offsets, weights64, b64, x64, grid_dim, vdim):
 @jax.jit
 def _jit_axpy64(x64, scale, d32):
     return x64 + scale * d32.astype(jnp.float64)
+
+
+def device_operator(offsets: Tuple[Offset, ...], weights_np, grid_dim: int,
+                    vdim: int, dtype):
+    """Device form of a scaled stencil: CSOp when translation-invariant,
+    dense weight tuple otherwise.  Either feeds :func:`_stencil_apply`."""
+    cs = make_cs_op(offsets, weights_np, grid_dim, vdim, dtype)
+    if cs is not None:
+        return cs
+    return tuple(jnp.asarray(W, dtype=dtype) for W in weights_np)
 
 
 # ----------------------------------------------------------------------

@@ -538,13 +538,6 @@ def _host_pack(level: MGLevel, node_shape, vdim: int):
     return _HOST_PACK_CACHE[key]
 
 
-@partial(jax.jit, static_argnames=("offsets", "grid_dim", "vdim"))
-def _jit_residual64_dev(offsets, w64, b64, x64, grid_dim, vdim):
-    r = b64 - _stencil_apply(offsets, w64, x64, grid_dim, vdim)
-    rnorm2 = jnp.vdot(r.reshape(-1), r.reshape(-1))
-    return r, rnorm2
-
-
 @partial(jax.jit, static_argnames=("grid_dim",))
 def _jit_restrict_hat64(fine_scale, coarse_scale, coarse_free, r64, grid_dim):
     """f64 scaled restriction, level l → l+1 on device.
@@ -569,46 +562,11 @@ def _jit_prolong_hat64(fine_scale, coarse_scale, fine_free, e64, grid_dim):
     return fine_free * jnp.einsum("...ji,...j->...i", fine_scale[0], ef)  # C^T
 
 
-@jax.jit
-def _jit_add_scaled(x64, scale, d):
-    return x64 + scale * d.astype(jnp.float64)
-
-
-class DeviceLevel0(NamedTuple):
-    """Float64 device-resident data for the finest level (bench/TPU path):
-    keeps all O(N_fine) work on the accelerator — the host here may have a
-    single core, and the tunnel moves ~30 MB/s."""
-
-    w64: Tuple[jnp.ndarray, ...]
-    b64: jnp.ndarray
-    free64: jnp.ndarray
-    scale64: tuple            # (s,) or (C, Cinv) in f64
-    coarse_free64: jnp.ndarray
-    coarse_scale64: tuple
-
-
-def make_device_level0(h: MGHierarchy, sysm, b_hat: np.ndarray) -> DeviceLevel0:
-    f, c = h.levels[0], h.levels[1]
-    w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
-    if len(f.host_scale) == 1:
-        fs = (jnp.asarray(f.host_scale[0]),)
-        cs = (jnp.asarray(c.host_scale[0]),)
-    else:
-        fs = (jnp.asarray(f.host_scale[0]), jnp.asarray(f.host_scale[1]))
-        cs = (jnp.asarray(c.host_scale[0]), jnp.asarray(c.host_scale[1]))
-    return DeviceLevel0(
-        w64=w64, b64=jnp.asarray(b_hat, dtype=jnp.float64),
-        free64=jnp.asarray(np.asarray(f.free), dtype=jnp.float64),
-        scale64=fs, coarse_free64=jnp.asarray(np.asarray(c.free),
-                                              dtype=jnp.float64),
-        coarse_scale64=cs)
-
-
 def solve_nested(h: MGHierarchy, b_hat: np.ndarray, tol: float,
-                 inner_tol: float, maxiter: int, max_rounds: int = 10,
-                 device_level0: Optional[DeviceLevel0] = None,
-                 device_w64=None):
-    """Nested-iteration mixed-precision solve of the finest system.
+                 inner_tol: float, maxiter: int, max_rounds: int = 10):
+    """Nested-iteration mixed-precision solve of the finest system
+    (host-orchestrated reference path; the TPU fast path is
+    :func:`solve_fcycle_df`).
 
     Recursive FMG with float64 bookkeeping: each level is seeded by the
     prolonged solution of the Galerkin-coarse problem, then refined by
@@ -618,11 +576,7 @@ def solve_nested(h: MGHierarchy, b_hat: np.ndarray, tol: float,
     remaining small-norm correction.  The alternation + the f64 anchor is
     what beats the f32 accuracy floor ε32·κ(correction).
 
-    ``device_level0`` (preferred on TPU) keeps every finest-level O(N)
-    operation on the accelerator; only level-1-and-coarser vectors cross the
-    host boundary.  ``device_w64`` is the older residual-only variant.
-
-    Returns (x_hat float64 numpy/device, total_inner_iters, relres float).
+    Returns (x_hat float64 numpy, total_inner_iters, relres float).
     """
     import os as _os
     import sys as _sys
@@ -683,54 +637,11 @@ def solve_nested(h: MGHierarchy, b_hat: np.ndarray, tol: float,
         return x
 
     b64_np = np.asarray(b_hat, dtype=np.float64)
-
-    if device_level0 is None:
-        x = solve_level(0, b64_np, tol, max_rounds)
-        r = b64_np - _host_apply(h.levels[0], x, d, vdim)
-        relres = float(np.linalg.norm(r.reshape(-1))
-                       / max(np.linalg.norm(b64_np.reshape(-1)), 1e-300))
-        return x, stats["iters"], relres
-
-    # ---- device-resident finest level ----
-    dl = device_level0
-    f, c = h.levels[0], h.levels[1]
-    lv0_off = f.offsets
-    bnorm = float(np.sqrt(float(jnp.vdot(dl.b64.reshape(-1),
-                                         dl.b64.reshape(-1)))))
-    if bnorm == 0.0:
-        return np.zeros(dl.b64.shape), 0, 0.0
-
-    # seed: solve the Galerkin level-1 problem on host (cheap levels)
-    b_c = np.asarray(_jit_restrict_hat64(dl.scale64, dl.coarse_scale64,
-                                         dl.coarse_free64, dl.b64, d),
-                     dtype=np.float64)
-    x_c = solve_level(1, b_c, max(tol, 1e-9), max_rounds)
-    x64 = _jit_prolong_hat64(dl.scale64, dl.coarse_scale64, dl.free64,
-                             jnp.asarray(x_c), d)
-
-    relres = 1.0
-    for rnd in range(max_rounds):
-        r64, rnorm2 = _jit_residual64_dev(lv0_off, dl.w64, dl.b64, x64, d, vdim)
-        relres = float(np.sqrt(float(rnorm2))) / bnorm
-        _dbg(f"FINEST round {rnd}: relres={relres:.2e}")
-        if relres <= tol or not np.isfinite(relres):
-            break
-        # (a) coarse pre-correction: restrict on device, recurse on host
-        rc = np.asarray(_jit_restrict_hat64(dl.scale64, dl.coarse_scale64,
-                                            dl.coarse_free64, r64, d),
-                        dtype=np.float64)
-        dc = solve_level(1, rc, max(relres * 1e-2, 1e-10), 1)
-        x64 = x64 + _jit_prolong_hat64(dl.scale64, dl.coarse_scale64,
-                                       dl.free64, jnp.asarray(dc), d)
-        # (b) f32 MG-PCG on the remaining fine correction (device-resident)
-        r64, rnorm2 = _jit_residual64_dev(lv0_off, dl.w64, dl.b64, x64, d, vdim)
-        scale = float(np.sqrt(float(rnorm2))) + 1e-300
-        d32, k, rr32 = solve_mg(h, (r64 / scale).astype(jnp.float32), None,
-                                inner_tol, maxiter)
-        stats["iters"] += int(k)
-        _dbg(f"FINEST f32 solve: iters={int(k)} rec_relres={float(rr32):.1e}")
-        x64 = _jit_add_scaled(x64, scale, d32)
-    return np.asarray(x64, dtype=np.float64), stats["iters"], relres
+    x = solve_level(0, b64_np, tol, max_rounds)
+    r = b64_np - _host_apply(h.levels[0], x, d, vdim)
+    relres = float(np.linalg.norm(r.reshape(-1))
+                   / max(np.linalg.norm(b64_np.reshape(-1)), 1e-300))
+    return x, stats["iters"], relres
 
 
 # ----------------------------------------------------------------------
@@ -740,242 +651,21 @@ def solve_nested(h: MGHierarchy, b_hat: np.ndarray, tol: float,
 # The recursive host-driven ladder above converges in very few inner
 # iterations (~11 per f32 correction, gains ~1e-3 per round) — on the
 # tunneled TPU its cost is almost entirely dispatch/transfer latency, not
-# compute.  This variant keeps every vector on device and fuses each
-# ascend step into ONE jitted program per level:
+# compute.  The F-cycle variants below keep every vector on device and fuse
+# each ascend step into ONE jitted program per level:
 #
-#   descend:  r_{m+1} = R̂_m r_m                      (f64, device)
-#   coarsest: e_L = A_L^{-1} r_L                      (dense f64, device)
-#   ascend:   e_m = P̂ e_{m+1};  ρ = r_m − Â_m e_m;    (f64)
+#   descend:  r_{m+1} = R̂_m r_m                      (device)
+#   coarsest: e_L = A_L^{-1} r_L                      (dense, exact)
+#   ascend:   e_m = P̂ e_{m+1};  ρ = r_m − Â_m e_m;
 #             e_m += s · MG-PCG_f32(levels m.., ρ/s)  (fixed iteration count)
+#
+# The f64-grade bookkeeping (operators, rhs, solution, defects) is carried
+# in double-float32 pairs (see ops.df32): no float64 tensor ever touches the
+# device — emulated-f64 programs run ~50× slower and intermittently crash
+# the tunneled TPU worker.  The only true f64 is the host dense coarsest.
 #
 # One F-cycle is one outer round; the host loop pulls a single scalar per
 # round for the convergence check.
-
-class DeviceLadder(NamedTuple):
-    w64: Tuple[Tuple[jnp.ndarray, ...], ...]   # f64 scaled weights per level
-    scale64: Tuple[tuple, ...]                 # (s,) or (C, Cinv) per level
-    free64: Tuple[jnp.ndarray, ...]
-    Ainv64: jnp.ndarray                        # coarsest dense inverse
-    b64: jnp.ndarray                           # finest RHS (hat space)
-
-
-def build_device_ladder(h: MGHierarchy, b_hat: np.ndarray) -> DeviceLadder:
-    w64, sc64, fr64 = [], [], []
-    for lv in h.levels:
-        w64.append(tuple(jnp.asarray(W, dtype=jnp.float64)
-                         for W in lv.host_weights))
-        sc64.append(tuple(jnp.asarray(S) for S in lv.host_scale))
-        fr64.append(jnp.asarray(np.asarray(lv.free), dtype=jnp.float64))
-    Ainv = jnp.asarray(h.levels[-1].host_Ainv)
-    return DeviceLadder(tuple(w64), tuple(sc64), tuple(fr64), Ainv,
-                        jnp.asarray(b_hat, dtype=jnp.float64))
-
-
-@partial(jax.jit, static_argnames=("grid_dim",))
-def _jit_coarsest64(Ainv, r64, grid_dim):
-    return (Ainv @ r64.reshape(-1)).reshape(r64.shape)
-
-
-@partial(jax.jit, static_argnames=("h_struct", "level", "inner_iters",
-                                   "n_corr"))
-def _jit_ascend_step(h_struct, level_arrays, w64_m, scale_m, scale_c,
-                     free_m, r_m, e_c, level, inner_iters, n_corr=1):
-    """One fused ascend step at level ``level`` (see module comment).
-
-    ``h_struct``/``level_arrays`` describe the f32 sub-hierarchy levels[m:].
-    ``n_corr`` f64-residual-refreshed f32 corrections are applied (2 at
-    coarser levels lifts per-round gains from ~6× to ~1e2-1e3×).
-    Returns the f64 correction e_m and the inner iteration count.
-    """
-    (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
-    levels = []
-    for i, arrs in enumerate(level_arrays):
-        weights, free, s, C, Cinv, Ainv = arrs
-        levels.append(MGLevel(offsets_per_level[i], weights, free,
-                              omegas[i], s, C, Cinv, Ainv))
-    sub = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
-
-    e_m = _jit_prolong_hat64(scale_m, scale_c, free_m, e_c, grid_dim)
-    iters = jnp.asarray(0, jnp.int32)
-    for _ in range(n_corr):
-        rho = r_m - _stencil_apply(offsets_per_level[0], w64_m, e_m,
-                                   grid_dim, vdim)
-        scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
-                                              rho.reshape(-1))), 1e-300)
-        r32 = (rho / scale).astype(jnp.float32)
-        d32, k, _ = mg_pcg(sub, r32, jnp.zeros_like(r32), 1e-5, inner_iters)
-        e_m = e_m + scale * d32.astype(jnp.float64)
-        iters = iters + k
-    return e_m, iters
-
-
-def solve_fcycle_device(h: MGHierarchy, ladder: DeviceLadder, tol: float,
-                        inner_iters: int = 14, max_rounds: int = 12):
-    """Run device-resident F-cycle rounds until ‖r‖/‖b‖ ≤ tol.
-
-    Returns (x64 device array, total_inner_iters, relres)."""
-    d, vdim = h.grid_dim, h.vdim
-    L = len(h.levels) - 1
-
-    def h_struct_from(m):
-        return (tuple(lv.offsets for lv in h.levels[m:]),
-                tuple(lv.omega for lv in h.levels[m:]),
-                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
-
-    def level_arrays_from(m):
-        return tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
-                     for lv in h.levels[m:])
-
-    bnorm = float(jnp.sqrt(jnp.vdot(ladder.b64.reshape(-1),
-                                    ladder.b64.reshape(-1))))
-    if bnorm == 0.0:
-        return jnp.zeros_like(ladder.b64), 0, 0.0
-
-    import os as _os
-    import sys as _sys
-    debug = bool(_os.environ.get("PDE_TPU_MG_DEBUG"))
-
-    def _dbg(msg):
-        if debug:
-            print(f"[fcycle] {msg}", file=_sys.stderr, flush=True)
-
-    host_Ainv = h.levels[-1].host_Ainv
-
-    def fcycle(r0):
-        """One F-cycle: returns the f64 correction for residual r0."""
-        iters = 0
-        rs = [r0]
-        for m in range(L):
-            rs.append(_jit_restrict_hat64(ladder.scale64[m],
-                                          ladder.scale64[m + 1],
-                                          ladder.free64[m + 1], rs[m], d))
-            _dbg(f"restrict {m}->{m+1} ok")
-        # coarsest dense solve on HOST: the vector is tiny, and the emulated
-        # f64 matmul on device was implicated in TPU worker crashes
-        rL = np.asarray(rs[L], dtype=np.float64)
-        e = jnp.asarray((host_Ainv @ rL.reshape(-1)).reshape(rL.shape))
-        _dbg("coarsest host solve ok")
-        for m in range(L - 1, -1, -1):
-            e, k = _jit_ascend_step(h_struct_from(m), level_arrays_from(m),
-                                    ladder.w64[m], ladder.scale64[m],
-                                    ladder.scale64[m + 1], ladder.free64[m],
-                                    rs[m], e, m, inner_iters,
-                                    n_corr=1 if m == 0 else 2)
-            iters += int(k)
-            _dbg(f"ascend {m} ok (k={iters})")
-        return e, iters
-
-    x = jnp.zeros_like(ladder.b64)
-    total = 0
-    relres = 1.0
-    for rnd in range(max_rounds):
-        r, rnorm2 = _jit_residual64_dev(h.levels[0].offsets, ladder.w64[0],
-                                        ladder.b64, x, d, vdim)
-        relres = float(np.sqrt(float(rnorm2))) / bnorm
-        if relres <= tol or not np.isfinite(relres):
-            break
-        e, k = fcycle(r)
-        total += k
-        x = x + e
-    return x, total, relres
-
-
-def _fcycle_body(h: MGHierarchy, ladder_w64, ladder_scale64, ladder_free64,
-                 Ainv64, r0):
-    """One F-cycle correction, fully traced (called inside jit)."""
-    d, vdim = h.grid_dim, h.vdim
-    L = len(h.levels) - 1
-    iters = jnp.asarray(0, jnp.int32)
-    rs = [r0]
-    for m in range(L):
-        rs.append(_jit_restrict_hat64(ladder_scale64[m], ladder_scale64[m + 1],
-                                      ladder_free64[m + 1], rs[m], d))
-    e = (Ainv64 @ rs[L].reshape(-1)).reshape(rs[L].shape)
-    for m in range(L - 1, -1, -1):
-        e = _jit_prolong_hat64(ladder_scale64[m], ladder_scale64[m + 1],
-                               ladder_free64[m], e, d)
-        sub = MGHierarchy(h.levels[m:], d, vdim, h.pre_smooth, h.post_smooth,
-                          h.coarse_iters)
-        # two f64-residual-refreshed f32 corrections at coarser levels (the
-        # repeat is what lifts per-round gains from ~6× to ~1e2-1e3×); one
-        # at the finest, whose f64 SpMV dominates the cycle cost
-        n_corr = 1 if m == 0 else 2
-        for _ in range(n_corr):
-            rho = rs[m] - _stencil_apply(h.levels[m].offsets, ladder_w64[m],
-                                         e, d, vdim)
-            scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
-                                                  rho.reshape(-1))), 1e-300)
-            d32, k, _ = mg_pcg(sub, (rho / scale).astype(jnp.float32),
-                               jnp.zeros(rho.shape, jnp.float32), 1e-5, 14)
-            e = e + scale * d32.astype(jnp.float64)
-            iters = iters + k
-    return e, iters
-
-
-@partial(jax.jit, static_argnames=("h_struct", "passes"))
-def _jit_fcycle_round(h_struct, level_arrays, ladder_w64, ladder_scale64,
-                      ladder_free64, Ainv64, b64, x64, passes):
-    """``passes`` stacked F-cycle corrections with in-program f64 residual
-    recomputation between them; returns (x_new, ||r_new||², iters)."""
-    (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
-    levels = []
-    for i, arrs in enumerate(level_arrays):
-        weights, free, s, C, Cinv, Ainv = arrs
-        levels.append(MGLevel(offsets_per_level[i], weights, free,
-                              omegas[i], s, C, Cinv, Ainv))
-    h = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
-    iters = jnp.asarray(0, jnp.int32)
-    for _ in range(passes):
-        r = b64 - _stencil_apply(offsets_per_level[0], ladder_w64[0], x64,
-                                 grid_dim, vdim)
-        e, k = _fcycle_body(h, ladder_w64, ladder_scale64, ladder_free64,
-                            Ainv64, r)
-        x64 = x64 + e
-        iters = iters + k
-    r = b64 - _stencil_apply(offsets_per_level[0], ladder_w64[0], x64,
-                             grid_dim, vdim)
-    rnorm2 = jnp.vdot(r.reshape(-1), r.reshape(-1))
-    return x64, rnorm2, iters
-
-
-def solve_fcycle_fused(h: MGHierarchy, ladder: DeviceLadder, tol: float,
-                       passes: int = 2, max_rounds: int = 8):
-    """Device-resident fused F-cycle solve: one dispatch + one scalar pull
-    per round.  Returns (x64 device, total_inner_iters, relres)."""
-    d, vdim = h.grid_dim, h.vdim
-    h_struct = (tuple(lv.offsets for lv in h.levels),
-                tuple(lv.omega for lv in h.levels),
-                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
-    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
-                         for lv in h.levels)
-    bnorm = float(jnp.sqrt(jnp.vdot(ladder.b64.reshape(-1),
-                                    ladder.b64.reshape(-1))))
-    if bnorm == 0.0:
-        return jnp.zeros_like(ladder.b64), 0, 0.0
-    x = jnp.zeros_like(ladder.b64)
-    total = 0
-    relres = 1.0
-    for rnd in range(max_rounds):
-        x, rnorm2, k = _jit_fcycle_round(h_struct, level_arrays, ladder.w64,
-                                         ladder.scale64, ladder.free64,
-                                         ladder.Ainv64, ladder.b64, x, passes)
-        total += int(k)
-        relres = float(np.sqrt(float(rnorm2))) / bnorm
-        if relres <= tol or not np.isfinite(relres):
-            break
-    return x, total, relres
-
-
-# ----------------------------------------------------------------------
-# Double-float32 F-cycle (fastest TPU path)
-# ----------------------------------------------------------------------
-#
-# Same cycle as solve_fcycle_device, but every finest-level operation runs
-# in native f32 / double-f32 pairs (ops.df32): the outer defect r = b − A x
-# — the one place that genuinely needs f64-grade cancellation — is evaluated
-# with error-free transformations at ~12× f32 cost instead of ~500× emulated
-# f64, and no f64 weights are ever uploaded for the finest level.  Levels ≥1
-# are ≤1/8 the size, so their f64 refreshes stay as-is.
 
 class DFLadder(NamedTuple):
     """Per-level double-f32 stencil pairs + f32 transfer scales.
@@ -1098,4 +788,81 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
             total += int(k)
         x_hi, x_lo = jit_df_update(x_hi, x_lo, jnp.asarray(1.0, jnp.float32),
                                    e)
+    return x_hi, x_lo, total, relres
+
+
+@partial(jax.jit, static_argnames=("h_struct", "inner_iters"))
+def _jit_round_df(h_struct, level_arrays, Whi, Wlo, scale32, free32,
+                  Ainv32, bhi, blo, x_hi, x_lo, inner_iters):
+    """One complete F-cycle round as a single float32-only program:
+    df32 defect → descend → dense f32 coarsest solve (native MXU matmul) →
+    df-refreshed ascends → pair update.  Returns (x_hi, x_lo, ‖r‖², iters).
+    """
+    from pde_solver_tpu.ops.df32 import df_stencil_residual, df_scale_add
+
+    (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
+    levels = []
+    for i, arrs in enumerate(level_arrays):
+        weights, free, s, C, Cinv, Ainv = arrs
+        levels.append(MGLevel(offsets_per_level[i], weights, free,
+                              omegas[i], s, C, Cinv, Ainv))
+    L = len(levels) - 1
+
+    r32, rnorm2 = df_stencil_residual(offsets_per_level[0], Whi[0], Wlo[0],
+                                      bhi, blo, x_hi, x_lo, grid_dim, vdim)
+    rs = [r32]
+    for m in range(L):
+        rs.append(_jit_restrict_hat64(scale32[m], scale32[m + 1],
+                                      free32[m + 1], rs[m], grid_dim))
+    e = (Ainv32 @ rs[L].reshape(-1)).reshape(rs[L].shape)
+    iters = jnp.asarray(0, jnp.int32)
+    for m in range(L - 1, -1, -1):
+        e = _jit_prolong_hat64(scale32[m], scale32[m + 1], free32[m], e,
+                               grid_dim)
+        sub = MGHierarchy(tuple(levels[m:]), grid_dim, vdim, pre, post,
+                          coarse_iters)
+        zero = jnp.zeros_like(rs[m])
+        for _ in range(1 if m == 0 else 2):
+            rho, _ = df_stencil_residual(offsets_per_level[m], Whi[m], Wlo[m],
+                                         rs[m], zero, e, zero, grid_dim, vdim)
+            scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
+                                                  rho.reshape(-1))), 1e-30)
+            d32, k, _ = mg_pcg(sub, rho / scale, jnp.zeros_like(rho), 1e-5,
+                               inner_iters)
+            e = e + scale * d32
+            iters = iters + k
+    x_hi, x_lo = df_scale_add(x_hi, x_lo, jnp.asarray(1.0, jnp.float32), e)
+    return x_hi, x_lo, rnorm2, iters
+
+
+def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
+                     inner_iters: int = 14, max_rounds: int = 12):
+    """Per-round-fused float32 F-cycle: one dispatch + one scalar pull per
+    round.  Returns (x_hi, x_lo, iters, relres)."""
+    d, vdim = h.grid_dim, h.vdim
+    h_struct = (tuple(lv.offsets for lv in h.levels),
+                tuple(lv.omega for lv in h.levels),
+                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
+    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
+                         for lv in h.levels)
+    Ainv32 = jnp.asarray(h.levels[-1].host_Ainv, dtype=jnp.float32)
+    bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
+                                         ladder.bhi0.reshape(-1)))))
+    if bnorm == 0.0:
+        z = jnp.zeros_like(ladder.bhi0)
+        return z, z, 0, 0.0
+    x_hi = jnp.zeros_like(ladder.bhi0)
+    x_lo = jnp.zeros_like(ladder.bhi0)
+    total = 0
+    relres = 1.0
+    for rnd in range(max_rounds):
+        x_hi, x_lo, rnorm2, k = _jit_round_df(
+            h_struct, level_arrays, ladder.Whi, ladder.Wlo, ladder.scale32,
+            ladder.free32, Ainv32, ladder.bhi0, ladder.blo0, x_hi, x_lo,
+            inner_iters)
+        total += int(k)
+        # rnorm2 is the residual *before* this round's correction
+        relres = float(np.sqrt(float(rnorm2))) / bnorm
+        if relres <= tol or not np.isfinite(relres):
+            break
     return x_hi, x_lo, total, relres

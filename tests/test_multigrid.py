@@ -126,3 +126,38 @@ def test_nested_mixed_precision_facade():
         assert rel < 1e-6, rel
     finally:
         set_config(precision="auto", mg_threshold=20000)
+
+@pytest.mark.parametrize("variant", ["df", "df2"])
+def test_fcycle_df_variants_reach_deep_accuracy(variant):
+    """Both double-f32 F-cycles (host-looped and per-round-fused) reach
+    well below the plain-f32 floor on an elasticity system (E ~ 2e11)."""
+    mesh = box_mesh(16, 8, 8, (0, 0, 0), (1.0, 0.2, 0.2))
+    lam, mu = 1.21e11, 8.08e10
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+    b = assembly.assemble_vector_load(mesh, np.array([0.0, 0.0, -7.65e4]))
+    sysm = prepare_system(K, mesh, bc, b, 3)
+
+    def builder(mc):
+        return (assembly.assemble_elasticity_stencil(mc, lam, mu),
+                DirichletBC.from_masks([(mc.face_mask(0, 0), 0.0)],
+                                       mc.node_shape, vdim=3))
+
+    h = mg.build_hierarchy(mesh, sysm, builder, vdim=3, dtype=jnp.float32)
+    assert h is not None and len(h.levels) >= 2
+    ladder = mg.build_df_ladder(h, sysm, sysm.b_hat)
+    solver = mg.solve_fcycle_df if variant == "df" else mg.solve_fcycle_df2
+    x_hi, x_lo, iters, relres = solver(h, ladder, 1e-8, max_rounds=12)
+    assert float(relres) < 1e-7, float(relres)
+
+    # true f64 residual of the recombined solution against the host operator
+    from pde_solver_tpu.ops import df32
+    x_hat = df32.df_to_f64(np.asarray(x_hi), np.asarray(x_lo))
+    from pde_solver_tpu.ops.linsolve import np_stencil_apply
+    W64 = {o: np.asarray(w, dtype=np.float64)
+           for o, w in zip(sysm.offsets, sysm.weights)}
+    r = sysm.b_hat - np_stencil_apply(W64, x_hat, mesh.dim, 3)
+    true_rel = np.linalg.norm(r.reshape(-1)) / np.linalg.norm(
+        sysm.b_hat.reshape(-1))
+    assert true_rel < 5e-7, true_rel
