@@ -601,11 +601,11 @@ def plot_time_series_field(
     coords,
     values,
     times,
-    dim: int,
+    dim: int = 1,
     field_name: str = "u",
     unit: str = "",
     output_dir: str = "plots",
-    filename: Optional[str] = None,
+    filename: str = "field_timeseries_3d.html",
     domain_bounds=None,
     geometry_type: Optional[str] = None,
     geometry_params=None,

@@ -122,11 +122,36 @@ def load_field(data_file: str) -> TimeSeriesField:
 
 
 class _RenamingUnpickler(pickle.Unpickler):
-    """Map TimeSeriesField classes from other module paths onto ours."""
+    """Map TimeSeriesField classes from other module paths onto ours, and
+    restrict everything else to a numpy/stdlib safelist.
+
+    ``load_field`` is reachable from the MCP tool
+    ``plot_time_series_field_from_file`` with a caller-supplied path, so a
+    permissive unpickler would be an arbitrary-code-execution hole.  Only the
+    three local dataclasses plus the numpy reconstruction helpers (what a
+    pickled array-of-floats field actually needs) are allowed.
+    """
+
+    _SAFE = {
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy.core.numeric", "_frombuffer"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy._core.numeric", "_frombuffer"),
+        ("collections", "OrderedDict"),
+        ("builtins", "complex"),
+    }
 
     def find_class(self, module, name):  # noqa: D102
         if name == "TimeSeriesField":
             return TimeSeriesField
         if name in ("SolveResult", "PlotResult"):
             return {"SolveResult": SolveResult, "PlotResult": PlotResult}[name]
-        return super().find_class(module, name)
+        if (module, name) in self._SAFE or module.startswith("numpy.dtypes"):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} (not on the field-pickle "
+            "safelist)")

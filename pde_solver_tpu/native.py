@@ -47,7 +47,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        so = _SO if os.path.exists(_SO) else _build()
+        # Rebuild when the cached .so is missing OR older than the C++ source
+        # (a stale binary silently shadowing source edits is a correctness
+        # hazard; the .so is never checked into git).
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(_SRC)
+                     and os.path.getmtime(_SO) < os.path.getmtime(_SRC)))
+        so = _build() if stale else _SO
         if so is None:
             return None
         try:

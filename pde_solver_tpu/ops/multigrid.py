@@ -284,9 +284,14 @@ def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0) -> jnp.ndarray:
 
     if level == len(h.levels) - 1:
         if lv.Ainv is not None:
-            # exact dense solve (keeps the V-cycle a fixed SPD operator)
+            # exact dense solve (keeps the V-cycle a fixed SPD operator).
+            # precision=HIGHEST: default MXU matmul runs bf16 passes, which
+            # would make the coarse solve inexact → indefinite preconditioner
+            # (CLAUDE.md constant-matrix contraction rule).
             flat = r_hat.reshape(-1)
-            return (lv.Ainv @ flat).reshape(r_hat.shape)
+            return jnp.matmul(lv.Ainv, flat,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).reshape(r_hat.shape)
         # fallback: fixed-iteration CG (only when the dense inverse is too big)
         x = jnp.zeros_like(r_hat)
         r = r_hat
@@ -814,7 +819,10 @@ def _jit_round_df(h_struct, level_arrays, Whi, Wlo, scale32, free32,
     for m in range(L):
         rs.append(_jit_restrict_hat64(scale32[m], scale32[m + 1],
                                       free32[m + 1], rs[m], grid_dim))
-    e = (Ainv32 @ rs[L].reshape(-1)).reshape(rs[L].shape)
+    # precision=HIGHEST: keep the coarsest solve in true f32 (default MXU
+    # precision is bf16 passes — inexact coarse solve → indefinite V-cycle).
+    e = jnp.matmul(Ainv32, rs[L].reshape(-1),
+                   precision=jax.lax.Precision.HIGHEST).reshape(rs[L].shape)
     iters = jnp.asarray(0, jnp.int32)
     for m in range(L - 1, -1, -1):
         e = _jit_prolong_hat64(scale32[m], scale32[m + 1], free32[m], e,

@@ -79,6 +79,16 @@ REF_SIGS = {
                                    ("ny", 10), ("nz", 10), ("E", 210e9), ("nu", 0.3),
                                    ("body_fx", 0.0), ("body_fy", 0.0), ("body_fz", 0.0),
                                    ("quantity", "stress"), ("data_dir", "data")],
+    # Plot tools (reference fenics_mcp_server.py:2764-2937, :3409-3421).
+    "plot_time_series_field_from_file": [
+        ("data_file", inspect.Parameter.empty), ("field_name", None),
+        ("unit", None), ("output_dir", "plots"), ("filename", None)],
+    "plot_time_series_field": [
+        ("coords", inspect.Parameter.empty), ("values", inspect.Parameter.empty),
+        ("times", inspect.Parameter.empty), ("dim", 1), ("field_name", "u"),
+        ("unit", ""), ("output_dir", "plots"),
+        ("filename", "field_timeseries_3d.html"), ("domain_bounds", None),
+        ("geometry_type", None), ("geometry_params", None)],
 }
 
 

@@ -46,6 +46,10 @@ def test_cs_apply_matches_dense_scalar():
 
 
 def test_cs_apply_matches_dense_block():
+    # The CS apply expands the 3x3 block product into scalar multiplies, which
+    # changes the accumulation order vs the dense batched-einsum path — exact
+    # to a few ulps, not bitwise.  (Scalar stencils keep bitwise equality; see
+    # test_cs_apply_matches_dense_scalar.)
     mesh, sysm = _block_system()
     for dtype in (jnp.float64, jnp.float32):
         cs = make_cs_op(sysm.offsets, sysm.weights, 3, 3, dtype)
@@ -56,7 +60,9 @@ def test_cs_apply_matches_dense_block():
         dense = tuple(jnp.asarray(W, dtype=dtype) for W in sysm.weights)
         y_d = np.asarray(_stencil_apply(sysm.offsets, dense, x, 3, 3))
         y_c = np.asarray(_stencil_apply(sysm.offsets, cs, x, 3, 3))
-        assert np.array_equal(y_d, y_c), dtype
+        tol = 16 * np.finfo(np.dtype(dtype)).eps
+        scale = np.max(np.abs(y_d))
+        assert np.allclose(y_d, y_c, rtol=tol, atol=tol * scale), dtype
 
 
 def test_cs_fallback_for_varying_coefficients():
