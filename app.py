@@ -51,12 +51,42 @@ def run_streamlit() -> None:
             st.session_state.history = []
             st.rerun()
 
-    for entry in st.session_state.history:
+    def _downloads(entry, idx):
+        """Visualization HTML + data-pickle download buttons (reference
+        app.py:236-264 behavior: two columns when both artifacts exist)."""
+        html_path = entry.get("html_path")
+        data_file = entry.get("data_file")
+        if not (html_path and os.path.exists(html_path)):
+            return
+        if data_file and os.path.exists(data_file):
+            col1, col2 = st.columns(2)
+            with col1:
+                with open(html_path, "rb") as f:
+                    st.download_button(
+                        label="📥 Download Visualization HTML", data=f.read(),
+                        file_name=os.path.basename(html_path), mime="text/html",
+                        key=f"download_html_{idx}", use_container_width=True)
+            with col2:
+                with open(data_file, "rb") as f:
+                    st.download_button(
+                        label="📥 Download Data (Pickle)", data=f.read(),
+                        file_name=os.path.basename(data_file),
+                        mime="application/octet-stream",
+                        key=f"download_data_{idx}", use_container_width=True)
+        else:
+            with open(html_path, "rb") as f:
+                st.download_button(
+                    label="📥 Download Visualization HTML", data=f.read(),
+                    file_name=os.path.basename(html_path), mime="text/html",
+                    key=f"download_html_{idx}", use_container_width=True)
+
+    for idx, entry in enumerate(st.session_state.history):
         with st.chat_message(entry["role"]):
             st.markdown(entry["content"])
             if entry.get("html_path") and os.path.exists(entry["html_path"]):
                 with open(entry["html_path"]) as f:
                     components.html(f.read(), height=650, scrolling=True)
+                _downloads(entry, idx)
 
     prompt = st.chat_input("Describe a PDE problem...") or st.session_state.pop("pending", None)
     if prompt:
@@ -68,6 +98,7 @@ def run_streamlit() -> None:
         st.session_state.history.append({
             "role": "assistant", "content": reply,
             "html_path": result.get("html_path"),
+            "data_file": result.get("data_file"),
         })
         st.rerun()
 

@@ -554,7 +554,22 @@ class DispatcherAgent:
         solver_args: Dict[str, Any] = {}
         try:
             solver_name, solver_args = self.route(pde_params)
-            solver_result = await self.toolset.call(solver_name, solver_args)
+            # Time-scheme opt-in (framework extension — the reference only
+            # steps backward Euler): a "crank-nicolson" query rides the
+            # parser's notes channel and flips SolverConfig.theta for this
+            # solve.  In-process effect only (LocalToolSet); an external MCP
+            # server opts in via PDE_TPU_TIME_SCHEME=crank_nicolson.
+            wants_cn = any("crank_nicolson" in str(n)
+                           for n in (pde_params.notes or []))
+            if wants_cn:
+                from pde_solver_tpu.config import get_config, set_config
+                prev_theta = get_config().theta
+                set_config(theta=0.5)
+            try:
+                solver_result = await self.toolset.call(solver_name, solver_args)
+            finally:
+                if wants_cn:
+                    set_config(theta=prev_theta)
             if isinstance(solver_result, dict) and "error" in solver_result:
                 raise ValueError(f"Solver returned an error: {solver_result['error']}")
             data_file = _extract_value(solver_result, "data_file")

@@ -314,6 +314,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if m:
         out["nx"] = int(float(m.group(1)))
 
+    # --- time integration scheme (framework extension: the reference only
+    # has backward Euler; "crank-nicolson" requests ride the notes channel
+    # and flip SolverConfig.theta in the dispatcher) ---
+    if re.search(r"crank[\s–-]*nicol?son|trapezoidal\s+(?:rule|scheme|stepping)", t):
+        out["notes"] = ["time_scheme:crank_nicolson"]
+
     # --- coordinate system from geometry ---
     if out.get("geometry_type") == "cylinder":
         out.setdefault("coordinate_system", "cylindrical")

@@ -173,10 +173,14 @@ def solve_heat_3D(
         wfn = None
 
     has_composite = core_radius is not None and core_diffusivity is not None
-    kappa_cells = None
+    kappa_builder = None
     if has_composite:
-        kappa_cells = heat.composite_kappa_cells(
-            mesh, float(core_radius), float(diffusivity), float(core_diffusivity))
+        # Mesh-parametric marking (re-run per MG level) instead of a fixed
+        # per-cell array — enables geometric multigrid for composite solves.
+        def kappa_builder(m):
+            return heat.composite_kappa_cells(
+                m, float(core_radius), float(diffusivity),
+                float(core_diffusivity))
 
     use_directional = T_left is not None or T_right is not None or T_side is not None
 
@@ -200,7 +204,7 @@ def solve_heat_3D(
 
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=wfn, weight_quad_degree=4,
-        kappa_cells=kappa_cells, bc_builder=bc_builder,
+        kappa_builder=kappa_builder, bc_builder=bc_builder,
         source_type=source_type, source_value=source_value, steady=steady,
         T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude, initial_wavenumber=initial_wavenumber,

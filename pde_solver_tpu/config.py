@@ -40,6 +40,22 @@ class SolverConfig:
                                   # can't certify deeper anyway; the nested
                                   # refinement ladder supplies the depth
     snapshot_dtype: str = "f32"   # dtype snapshots are stored in on device
+    shard_devices: int = 0        # >1 → domain-decompose CG solves over a
+                                  # 1-D jax.sharding.Mesh of that many devices
+                                  # (parallel.shard.ShardedScaledCG); 0 = off
+    theta: float = 1.0            # transient θ-scheme: 1 = backward Euler
+                                  # (the reference's only mode), 0.5 =
+                                  # Crank–Nicolson.  Opt-in via
+                                  # PDE_TPU_TIME_SCHEME=crank_nicolson or the
+                                  # dispatcher (a "crank-nicolson" query) —
+                                  # the frozen api.py tool signatures stay
+                                  # reference-identical.
+
+    def resolved_shard_devices(self) -> int:
+        n = self.shard_devices
+        if n <= 1:
+            return 0
+        return min(n, len(jax.devices()))
 
     def resolve_precision(self) -> str:
         p = self.precision
@@ -56,6 +72,9 @@ class SolverConfig:
 _GLOBAL = SolverConfig(
     precision=os.environ.get("PDE_TPU_PRECISION", "auto"),
     tol=float(os.environ.get("PDE_TPU_TOL", 1e-11)),
+    shard_devices=int(os.environ.get("PDE_TPU_SHARD_DEVICES", 0)),
+    theta={"backward_euler": 1.0, "crank_nicolson": 0.5}.get(
+        os.environ.get("PDE_TPU_TIME_SCHEME", "backward_euler"), 1.0),
 )
 
 

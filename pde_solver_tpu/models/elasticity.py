@@ -26,6 +26,7 @@ from pde_solver_tpu.ops.bc import DirichletBC
 from pde_solver_tpu.ops.elements import subelem_geometry
 from pde_solver_tpu.ops.linsolve import solve_stencil_system
 from pde_solver_tpu.ops.projection import project_cellwise
+from pde_solver_tpu.utils.observability import get_logger, phase_timer
 
 
 def lame_parameters(E: float, nu: float, mode: str) -> Tuple[float, float]:
@@ -125,10 +126,13 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
     cfg = config or get_config()
     d = mesh.dim
     lam, mu = lame_parameters(E, nu, mode)
-    t0 = time.perf_counter()
-    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
-    b = assembly.assemble_vector_load(mesh, np.asarray(body_force, dtype=np.float64))
-    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)], mesh.node_shape, vdim=d)
+    phases: Dict[str, float] = {}
+    with phase_timer(phases, "assembly"):
+        K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+        b = assembly.assemble_vector_load(mesh,
+                                          np.asarray(body_force, dtype=np.float64))
+        bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                    mesh.node_shape, vdim=d)
 
     def level_builder(mesh_c):
         # re-assemble on the coarse mesh — exact Galerkin operator for
@@ -138,21 +142,23 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
                                       mesh_c.node_shape, vdim=d)
         return K_c, bc_c
 
-    t1 = time.perf_counter()
-    u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg,
-                                         mg_level_builder=level_builder)
-    t2 = time.perf_counter()
-    vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu)
-    vm = vm_strain if quantity == "strain" else vm_stress
-    field = project_cellwise(mesh, vm, config=cfg)
-    t3 = time.perf_counter()
+    with phase_timer(phases, "solve"):
+        u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg,
+                                             mg_level_builder=level_builder)
+    with phase_timer(phases, "postprocess"):
+        vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu)
+        vm = vm_strain if quantity == "strain" else vm_stress
+        field = project_cellwise(mesh, vm, config=cfg)
     info = {
         "num_dofs": mesh.num_nodes * d,
         "cg_iterations": int(stats.iterations),
         "relative_residual": float(stats.relative_residual),
         "converged": bool(stats.converged),
-        "assembly_seconds": t1 - t0,
-        "solve_seconds": t2 - t1,
-        "postprocess_seconds": t3 - t2,
+        **phases,
     }
+    get_logger().info(
+        "elasticity solve: %d DOF assembly=%.3fs solve=%.3fs iters=%d "
+        "relres=%.2e", info["num_dofs"], phases.get("assembly_seconds", 0.0),
+        phases.get("solve_seconds", 0.0), info["cg_iterations"],
+        info["relative_residual"])
     return flatten_values(field, d), info

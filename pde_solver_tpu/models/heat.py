@@ -30,6 +30,7 @@ from pde_solver_tpu.ops.bc import DirichletBC
 from pde_solver_tpu.ops.linsolve import solve_stencil_system
 from pde_solver_tpu.ops.projection import project_function
 from pde_solver_tpu.ops.timestepping import run_transient
+from pde_solver_tpu.utils.observability import get_logger, phase_timer
 
 WeightFn = Callable[[np.ndarray], np.ndarray]
 
@@ -41,6 +42,12 @@ class HeatProblem:
     weight_fn: Optional[WeightFn] = None          # coordinate weight w(x)
     weight_quad_degree: int = 4                   # quadrature degree for w-forms
     kappa_cells: Optional[np.ndarray] = None      # per-sub-element κ (composite)
+    # mesh-parametric κ constructor (e.g. composite core re-marked per level):
+    # enables geometric multigrid for composite-coefficient solves — the
+    # coarse operators re-assemble with the coarse-mesh marking, which keeps
+    # every level SPD; the flexible MG-PCG wrapper absorbs the (slight)
+    # non-Galerkin coarse/fine coefficient mismatch.
+    kappa_builder: Optional[Callable[[StructuredMesh], np.ndarray]] = None
     bc_pairs: Sequence[Tuple[np.ndarray, float]] = ()
     # mesh-parametric BC constructor: enables geometric-multigrid level
     # rebuilds for steady solves (pairs == bc_builder(mesh) when provided)
@@ -57,7 +64,9 @@ class HeatProblem:
     # stepping
     dt: float = 0.01
     num_steps: int = 50
-    theta: float = 1.0                            # 1 = backward Euler, 0.5 = Crank-Nicolson
+    theta: Optional[float] = None                 # 1 = backward Euler, 0.5 =
+                                                  # Crank-Nicolson; None → the
+                                                  # SolverConfig.theta policy
 
 
 def _initial_field(p: HeatProblem) -> np.ndarray:
@@ -88,43 +97,50 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
     """Returns (times [Nt], values [Nt, N] flat float64, stats dict)."""
     cfg = config or get_config()
     mesh = p.mesh
-    t_start = time.perf_counter()
+    phases: Dict[str, float] = {}
 
-    # Stiffness ∫ κ w ∇u·∇v; mass ∫ w u v; load ∫ w f v
-    stiff_deg = p.weight_quad_degree if p.weight_fn is not None else 2
-    K = assembly.assemble_scalar_stencil(
-        mesh, "stiffness", weight_fn=p.weight_fn,
-        cell_coeff=p.kappa_cells, quad_degree=stiff_deg,
-    )
-    if p.kappa_cells is None and p.diffusivity != 1.0:
-        K = {o: p.diffusivity * W for o, W in K.items()}
+    with phase_timer(phases, "assembly"):
+        # Stiffness ∫ κ w ∇u·∇v; mass ∫ w u v; load ∫ w f v
+        stiff_deg = p.weight_quad_degree if p.weight_fn is not None else 2
+        kappa = p.kappa_cells
+        if kappa is None and p.kappa_builder is not None:
+            kappa = p.kappa_builder(mesh)
+        K = assembly.assemble_scalar_stencil(
+            mesh, "stiffness", weight_fn=p.weight_fn,
+            cell_coeff=kappa, quad_degree=stiff_deg,
+        )
+        if kappa is None and p.diffusivity != 1.0:
+            K = {o: p.diffusivity * W for o, W in K.items()}
 
-    if p.source_type == "constant" and p.source_value != 0.0:
-        b = p.source_value * assembly.assemble_load(
-            mesh, weight_fn=p.weight_fn, quad_degree=p.weight_quad_degree)
-    else:
-        b = np.zeros(mesh.node_shape, dtype=np.float64)
+        if p.source_type == "constant" and p.source_value != 0.0:
+            b = p.source_value * assembly.assemble_load(
+                mesh, weight_fn=p.weight_fn, quad_degree=p.weight_quad_degree)
+        else:
+            b = np.zeros(mesh.node_shape, dtype=np.float64)
 
-    pairs = list(p.bc_pairs) if p.bc_pairs else (
-        list(p.bc_builder(mesh)) if p.bc_builder else [])
-    bc = DirichletBC.from_masks(pairs, mesh.node_shape)
-    t_assembled = time.perf_counter()
+        pairs = list(p.bc_pairs) if p.bc_pairs else (
+            list(p.bc_builder(mesh)) if p.bc_builder else [])
+        bc = DirichletBC.from_masks(pairs, mesh.node_shape)
 
     mg_builder = None
-    if p.bc_builder is not None and p.kappa_cells is None:
+    if p.bc_builder is not None and (kappa is None
+                                     or p.kappa_builder is not None):
         def mg_builder(mesh_c):
+            kappa_c = (p.kappa_builder(mesh_c)
+                       if p.kappa_builder is not None else None)
             K_c = assembly.assemble_scalar_stencil(
                 mesh_c, "stiffness", weight_fn=p.weight_fn,
-                quad_degree=stiff_deg)
-            if p.diffusivity != 1.0:
+                cell_coeff=kappa_c, quad_degree=stiff_deg)
+            if kappa_c is None and p.diffusivity != 1.0:
                 K_c = {o: p.diffusivity * W for o, W in K_c.items()}
             bc_c = DirichletBC.from_masks(list(p.bc_builder(mesh_c)),
                                           mesh_c.node_shape)
             return K_c, bc_c
 
     if p.steady:
-        x, stats = solve_stencil_system(K, mesh, bc, b, config=cfg,
-                                        mg_level_builder=mg_builder)
+        with phase_timer(phases, "solve"):
+            x, stats = solve_stencil_system(K, mesh, bc, b, config=cfg,
+                                            mg_level_builder=mg_builder)
         values = flatten_values(x, mesh.dim)[None, :]
         times = np.array([0.0])
         info = {
@@ -134,13 +150,17 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
             "converged": bool(stats.converged),
         }
     else:
-        M = assembly.assemble_scalar_stencil(
-            mesh, "mass", weight_fn=p.weight_fn,
-            quad_degree=max(p.weight_quad_degree, 2) if p.weight_fn is not None else 2,
-        )
-        u0 = np.asarray(bc.apply_values(_initial_field(p)), dtype=np.float64)
-        res = run_transient(K, M, mesh, bc, b, u0, dt=p.dt, num_steps=p.num_steps,
-                            theta=p.theta, config=cfg)
+        with phase_timer(phases, "assembly"):
+            M = assembly.assemble_scalar_stencil(
+                mesh, "mass", weight_fn=p.weight_fn,
+                quad_degree=max(p.weight_quad_degree, 2) if p.weight_fn is not None else 2,
+            )
+            u0 = np.asarray(bc.apply_values(_initial_field(p)), dtype=np.float64)
+        with phase_timer(phases, "solve"):
+            res = run_transient(K, M, mesh, bc, b, u0, dt=p.dt,
+                                num_steps=p.num_steps,
+                                theta=p.theta if p.theta is not None else cfg.theta,
+                                config=cfg)
         values = np.stack([flatten_values(v, mesh.dim) for v in res.values])
         times = res.times
         info = {
@@ -149,12 +169,11 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
             "relative_residual": float(res.max_relative_residual),
             "converged": bool(res.max_relative_residual < 1e-5),
         }
-    t_done = time.perf_counter()
-    info.update({
-        "num_dofs": mesh.num_nodes,
-        "assembly_seconds": t_assembled - t_start,
-        "solve_seconds": t_done - t_assembled,
-    })
+    info.update({"num_dofs": mesh.num_nodes, **phases})
+    get_logger().info(
+        "heat solve: %d DOF steady=%s assembly=%.3fs solve=%.3fs iters=%d",
+        mesh.num_nodes, p.steady, phases.get("assembly_seconds", 0.0),
+        phases.get("solve_seconds", 0.0), info["cg_iterations"])
     return times, values, info
 
 

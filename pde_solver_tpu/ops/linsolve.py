@@ -281,6 +281,11 @@ def _apply_cs(offsets: Tuple[Offset, ...], op: CSOp, x: jnp.ndarray,
 
 def _stencil_apply(offsets: Tuple[Offset, ...], weights, x: jnp.ndarray,
                    grid_dim: int, vdim: int) -> jnp.ndarray:
+    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+    if isinstance(weights, FlatStencilOperator):
+        # Pallas flat-layout SpMV (the TPU hot path; ops.multigrid builds
+        # these per level when pallas_enabled()).
+        return weights.apply(x)
     if isinstance(weights, CSOp):
         return _apply_cs(offsets, weights, x, grid_dim, vdim)
     pad = [(1, 1)] * grid_dim + [(0, 0)] * (x.ndim - grid_dim)
@@ -404,11 +409,25 @@ def solve_stencil_system(
         hierarchy = mg.build_hierarchy(mesh, sysm, mg_level_builder,
                                        vdim=vdim, dtype=mg_dtype)
 
+    # Domain-decomposed CG over a device mesh (SolverConfig.shard_devices):
+    # the scaled system is sharded along grid axis 0, halo exchange rides
+    # ppermute, reductions ride psum — see parallel.shard.ShardedScaledCG.
+    sharded = None
+    nshard = cfg.resolved_shard_devices()
+    if nshard > 1 and hierarchy is None:
+        from pde_solver_tpu.parallel.shard import ShardedScaledCG, device_mesh
+        sh_dtype = jnp.float64 if prec == "f64" else jnp.float32
+        sharded = ShardedScaledCG(sysm, d, vdim, device_mesh(nshard),
+                                  dtype=sh_dtype)
+
     if prec == "f64":
         if hierarchy is not None:
             from pde_solver_tpu.ops.multigrid import solve_mg
             xh, k, relres = solve_mg(hierarchy, sysm.b_hat, x0_hat,
                                      cfg.tol, cfg.mg_maxiter)
+        elif sharded is not None:
+            xh, k, relres = sharded.solve(x0=x0_hat, tol=cfg.tol,
+                                          maxiter=maxiter)
         else:
             w64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in sysm.weights)
             xh, k, relres = _jit_cg(offsets, w64, jnp.asarray(sysm.b_hat),
@@ -421,10 +440,14 @@ def solve_stencil_system(
     elif prec == "f32":
         w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
         tol_used = max(cfg.inner_tol, 1e-7)
-        xh, k, relres = _jit_cg(offsets, w32,
-                                jnp.asarray(sysm.b_hat, dtype=jnp.float32),
-                                jnp.asarray(x0_hat, dtype=jnp.float32),
-                                tol_used, maxiter, d, vdim)
+        if sharded is not None:
+            xh, k, relres = sharded.solve(x0=x0_hat.astype(np.float32),
+                                          tol=tol_used, maxiter=maxiter)
+        else:
+            xh, k, relres = _jit_cg(offsets, w32,
+                                    jnp.asarray(sysm.b_hat, dtype=jnp.float32),
+                                    jnp.asarray(x0_hat, dtype=jnp.float32),
+                                    tol_used, maxiter, d, vdim)
         iters = int(k)
         relres = float(relres)
         x_hat = np.asarray(xh, dtype=np.float64)
@@ -454,6 +477,10 @@ def solve_stencil_system(
                 converged=bool(relres <= 1e-6),
             )
             return x, stats
+        elif sharded is not None:
+            def inner_solve(r32):
+                return sharded.solve(b_hat=r32, tol=cfg.inner_tol,
+                                     maxiter=maxiter)
         else:
             w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
 

@@ -187,6 +187,17 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     lam = 1.05 * _estimate_lambda_max(sysm.offsets, w, mesh.node_shape,
                                       mesh.dim, vdim)
     omega = float(4.0 / (3.0 * lam))  # λmax recoverable as 4/(3ω)
+    # TPU hot path: big f32 levels apply through the Pallas flat-stencil
+    # kernel (ops.pallas_kernels) instead of the XLA shifted-slice form —
+    # 1.6-4× less SpMV time at the 2M-DOF flagship shape.
+    from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
+                                                   FlatStencilOperator,
+                                                   pallas_enabled)
+    n_dof = int(np.prod(mesh.node_shape)) * vdim
+    if (pallas_enabled() and dtype == jnp.float32
+            and n_dof >= PALLAS_MIN_DOF):
+        w = FlatStencilOperator(sysm.offsets, sysm.weights, mesh.node_shape,
+                                vdim=vdim)
     if sysm.scale_kind == "scalar":
         return MGLevel(sysm.offsets, w, free, omega,
                        jnp.asarray(sysm.s, dtype=dtype), None, None,
@@ -426,7 +437,7 @@ def solve_mg(h: MGHierarchy, b_hat: np.ndarray, x0_hat: Optional[np.ndarray],
                 h.coarse_iters)
     level_arrays = tuple(
         (lv.weights, lv.free, lv.s, lv.C, lv.Cinv) for lv in h.levels)
-    dtype = h.levels[0].weights[0].dtype
+    dtype = h.levels[0].free.dtype
     b = jnp.asarray(b_hat, dtype=dtype)
     x0 = jnp.zeros_like(b) if x0_hat is None else jnp.asarray(x0_hat, dtype=dtype)
     return _jit_mg_pcg(h_struct, level_arrays, b, x0, tol, maxiter)

@@ -179,6 +179,120 @@ def build_sharded_heat_step(mesh_geo: StructuredMesh, mesh_dev: Mesh,
 
 
 # ----------------------------------------------------------------------
+# First-class sharded solve: scaled-CG over a device mesh (any vdim)
+# ----------------------------------------------------------------------
+#
+# This is the path ``ops.linsolve.solve_stencil_system`` routes through when
+# ``SolverConfig.shard_devices > 1``: the *scaled* stencil system (masking +
+# (block-)diagonal scaling baked in, identity diagonal — see ops.linsolve)
+# is domain-decomposed along grid axis 0, weights sharded like the state,
+# and CG runs inside one shard_map with ppermute halo exchange and psum
+# reductions.  Non-divisible axis-0 extents are padded with identity rows
+# (zero couplings, zero RHS → the padding stays exactly zero through CG).
+
+def _pad0(arr: np.ndarray, rows: int) -> np.ndarray:
+    if rows == 0:
+        return np.asarray(arr)
+    pad = [(0, rows)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(np.asarray(arr), pad)
+
+
+class ShardedScaledCG:
+    """CG on a prepared :class:`~pde_solver_tpu.ops.linsolve.ScaledSystem`,
+    sharded along grid axis 0 over ``mesh_dev``.
+
+    Build once per (system, mesh); call :meth:`solve` many times.  The
+    reference has no distributed solver at all (SURVEY §2 parallelism row);
+    this is the ICI-native replacement for what a cluster FEM code would do
+    with MPI ghost exchange + allreduce.
+    """
+
+    def __init__(self, sysm, grid_dim: int, vdim: int, mesh_dev: Mesh,
+                 dtype=jnp.float32):
+        self.grid_dim = grid_dim
+        self.vdim = vdim
+        self.mesh_dev = mesh_dev
+        self.offsets = sysm.offsets
+        n_dev = mesh_dev.devices.size
+        nx = sysm.free.shape[0]
+        n_pad0 = (-nx) % n_dev
+        self.nx = nx
+        zero_off = tuple(0 for _ in range(grid_dim))
+        sharding = NamedSharding(mesh_dev, P(AXIS))
+
+        weights = []
+        for off, W in zip(sysm.offsets, sysm.weights):
+            Wp = _pad0(W, n_pad0)
+            if off == zero_off and n_pad0:
+                if vdim == 1:
+                    Wp[nx:] = 1.0
+                else:
+                    Wp[nx:] = np.eye(vdim)
+            weights.append(jax.device_put(jnp.asarray(Wp, dtype), sharding))
+        self.weights = tuple(weights)
+        self.b_hat = jax.device_put(
+            jnp.asarray(_pad0(sysm.b_hat, n_pad0), dtype), sharding)
+        self._solve = self._build(dtype)
+
+    def _build(self, dtype):
+        offsets, vdim = self.offsets, self.vdim
+        grid_spec = P(AXIS, *([None] * (self.grid_dim - 1
+                                        + (1 if vdim > 1 else 0))))
+        w_spec = P(AXIS, *([None] * (self.grid_dim - 1
+                                     + (2 if vdim > 1 else 0))))
+
+        def local(b, x0, tol, maxiter, *weights):
+            def apply_A(x):
+                return local_stencil_apply(offsets, weights, x, vdim)
+
+            one = jnp.ones((), dtype)
+            return sharded_pcg(apply_A, b, one, tol=tol, maxiter=maxiter,
+                               x0=x0)
+
+        fn = shard_map(
+            local, mesh=self.mesh_dev,
+            in_specs=(grid_spec, grid_spec, P(), P())
+            + tuple(w_spec for _ in offsets),
+            out_specs=(grid_spec, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def solve(self, b_hat=None, x0=None, tol: float = 1e-8,
+              maxiter: int = 2000):
+        b = self.b_hat if b_hat is None else jax.device_put(
+            jnp.asarray(_pad0(np.asarray(b_hat), self.b_hat.shape[0] - self.nx),
+                        self.b_hat.dtype),
+            NamedSharding(self.mesh_dev, P(AXIS)))
+        x0 = jnp.zeros_like(b) if x0 is None else jax.device_put(
+            jnp.asarray(_pad0(np.asarray(x0), self.b_hat.shape[0] - self.nx),
+                        self.b_hat.dtype),
+            NamedSharding(self.mesh_dev, P(AXIS)))
+        x, iters, relres = self._solve(b, x0,
+                                       jnp.asarray(tol, b.dtype),
+                                       jnp.asarray(maxiter, jnp.int32),
+                                       *self.weights)
+        return x[:self.nx], iters, relres
+
+
+def build_sharded_elasticity_solve(mesh_geo: StructuredMesh, mesh_dev: Mesh,
+                                   lam: float, mu: float,
+                                   body_force, bc: DirichletBC,
+                                   dtype=jnp.float32):
+    """The flagship multi-chip step: static 3D elasticity, domain-decomposed
+    scaled-CG (block-Cholesky-scaled system from ops.linsolve).  Returns
+    (sharded_cg, sysm): solve with ``sharded_cg.solve()``, map back to
+    physical displacements with ``sysm.from_hat_x``."""
+    from pde_solver_tpu.ops.linsolve import prepare_system
+
+    K = assembly.assemble_elasticity_stencil(mesh_geo, lam, mu)
+    b = assembly.assemble_vector_load(mesh_geo, np.asarray(body_force))
+    sysm = prepare_system(K, mesh_geo, bc, b, mesh_geo.dim)
+    return ShardedScaledCG(sysm, mesh_geo.dim, mesh_geo.dim, mesh_dev,
+                           dtype=dtype), sysm
+
+
+# ----------------------------------------------------------------------
 # GSPMD path: same stencil code, sharding via NamedSharding annotations
 # ----------------------------------------------------------------------
 

@@ -265,3 +265,42 @@ def test_orchestrator_normalize_domain_nested(orch):
     assert out == {"Lx": 2.0, "Ly": 1.0}
     out2 = orch._normalize_domain_size({"domain_size": 2.5}, 3, "no dims here")
     assert out2 == {"Lx": 2.5, "Ly": 2.5, "Lz": 2.5}
+
+
+def test_crank_nicolson_opt_in_via_notes():
+    """A 'crank-nicolson' query flips SolverConfig.theta for the solve only
+    (VERDICT r1 item 7 — frozen api.py signatures stay reference-identical)."""
+    import asyncio
+
+    from pde_solver_tpu.agents.dispatcher_agent import DispatcherAgent
+    from pde_solver_tpu.agents.parser_agent import rule_based_parse
+    from pde_solver_tpu.config import get_config
+    from pde_solver_tpu.schema import PDEParameters
+
+    parsed = rule_based_parse(
+        "solve heat in a 1 m x 1 m plate with crank-nicolson stepping, "
+        "boundary at 0 C, initial temperature 20 C, 4 steps")
+    assert parsed.get("notes") == ["time_scheme:crank_nicolson"]
+
+    seen = {}
+
+    class SpyToolSet:
+        async def call(self, name, args):
+            if name.startswith("solve_"):
+                seen["theta"] = get_config().theta
+                seen["name"] = name
+                from pde_solver_tpu import api
+                return api.solve_heat_2D(nx=6, ny=6, num_steps=2,
+                                         data_dir="data").__dict__
+            from pde_solver_tpu import api
+            return getattr(api, name)(**args).__dict__
+
+        async def tool_names(self):
+            return ["solve_heat_2D", "plot_time_series_field_from_file"]
+
+    agent = DispatcherAgent(toolset=SpyToolSet())
+    params = PDEParameters.from_dict(parsed)
+    out = asyncio.run(agent.dispatch(params))
+    assert "error" not in out, out.get("error")
+    assert seen["theta"] == 0.5          # CN active during the solve
+    assert get_config().theta == 1.0     # restored afterwards

@@ -343,3 +343,35 @@ def test_elasticity_3d_parity_vs_scipy():
             rhs[cell[a]] += vmval * vol / (d + 1)
     vm_gold = spla.spsolve(Mmat.tocsr(), rhs)
     assert rel_l2(vm, vm_gold) < 1e-7
+
+
+def test_composite_core_multigrid_matches_plain_cg():
+    """Composite-coefficient steady heat now runs geometric MG (the
+    kappa_builder re-marks the core per level, VERDICT r1 item 6); the MG
+    route must agree with the plain-CG route to solver tolerance."""
+    from pde_solver_tpu.config import SolverConfig
+
+    mesh = box_mesh(16, 16, 16, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+    def kb(m):
+        return heat.composite_kappa_cells(m, 0.3, 1.0, 50.0,
+                                          radial_axes=(1, 2))
+
+    def make(use_mg):
+        return heat.HeatProblem(
+            mesh=mesh, diffusivity=1.0,
+            kappa_builder=kb if use_mg else None,
+            kappa_cells=None if use_mg else kb(mesh),
+            bc_builder=lambda m: [(m.face_mask(0, 0), 100.0),
+                                  (m.face_mask(0, 1), 0.0)],
+            steady=True)
+
+    cfg_mg = SolverConfig(precision="f64", use_multigrid=True, mg_threshold=100)
+    _, v_mg, info_mg = heat.solve_heat_problem(make(True), cfg_mg)
+    cfg_cg = SolverConfig(precision="f64", use_multigrid=False)
+    _, v_cg, info_cg = heat.solve_heat_problem(make(False), cfg_cg)
+    assert info_mg["converged"] and info_cg["converged"]
+    scale = np.abs(v_cg).max()
+    assert np.abs(v_mg - v_cg).max() < 1e-7 * scale
+    # MG must actually help: far fewer iterations than plain CG
+    assert info_mg["cg_iterations"] < info_cg["cg_iterations"]

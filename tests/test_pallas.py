@@ -48,3 +48,31 @@ def test_flat_stencil_2d():
     y_ref = np_stencil_apply(dict(zip(sysm.offsets, sysm.weights)),
                              x.astype(np.float64), 2, 1)
     assert np.abs(y - y_ref).max() < 1e-5 * np.abs(y_ref).max()
+
+
+def test_mg_solve_through_pallas_interpret(monkeypatch):
+    """Full mixed-precision MG F-cycle with the finest level applied through
+    the Pallas kernel (interpret mode on CPU) — must match the plain-XLA
+    route to solver tolerance."""
+    from pde_solver_tpu.config import SolverConfig
+    from pde_solver_tpu.models import heat
+    from pde_solver_tpu.ops import pallas_kernels
+
+    mesh = box_mesh(16, 16, 16, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+    def make():
+        return heat.HeatProblem(
+            mesh=mesh, diffusivity=1.0,
+            bc_builder=lambda m: [(m.face_mask(0, 0), 100.0),
+                                  (m.face_mask(0, 1), 0.0)],
+            steady=True)
+
+    cfg = SolverConfig(precision="mixed", use_multigrid=True, mg_threshold=100)
+    monkeypatch.setenv("PDE_TPU_PALLAS", "1")
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_DOF", 1000)
+    _, v_pallas, info_p = heat.solve_heat_problem(make(), cfg)
+    monkeypatch.setenv("PDE_TPU_PALLAS", "0")
+    _, v_xla, info_x = heat.solve_heat_problem(make(), cfg)
+    assert info_p["converged"] and info_x["converged"]
+    scale = np.abs(v_xla).max()
+    assert np.abs(v_pallas - v_xla).max() < 1e-6 * scale

@@ -77,3 +77,56 @@ def test_gspmd_operator_matches_dense_apply():
     y_sharded = jax.jit(op_sharded.apply)(xs)
     y_local = op_local.apply(x)
     assert np.allclose(np.asarray(y_sharded), np.asarray(y_local), atol=1e-12)
+
+
+@needs_multidevice
+def test_sharded_elasticity_matches_single_device():
+    """Flagship path: vdim=3 block-scaled CG, NON-divisible axis-0 extent
+    (14 node planes over 8 shards → identity-row padding), must match the
+    single-device scaled CG to 1e-9 (VERDICT r1 item 4)."""
+    from pde_solver_tpu.models.elasticity import lame_parameters
+    from pde_solver_tpu.ops.linsolve import _jit_cg
+
+    lam, mu = lame_parameters(210e9, 0.3, "3d")
+    mesh = box_mesh(13, 5, 5, (0, 0, 0), (1.0, 0.5, 0.5))
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+    dev_mesh = psh.device_mesh(8)
+    cg, sysm = psh.build_sharded_elasticity_solve(
+        mesh, dev_mesh, lam, mu, [0.0, 0.0, -9.81 * 7800.0], bc,
+        dtype=jnp.float64)
+    x, iters, relres = cg.solve(tol=1e-12, maxiter=4000)
+    assert float(relres) < 1e-10
+
+    w64 = tuple(jnp.asarray(W) for W in sysm.weights)
+    ref, k, rr = _jit_cg(sysm.offsets, w64, jnp.asarray(sysm.b_hat),
+                         jnp.zeros_like(jnp.asarray(sysm.b_hat)),
+                         1e-12, 4000, 3, 3)
+    ref = np.asarray(ref)
+    assert np.abs(np.asarray(x) - ref).max() <= 1e-9 * np.abs(ref).max()
+
+
+@needs_multidevice
+def test_solve_stencil_system_sharded_config_route():
+    """SolverConfig.shard_devices routes api-level solves through the
+    domain-decomposed CG and still matches the closed-form answer."""
+    from pde_solver_tpu.config import get_config, set_config
+    from pde_solver_tpu.ops.linsolve import solve_stencil_system
+
+    mesh = rectangle_mesh(13, 6, (0.0, 0.0), (1.0, 1.0))  # 14 planes / 8 dev
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    left = mesh.face_mask(0, 0)
+    right = mesh.face_mask(0, 1)
+    bc = DirichletBC.from_masks([(left, 20.0), (right, 0.0)], mesh.node_shape)
+    rhs = np.zeros(mesh.node_shape)
+    old = get_config()
+    try:
+        set_config(shard_devices=8)
+        x, stats = solve_stencil_system(K, mesh, bc, rhs)
+    finally:
+        set_config(shard_devices=old.shard_devices)
+    assert stats.converged
+    # steady heat with linear-in-x Dirichlet data: u = 20 (1 - x)
+    coords_x = np.linspace(0.0, 1.0, mesh.node_shape[0])
+    expected = 20.0 * (1.0 - coords_x)[:, None] * np.ones(mesh.node_shape)
+    assert np.abs(x - expected).max() < 1e-8
