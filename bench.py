@@ -14,11 +14,17 @@ transfer channel, (2) runs the full solve once to populate jit caches and
 device-resident operators, then (3) times a fresh solve (from x=0) of the
 same system.  Assembly/upload/postprocess times are reported on stderr.
 
-Secondary metric (PDE_BENCH_CONFIG=heat3d): backward-Euler time-steps/s on
-3D transient heat at 64³ cells (275k DOF).
+Secondary metrics via PDE_BENCH_CONFIG:
+  heat3d     backward-Euler steps/s, 3D heat 64³ cells (275k DOF)
+  heat1d     BASELINE config 1: 1D rod 256 nodes, BE steps/s
+  bar1d      BASELINE config 2: 1D bar static solve wall time
+  heat2d_cn  BASELINE config 3: 2D 128² plate, Crank–Nicolson steps/s
+  elast2d    BASELINE config 4: 2D plane stress, solve wall time / MDOF/s
+  spmv       finest-level stencil SpMV ms + HBM roofline fraction
 
 Env knobs: PDE_BENCH_SCALE=small|medium|full (default full on TPU),
-PDE_BENCH_CONFIG=elasticity3d|heat3d.
+PDE_BENCH_CONFIG (above), PDE_TPU_TRACE_DIR (capture a jax.profiler trace
+around the timed flagship solve).
 """
 
 import json
@@ -77,9 +83,119 @@ def bench_heat3d():
     }))
 
 
+def bench_heat1d():
+    """BASELINE config 1: 2 m rod, 256 nodes, 20→0 °C, backward Euler."""
+    import jax.numpy as jnp
+    from pde_solver_tpu.mesh import interval_mesh
+    from pde_solver_tpu.models import heat
+
+    _ = float(jnp.zeros(()))
+    num_steps = 400
+    p = heat.HeatProblem(
+        mesh=interval_mesh(255, 0.0, 2.0), diffusivity=1.0,
+        bc_builder=lambda m: [(m.face_mask(0, 0), 20.0),
+                              (m.face_mask(0, 1), 0.0)],
+        T_initial=0.0, dt=0.05, num_steps=num_steps)
+    heat.solve_heat_problem(p)  # compile
+    t0 = time.perf_counter()
+    _, values, info = heat.solve_heat_problem(p)
+    steps_s = num_steps / info["solve_seconds"]
+    x = np.linspace(0.0, 2.0, 256)
+    err = float(np.linalg.norm(values[-1] - 20.0 * (1 - x / 2.0))
+                / np.linalg.norm(20.0 * (1 - x / 2.0)))
+    log(f"[bench] heat1d: {steps_s:.0f} steps/s, steady-limit relL2={err:.1e}")
+    print(json.dumps({
+        "metric": "heat1d_256nodes_backward_euler_steps_per_s",
+        "value": round(steps_s, 1), "unit": "steps/s",
+        "vs_baseline": round(steps_s / 100.0, 3),  # ref-class: ~100 solves/s
+    }))
+
+
+def bench_bar1d():
+    """BASELINE config 2: 2 m aluminum bar, fixed-free, static KU=F."""
+    import jax.numpy as jnp
+    from pde_solver_tpu.models.elasticity import solve_bar_1d
+
+    _ = float(jnp.zeros(()))
+    solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)  # compile
+    t0 = time.perf_counter()
+    x, field, info = solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)
+    ms = (time.perf_counter() - t0) * 1e3
+    exact = 500.0 * (2.0 - x) / 0.01
+    err = float(np.abs(field[10:-10] - exact[10:-10]).max() / exact.max())
+    log(f"[bench] bar1d: {ms:.1f} ms/solve, interior stress err={err:.1e}")
+    print(json.dumps({
+        "metric": "bar1d_256nodes_static_solve_ms",
+        "value": round(ms, 2), "unit": "ms",
+        "vs_baseline": round(20.0 / ms, 3),  # ref-class LU+overhead ~20 ms
+    }))
+
+
+def bench_heat2d_cn():
+    """BASELINE config 3: 1 m² plate, 128² mesh, Crank–Nicolson stepping."""
+    import jax.numpy as jnp
+    from pde_solver_tpu.mesh import rectangle_mesh
+    from pde_solver_tpu.models import heat
+
+    _ = float(jnp.zeros(()))
+    num_steps = 50
+    p = heat.HeatProblem(
+        mesh=rectangle_mesh(128, 128, (0.0, 0.0), (1.0, 1.0)),
+        diffusivity=1.0, bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
+        T_initial=20.0, dt=0.001, num_steps=num_steps, theta=0.5)
+    heat.solve_heat_problem(p)  # compile
+    _, values, info = heat.solve_heat_problem(p)
+    steps_s = num_steps / info["solve_seconds"]
+    log(f"[bench] heat2d CN: {steps_s:.1f} steps/s "
+        f"(iters {info['cg_iterations']}, relres {info['relative_residual']:.1e})")
+    print(json.dumps({
+        "metric": "heat2d_128sq_crank_nicolson_steps_per_s",
+        "value": round(steps_s, 2), "unit": "steps/s",
+        "vs_baseline": round(steps_s / 20.0, 3),  # ref-class: ~20 solves/s
+    }))
+
+
+def bench_elast2d():
+    """BASELINE config 4: 1 m² steel plate, plane stress, clamped + load."""
+    import jax.numpy as jnp
+    from pde_solver_tpu.mesh import rectangle_mesh
+    from pde_solver_tpu.models.elasticity import solve_elasticity_nd
+
+    _ = float(jnp.zeros(()))
+    mesh = rectangle_mesh(256, 256, (0.0, 0.0), (1.0, 1.0))
+    body = np.array([0.0, -7.65e4])
+    solve_elasticity_nd(mesh, 210e9, 0.3, body, "plane_stress")  # compile
+    _, info = solve_elasticity_nd(mesh, 210e9, 0.3, body, "plane_stress")
+    ms = info["solve_seconds"] * 1e3
+    mdof = info["num_dofs"] * max(info["cg_iterations"], 1) / info["solve_seconds"] / 1e6
+    log(f"[bench] elast2d 256²: {ms:.0f} ms/solve, {mdof:.0f} MDOF/s, "
+        f"relres {info['relative_residual']:.1e}")
+    print(json.dumps({
+        "metric": "elasticity2d_256sq_plane_stress_solve_ms",
+        "value": round(ms, 1), "unit": "ms",
+        "vs_baseline": round(2000.0 / ms, 3),  # ref-class sparse LU ~2 s
+    }))
+
+
+def bench_spmv():
+    """Finest-level stencil SpMV: ms/apply + HBM roofline fraction."""
+    import subprocess
+    scale = os.environ.get("PDE_BENCH_SCALE", "full")
+    cells = {"small": "32 16 16", "medium": "96 32 32",
+             "full": "160 64 64"}[scale]
+    out = subprocess.run(
+        [sys.executable, "benchmarks/spmv_bench.py", *cells.split(), "50"],
+        capture_output=True, text=True)
+    log(out.stdout + out.stderr)
+
+
 def main():
-    if os.environ.get("PDE_BENCH_CONFIG", "elasticity3d") == "heat3d":
-        bench_heat3d()
+    cfg_name = os.environ.get("PDE_BENCH_CONFIG", "elasticity3d")
+    sub = {"heat3d": bench_heat3d, "heat1d": bench_heat1d,
+           "bar1d": bench_bar1d, "heat2d_cn": bench_heat2d_cn,
+           "elast2d": bench_elast2d, "spmv": bench_spmv}.get(cfg_name)
+    if sub is not None:
+        sub()
         return
     import jax
     import jax.numpy as jnp
@@ -149,13 +265,45 @@ def main():
     log(f"[bench] warm-up solve (incl. jit compile): "
         f"{time.perf_counter() - t0:.1f}s  iters={iters} relres={relres:.2e}")
 
+    from pde_solver_tpu.utils.observability import device_trace
     t0 = time.perf_counter()
-    x_hat, iters, relres = full_solve()
+    with device_trace("elasticity3d_solve"):
+        x_hat, iters, relres = full_solve()
     solve_s = time.perf_counter() - t0
     log(f"[bench] timed solve: {solve_s:.3f}s  MG-PCG iters={iters} "
         f"relres={relres:.2e}")
     mdof = ndof * max(iters, 1) / solve_s / 1e6
     log(f"[bench] throughput: {mdof:.0f} MDOF/s across MG-PCG iterations")
+
+    # SpMV roofline fraction (BASELINE.md north star: ≥60% of the HBM
+    # roofline for the finest-level stencil apply).
+    spmv_frac = None
+    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+    fine_w = h.levels[0].weights
+    if isinstance(fine_w, FlatStencilOperator):
+        import jax as _jax
+        from functools import partial as _partial
+
+        @_partial(_jax.jit, static_argnames=("reps",))
+        def _chain(op, xf, reps):
+            def body(_, xx):
+                y = op.apply_flat(xx)
+                return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+            return _jax.lax.fori_loop(0, reps, body, xf)
+
+        xf = fine_w.to_flat(jnp.asarray(sysm.b_hat, jnp.float32))
+        reps = 50
+        float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))  # compile+warm
+        t0 = time.perf_counter()
+        float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))
+        spmv_ms = (time.perf_counter() - t0) / reps * 1e3
+        traffic = (fine_w.Wf.size * fine_w.Wf.dtype.itemsize
+                   + 2 * 3 * mesh.num_nodes * 4)
+        roof_ms = traffic / 819e9 * 1e3  # v5e HBM
+        spmv_frac = roof_ms / spmv_ms
+        log(f"[bench] finest SpMV: {spmv_ms:.3f} ms/apply, traffic "
+            f"{traffic/1e6:.0f} MB, HBM roofline {roof_ms:.3f} ms → "
+            f"{spmv_frac*100:.0f}% of roofline")
 
     # physics sanity + postprocess timing (excluded from the metric)
     t0 = time.perf_counter()
@@ -169,12 +317,15 @@ def main():
         f"max von Mises={float(vm_stress.max()):.3e} Pa")
 
     target_seconds = 5.0
-    print(json.dumps({
+    out = {
         "metric": "elasticity3d_cantilever_2MDOF_solve_seconds",
         "value": round(solve_s, 3),
         "unit": "s",
         "vs_baseline": round(target_seconds / solve_s, 3),
-    }))
+    }
+    if spmv_frac is not None:
+        out["spmv_roofline_frac"] = round(spmv_frac, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -38,15 +38,10 @@ def _xla_chain(offsets, weights, x, grid_dim, vdim, reps):
     return jax.lax.fori_loop(0, reps, body, x)
 
 
-@partial(jax.jit, static_argnames=("op", "reps"))
-def _pallas_chain(op, Wf, x_flat, reps):
-    from pde_solver_tpu.ops.pallas_kernels import _resident_call, _windowed_call
-    call = _resident_call if op.resident else _windowed_call
-
+@partial(jax.jit, static_argnames=("reps",))
+def _pallas_chain(op, x_flat, reps):
     def body(_, x):
-        x_pad = jnp.pad(x, ((0, 0), (op.halo, op.halo)))
-        y = call(Wf, x_pad, op.n_off, op.vdim, op.block, op.halo, op.deltas,
-                 op.interpret)
+        y = op.apply_flat(x)
         return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
 
     return jax.lax.fori_loop(0, reps, body, x_flat)
@@ -127,11 +122,11 @@ def main():
                                      mesh.node_shape, vdim=3,
                                      interpret=False, **kw)
             xf = op.to_flat(x)
-            y = np.asarray(op.from_flat(_pallas_chain(op, op.Wf, xf, 1)))
+            y = np.asarray(op.from_flat(_pallas_chain(op, xf, 1)))
             rel = np.abs(y * ref_scale / np.abs(y).max() - y_ref).max() / ref_scale
-            sync_scalar(_pallas_chain(op, op.Wf, xf, reps))  # compile+warm
+            sync_scalar(_pallas_chain(op, xf, reps))  # compile+warm
             t0 = time.perf_counter()
-            sync_scalar(_pallas_chain(op, op.Wf, xf, reps))
+            sync_scalar(_pallas_chain(op, xf, reps))
             ms = (time.perf_counter() - t0) / reps * 1e3
             wb = op.Wf.size * op.Wf.dtype.itemsize
             report(name, ms, wb)

@@ -69,7 +69,9 @@ def _roll_lanes(A: jnp.ndarray, dc: int, interpret: bool) -> jnp.ndarray:
     mode (the Mosaic primitive has no interpreter rule)."""
     if interpret:
         return jnp.roll(A, -dc, axis=1)
-    return pltpu.roll(A, LANE - dc, axis=1)
+    # i32 shift: with jax_enable_x64 a bare int traces as i64, which
+    # tpu.dynamic_rotate rejects.
+    return pltpu.roll(A, jnp.asarray(LANE - dc, jnp.int32), axis=1)
 
 
 def _shifted_tile(x_ref, b: int, row0, rows: int, delta: int, lane_iota,
