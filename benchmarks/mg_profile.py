@@ -1,0 +1,133 @@
+"""Per-component timing of the 2M-DOF MG F-cycle on the real TPU.
+
+Breaks one df2 round into its pieces so optimization effort goes where the
+time is.  Run from /root/repo:  python benchmarks/mg_profile.py [sx sy sz]
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(label, fn, reps=5):
+    fn()  # compile+warm
+    # sync via scalar pull inside fn
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{label:44s}: {ms:9.2f} ms", flush=True)
+    return ms
+
+
+def main():
+    args = sys.argv[1:]
+    cells = tuple(int(a) for a in args[:3]) if len(args) >= 3 else (160, 64, 64)
+    from pde_solver_tpu.mesh import box_mesh
+    from pde_solver_tpu.models.elasticity import lame_parameters
+    from pde_solver_tpu.ops import assembly, multigrid as mg
+    from pde_solver_tpu.ops.bc import DirichletBC
+    from pde_solver_tpu.ops.linsolve import prepare_system
+    from pde_solver_tpu.ops.df32 import jit_df_residual
+
+    print(f"backend={jax.default_backend()} cells={cells}", flush=True)
+    t0 = time.perf_counter()
+    _ = float(jnp.zeros(()))
+    print(f"warmup {time.perf_counter() - t0:.0f}s", flush=True)
+
+    lam, mu = lame_parameters(210e9, 0.3, "3d")
+    mesh = box_mesh(*cells, (0, 0, 0), (1.0, 0.2, 0.2))
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+    b = assembly.assemble_vector_load(mesh, np.array([0.0, 0.0, -9.81 * 7800.0]))
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+    sysm = prepare_system(K, mesh, bc, b, 3)
+
+    def builder(mc):
+        return (assembly.assemble_elasticity_stencil(mc, lam, mu),
+                DirichletBC.from_masks([(mc.face_mask(0, 0), 0.0)],
+                                       mc.node_shape, vdim=3))
+
+    h = mg.build_hierarchy(mesh, sysm, builder, vdim=3, dtype=jnp.float32)
+    ladder = mg.build_df_ladder(h, sysm, sysm.b_hat)
+    print(f"hierarchy {len(h.levels)} levels; setup "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+
+    d, vdim = 3, 3
+    lv = h.levels[0]
+    b32 = jnp.asarray(ladder.bhi0)
+    x0 = jnp.zeros_like(b32)
+
+    # --- pieces -------------------------------------------------------
+    from pde_solver_tpu.ops.linsolve import _stencil_apply
+
+    @jax.jit
+    def apply_f32(x):
+        return _stencil_apply(lv.offsets, lv.weights, x, d, vdim)
+
+    @jax.jit
+    def apply_lo(x):
+        return _stencil_apply(lv.offsets, lv.w_smooth, x, d, vdim)
+
+    timeit("fine apply (true f32 op)",
+           lambda: float(jnp.sum(apply_f32(b32)[0, 0, 0])))
+    timeit("fine apply (smoother op)",
+           lambda: float(jnp.sum(apply_lo(b32)[0, 0, 0])))
+
+    @jax.jit
+    def df_res(x):
+        return jit_df_residual(lv.offsets, ladder.Whi[0], ladder.Wlo[0],
+                               ladder.bhi0, ladder.blo0, x,
+                               jnp.zeros_like(x), d, vdim)
+
+    timeit("df32 residual (finest, dense weights)",
+           lambda: float(df_res(b32)[1]))
+
+    @jax.jit
+    def vc(r):
+        return mg.v_cycle(h, r)
+
+    timeit("one V-cycle (all levels)",
+           lambda: float(jnp.sum(vc(b32)[0, 0, 0])))
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def pcg_n(bb, iters):
+        x, k, rr = mg.mg_pcg(h, bb, jnp.zeros_like(bb), 0.0, iters)
+        return x, k
+
+    for it in (1, 14):
+        timeit(f"mg_pcg level0 x{it} iters",
+               lambda it=it: float(jnp.sum(pcg_n(b32, it)[0][0, 0, 0])))
+
+    timeit("restrict_hat level0→1",
+           lambda: float(jnp.sum(mg._jit_restrict_hat64(
+               ladder.scale32[0], ladder.scale32[1], ladder.free32[1],
+               b32, d)[0, 0, 0])))
+
+    # --- one fused round ---------------------------------------------
+    h_struct = (tuple(lv.offsets for lv in h.levels),
+                tuple(lv.omega for lv in h.levels),
+                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
+    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
+                          lv.w_lo) for lv in h.levels)
+    Ainv32 = jnp.asarray(h.levels[-1].host_Ainv, dtype=jnp.float32)
+
+    def one_round():
+        x_hi, x_lo, rn2, k = mg._jit_round_df(
+            h_struct, level_arrays, ladder.Whi, ladder.Wlo, ladder.scale32,
+            ladder.free32, Ainv32, ladder.bhi0, ladder.blo0, x0, x0, 14)
+        return float(rn2)
+
+    timeit("ONE fused df2 round (inner_iters=14)", one_round, reps=3)
+
+
+if __name__ == "__main__":
+    main()

@@ -95,7 +95,8 @@ def restrict(r: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
 
 class MGLevel(NamedTuple):
     offsets: Tuple[Offset, ...]
-    weights: Tuple[jnp.ndarray, ...]     # scaled stencil (f32)
+    weights: Tuple[jnp.ndarray, ...]     # scaled stencil (f32) — the true
+                                         # operator (outer CG residuals)
     free: jnp.ndarray                    # f32 mask over DOFs
     omega: float                         # damped-Jacobi weight
     # hat↔physical scale hooks for transfers:
@@ -106,6 +107,16 @@ class MGLevel(NamedTuple):
     host_weights: Optional[list] = None  # f64 numpy copies (nested refinement)
     host_Ainv: Optional[np.ndarray] = None
     host_scale: Optional[tuple] = None   # (s,) or (C, Cinv) f64 numpy
+    # Preconditioner-grade operator for V-cycle smoothing/residuals (bf16
+    # Pallas weights, ~20% faster applies).  The V-cycle stays a FIXED
+    # symmetric linear operator built consistently from w_lo at every level,
+    # so PCG validity is unaffected; only the true-residual path (mg_pcg's
+    # A) must use the exact f32 weights.
+    w_lo: Optional[object] = None
+
+    @property
+    def w_smooth(self):
+        return self.w_lo if self.w_lo is not None else self.weights
 
 
 class MGHierarchy(NamedTuple):
@@ -193,21 +204,29 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
                                                    FlatStencilOperator,
                                                    pallas_enabled)
+    import os as _os
+    w_lo = None
     n_dof = int(np.prod(mesh.node_shape)) * vdim
     if (pallas_enabled() and dtype == jnp.float32
             and n_dof >= PALLAS_MIN_DOF):
         w = FlatStencilOperator(sysm.offsets, sysm.weights, mesh.node_shape,
                                 vdim=vdim)
+        if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
+            w_lo = FlatStencilOperator(sysm.offsets, sysm.weights,
+                                       mesh.node_shape, vdim=vdim,
+                                       weight_dtype=jnp.bfloat16)
     if sysm.scale_kind == "scalar":
         return MGLevel(sysm.offsets, w, free, omega,
                        jnp.asarray(sysm.s, dtype=dtype), None, None,
-                       host_weights=host_w, host_scale=(np.asarray(sysm.s),))
+                       host_weights=host_w, host_scale=(np.asarray(sysm.s),),
+                       w_lo=w_lo)
     C_np = np.swapaxes(sysm.Ct, -1, -2)
     Cinv_np = np.swapaxes(sysm.CinvT, -1, -2)
     C = jnp.asarray(C_np, dtype=dtype)
     Cinv = jnp.asarray(Cinv_np, dtype=dtype)
     return MGLevel(sysm.offsets, w, free, omega, None, C, Cinv,
-                   host_weights=host_w, host_scale=(C_np, Cinv_np))
+                   host_weights=host_w, host_scale=(C_np, Cinv_np),
+                   w_lo=w_lo)
 
 
 def build_hierarchy(
@@ -291,7 +310,7 @@ def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0) -> jnp.ndarray:
     d, vdim = h.grid_dim, h.vdim
 
     def A(x):
-        return _stencil_apply(lv.offsets, lv.weights, x, d, vdim)
+        return _stencil_apply(lv.offsets, lv.w_smooth, x, d, vdim)
 
     if level == len(h.levels) - 1:
         if lv.Ainv is not None:
@@ -421,9 +440,9 @@ def _jit_mg_pcg(h_struct, level_arrays, b, x0, tol, maxiter):
     (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
     levels = []
     for i, arrs in enumerate(level_arrays):
-        weights, free, s, C, Cinv = arrs
+        weights, free, s, C, Cinv, w_lo = arrs
         levels.append(MGLevel(offsets_per_level[i], weights, free,
-                              omegas[i], s, C, Cinv))
+                              omegas[i], s, C, Cinv, w_lo=w_lo))
     h = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
     return mg_pcg(h, b, x0, tol, maxiter)
 
@@ -436,7 +455,7 @@ def solve_mg(h: MGHierarchy, b_hat: np.ndarray, x0_hat: Optional[np.ndarray],
                 h.grid_dim, h.vdim, h.pre_smooth, h.post_smooth,
                 h.coarse_iters)
     level_arrays = tuple(
-        (lv.weights, lv.free, lv.s, lv.C, lv.Cinv) for lv in h.levels)
+        (lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.w_lo) for lv in h.levels)
     dtype = h.levels[0].free.dtype
     b = jnp.asarray(b_hat, dtype=dtype)
     x0 = jnp.zeros_like(b) if x0_hat is None else jnp.asarray(x0_hat, dtype=dtype)
@@ -725,9 +744,9 @@ def _jit_ascend_df(h_struct, level_arrays, Whi_m, Wlo_m, scale_m, scale_c,
     (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
     levels = []
     for i, arrs in enumerate(level_arrays):
-        weights, free, s, C, Cinv, Ainv = arrs
+        weights, free, s, C, Cinv, Ainv, w_lo = arrs
         levels.append(MGLevel(offsets_per_level[i], weights, free,
-                              omegas[i], s, C, Cinv, Ainv))
+                              omegas[i], s, C, Cinv, Ainv, w_lo=w_lo))
     hh = MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
 
     e = _jit_prolong_hat64(scale_m, scale_c, free_m, e_c, grid_dim)
@@ -764,8 +783,8 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
                 d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
 
     def level_arrays_from(m):
-        return tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
-                     for lv in h.levels[m:])
+        return tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
+                      lv.w_lo) for lv in h.levels[m:])
 
     bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
                                          ladder.bhi0.reshape(-1)))))
@@ -778,6 +797,7 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
     offsets0 = h.levels[0].offsets
     total = 0
     relres = 1.0
+    prev = np.inf
     for rnd in range(max_rounds):
         r32, rnorm2 = jit_df_residual(offsets0, ladder.Whi[0], ladder.Wlo[0],
                                       ladder.bhi0, ladder.blo0,
@@ -785,6 +805,11 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
         relres = float(np.sqrt(float(rnorm2))) / bnorm
         if relres <= tol or not np.isfinite(relres):
             break
+        # stall detection: a round normally gains ~2 orders; <2× means the
+        # double-f32 floor is reached — further rounds only burn time
+        if relres > 0.5 * prev:
+            break
+        prev = relres
         # descend (all f32 — the residual itself carries f32 information)
         rs = [r32]
         for m in range(L):
@@ -795,13 +820,16 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
         rL = np.asarray(rs[L], dtype=np.float64)
         e = jnp.asarray((host_Ainv @ rL.reshape(-1)).reshape(rL.shape),
                         dtype=jnp.float32)
+        ks = []
         for m in range(L - 1, -1, -1):
             e, k = _jit_ascend_df(h_struct_from(m), level_arrays_from(m),
                                   ladder.Whi[m], ladder.Wlo[m],
                                   ladder.scale32[m], ladder.scale32[m + 1],
                                   ladder.free32[m], rs[m], e, inner_iters,
                                   1 if m == 0 else 2)
-            total += int(k)
+            ks.append(k)  # device scalar — int() here would force a sync
+                          # per ascend (tunnel round-trip); pull once below
+        total += int(jnp.stack(ks).sum())
         x_hi, x_lo = jit_df_update(x_hi, x_lo, jnp.asarray(1.0, jnp.float32),
                                    e)
     return x_hi, x_lo, total, relres
@@ -819,9 +847,9 @@ def _jit_round_df(h_struct, level_arrays, Whi, Wlo, scale32, free32,
     (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
     levels = []
     for i, arrs in enumerate(level_arrays):
-        weights, free, s, C, Cinv, Ainv = arrs
+        weights, free, s, C, Cinv, Ainv, w_lo = arrs
         levels.append(MGLevel(offsets_per_level[i], weights, free,
-                              omegas[i], s, C, Cinv, Ainv))
+                              omegas[i], s, C, Cinv, Ainv, w_lo=w_lo))
     L = len(levels) - 1
 
     r32, rnorm2 = df_stencil_residual(offsets_per_level[0], Whi[0], Wlo[0],
@@ -862,8 +890,8 @@ def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
     h_struct = (tuple(lv.offsets for lv in h.levels),
                 tuple(lv.omega for lv in h.levels),
                 d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
-    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv)
-                         for lv in h.levels)
+    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
+                          lv.w_lo) for lv in h.levels)
     Ainv32 = jnp.asarray(h.levels[-1].host_Ainv, dtype=jnp.float32)
     bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
                                          ladder.bhi0.reshape(-1)))))
@@ -874,14 +902,35 @@ def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
     x_lo = jnp.zeros_like(ladder.bhi0)
     total = 0
     relres = 1.0
+    prev = np.inf
+    offsets0 = h.levels[0].offsets
     for rnd in range(max_rounds):
+        if rnd > 0:
+            # Convergence pre-check (one cheap df residual, ~2 applies):
+            # checking only the fused round's internal pre-correction norm
+            # would always execute one full wasted round (~1 s at 2M DOF).
+            from pde_solver_tpu.ops.df32 import jit_df_residual
+            _, rnorm2 = jit_df_residual(offsets0, ladder.Whi[0],
+                                        ladder.Wlo[0], ladder.bhi0,
+                                        ladder.blo0, x_hi, x_lo, d, vdim)
+            relres = float(np.sqrt(float(rnorm2))) / bnorm
+            if relres <= tol or not np.isfinite(relres):
+                break
+            if relres > 0.5 * prev:  # df32 floor (see solve_fcycle_df)
+                break
+            prev = relres
         x_hi, x_lo, rnorm2, k = _jit_round_df(
             h_struct, level_arrays, ladder.Whi, ladder.Wlo, ladder.scale32,
             ladder.free32, Ainv32, ladder.bhi0, ladder.blo0, x_hi, x_lo,
             inner_iters)
         total += int(k)
-        # rnorm2 is the residual *before* this round's correction
+    else:
+        rnd = max_rounds
+    if rnd == max_rounds or relres > tol:
+        # final residual reflects the last executed round
+        from pde_solver_tpu.ops.df32 import jit_df_residual
+        _, rnorm2 = jit_df_residual(offsets0, ladder.Whi[0], ladder.Wlo[0],
+                                    ladder.bhi0, ladder.blo0, x_hi, x_lo,
+                                    d, vdim)
         relres = float(np.sqrt(float(rnorm2))) / bnorm
-        if relres <= tol or not np.isfinite(relres):
-            break
     return x_hi, x_lo, total, relres

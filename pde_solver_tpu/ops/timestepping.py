@@ -162,6 +162,15 @@ def run_transient(
         if prec in ("f64", "mixed") else None
     A32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in scaled) \
         if prec in ("f32", "mixed") else None
+    if A32 is not None:
+        # The per-step CG dominates the scan; apply it through the Pallas
+        # flat-stencil kernel on TPU (_stencil_apply dispatches on the type).
+        from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
+                                                       FlatStencilOperator,
+                                                       pallas_enabled)
+        if pallas_enabled() and n >= PALLAS_MIN_DOF:
+            A32 = FlatStencilOperator(offsets, scaled, mesh.node_shape,
+                                      vdim=vdim)
     B_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in B_list)
 
     inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
