@@ -162,3 +162,57 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
         phases.get("solve_seconds", 0.0), info["cg_iterations"],
         info["relative_residual"])
     return flatten_values(field, d), info
+
+
+def assemble_vector_mass(mesh: StructuredMesh, rho: float) -> Dict:
+    """Consistent vector mass stencil: ρ ∫ φ_n φ_m dx ⊗ I_d."""
+    d = mesh.dim
+    m = assembly.assemble_scalar_stencil(mesh, "mass")
+    eye = np.eye(d)
+    return {o: rho * W[..., None, None] * eye for o, W in m.items()}
+
+
+def solve_elasticity_dynamic(mesh: StructuredMesh, E: float, nu: float,
+                             rho: float, body_force: np.ndarray, mode: str,
+                             dt: float, num_steps: int,
+                             u0: Optional[np.ndarray] = None,
+                             v0: Optional[np.ndarray] = None,
+                             beta: float = 0.25, gamma: float = 0.5,
+                             config: Optional[SolverConfig] = None):
+    """Implicit elastodynamics ρ ü − ∇·σ(u) = f with the x=0 face clamped.
+
+    Newmark-β time integration (β=¼, γ=½ default: unconditionally stable,
+    energy-conserving).  Capability beyond the reference — its elasticity
+    solvers are all static (fenics_mcp_server.py:1470-1892).  Returns a
+    :class:`~pde_solver_tpu.ops.timestepping.NewmarkResult` plus stats."""
+    from pde_solver_tpu.ops.timestepping import run_newmark
+
+    cfg = config or get_config()
+    d = mesh.dim
+    lam, mu = lame_parameters(E, nu, mode)
+    phases: Dict[str, float] = {}
+    with phase_timer(phases, "assembly"):
+        K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+        M = assemble_vector_mass(mesh, rho)
+        f = assembly.assemble_vector_load(mesh,
+                                          np.asarray(body_force, np.float64))
+        bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                    mesh.node_shape, vdim=d)
+    shape = mesh.node_shape + (d,)
+    u0 = np.zeros(shape) if u0 is None else np.asarray(u0, np.float64)
+    v0 = np.zeros(shape) if v0 is None else np.asarray(v0, np.float64)
+    with phase_timer(phases, "solve"):
+        res = run_newmark(K, M, mesh, bc, f, u0, v0, dt, num_steps,
+                          beta=beta, gamma=gamma, vdim=d, config=cfg)
+    info = {
+        "num_dofs": mesh.num_nodes * d,
+        "cg_iterations": res.total_cg_iterations,
+        "relative_residual": res.max_relative_residual,
+        "num_steps": num_steps,
+        **phases,
+    }
+    get_logger().info(
+        "elastodynamics: %d DOF × %d Newmark steps solve=%.3fs iters=%d",
+        info["num_dofs"], num_steps, phases.get("solve_seconds", 0.0),
+        res.total_cg_iterations)
+    return res, info

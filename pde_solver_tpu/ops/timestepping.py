@@ -55,20 +55,44 @@ def _combine(K: Dict, M: Dict, alpha: float, beta: float) -> Dict:
     return out
 
 
+def _make_scale_ops(s, Ct, CinvT):
+    """Scaled-system coordinate changes, scalar (s) or block (Ct/CinvT).
+
+    Scalar Jacobi: Â = S A S with S = diag(s) ⇒ b̂ = S b, x̂ = x/s, x = S x̂.
+    Block Cholesky: Â = C⁻¹ A C⁻ᵀ ⇒ b̂ = C⁻¹ b, x̂ = Cᵀ x, x = C⁻ᵀ x̂.
+    Per-node batched einsums run on the VPU (safe at default precision —
+    only *constant*-matrix contractions lower to bf16 MXU passes)."""
+    if s is not None:
+        return (lambda v: s * v), (lambda v: v / s), (lambda v: s * v)
+
+    def to_hat_b(v):
+        return jnp.einsum("...ji,...j->...i", CinvT, v)
+
+    def to_hat_x(v):
+        return jnp.einsum("...ij,...j->...i", Ct, v)
+
+    def from_hat_x(v):
+        return jnp.einsum("...ij,...j->...i", CinvT, v)
+
+    return to_hat_b, to_hat_x, from_hat_x
+
+
 @partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
                                    "refine", "grid_dim", "vdim", "mode",
                                    "snap32"))
-def _transient_scan(offsets, A32, A64, B_w, free, g, s, b_src, Ag, u0,
-                    inner_tol, num_steps, maxiter, refine, grid_dim, vdim,
-                    mode, snap32):
+def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
+                    Ag, u0, inner_tol, num_steps, maxiter, refine, grid_dim,
+                    vdim, mode, snap32):
     """One fused scan over implicit steps on the scaled system.
 
     mode: "f64" | "f32" | "mixed".  All weight tuples are aligned with
-    ``offsets``; ``B_w`` is the unmasked explicit-side operator.
+    ``offsets``; ``B_w`` is the unmasked explicit-side operator.  Scaling is
+    scalar (``s``) for vdim=1 or block-Cholesky (``Ct``/``CinvT``) otherwise.
     """
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
     u0 = u0.astype(state_dtype)
     snap_dtype = jnp.float32 if snap32 else state_dtype
+    to_hat_b, to_hat_x, from_hat_x = _make_scale_ops(s, Ct, CinvT)
 
     def B(x):
         return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
@@ -77,8 +101,8 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, b_src, Ag, u0,
         u, iters_acc, res_acc = carry
         rhs = B(u) + b_src
         bt = free * (rhs - Ag) + g
-        b_hat = s * bt
-        x0_hat = u / s
+        b_hat = to_hat_b(bt)
+        x0_hat = to_hat_x(u)
 
         if mode == "f64":
             xh, k, relres = _cg_unit_diag(offsets, A64, b_hat, x0_hat,
@@ -106,7 +130,7 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, b_src, Ag, u0,
                                                b_hat.reshape(-1))), 1e-300)
             relres = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1))) / bn
 
-        u_new = (s * xh).astype(state_dtype)
+        u_new = from_hat_x(xh).astype(state_dtype)
         return ((u_new, iters_acc + k,
                  jnp.maximum(res_acc, relres.astype(state_dtype))),
                 u_new.astype(snap_dtype))
@@ -147,11 +171,8 @@ def run_transient(
 
     # Scaled, masked implicit operator (zero rhs — we only need the weights,
     # the per-step lift happens inside the scan with precomputed A g).
-    if vdim != 1:
-        raise NotImplementedError("transient stepping is scalar-field only")
     sysm = prepare_system(A_np, mesh, bc, np.zeros(u0_np.shape), vdim)
-    offsets, scaled, s_np, gvals = (sysm.offsets, sysm.weights, sysm.s,
-                                    sysm.gvals)
+    offsets, scaled, gvals = sysm.offsets, sysm.weights, sysm.gvals
     Ag_np = np_stencil_apply(A_np, gvals, d, vdim)
     free_np = np.asarray(bc.free_mask, dtype=np.float64)
     B_list = [np.asarray(B_np.get(o, np.zeros_like(scaled[i])), dtype=np.float64)
@@ -177,11 +198,19 @@ def run_transient(
     refine = cfg.transient_refine_rounds if prec == "mixed" else 0
     snap32 = cfg.snapshot_dtype == "f32" and prec != "f64"
 
+    if sysm.scale_kind == "scalar":
+        s_dev = jnp.asarray(sysm.s, dtype=state_dtype)
+        Ct_dev = CinvT_dev = None
+    else:
+        s_dev = None
+        Ct_dev = jnp.asarray(sysm.Ct, dtype=state_dtype)
+        CinvT_dev = jnp.asarray(sysm.CinvT, dtype=state_dtype)
+
     snaps, iters, res = _transient_scan(
         offsets, A32, A64, B_w,
         jnp.asarray(free_np, dtype=state_dtype),
         jnp.asarray(gvals, dtype=state_dtype),
-        jnp.asarray(s_np, dtype=state_dtype),
+        s_dev, Ct_dev, CinvT_dev,
         jnp.asarray(dt * b_source_np, dtype=state_dtype),
         jnp.asarray(Ag_np, dtype=state_dtype),
         jnp.asarray(u0_np, dtype=state_dtype),
@@ -194,3 +223,156 @@ def run_transient(
     return TransientResult(values=values, times=times,
                            total_cg_iterations=int(iters),
                            max_relative_residual=float(res))
+
+
+# ----------------------------------------------------------------------
+# Newmark-β second-order dynamics (elastodynamics):  M ü + K u = f
+# ----------------------------------------------------------------------
+#
+# New capability beyond the reference (its elasticity is static only,
+# fenics_mcp_server.py:1470-1892).  Acceleration form, one jitted scan:
+#
+#   ũ       = uₙ + Δt vₙ + Δt² (½ − β) aₙ            (predictor)
+#   A_eff a = free ⊙ (f − K ũ),  A_eff = M + β Δt² K  (CG on scaled system)
+#   uₙ₊₁   = ũ + β Δt² aₙ₊₁
+#   vₙ₊₁   = vₙ + Δt ((1−γ) aₙ + γ aₙ₊₁)
+#
+# β=¼, γ=½ (average acceleration) is unconditionally stable and exactly
+# energy-conserving for f=0 in exact arithmetic — the test suite checks the
+# discrete energy ½ vᵀMv + ½ uᵀKu drift.  Dirichlet nodes carry u=g fixed,
+# v=a=0: A_eff's masked rows are identity with zero RHS there.
+
+class NewmarkResult(NamedTuple):
+    values: np.ndarray       # [num_steps+1, *node_shape, v] displacements
+    velocities: np.ndarray   # [num_steps+1, *node_shape, v]
+    times: np.ndarray
+    total_cg_iterations: int
+    max_relative_residual: float
+
+
+@partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
+                                   "grid_dim", "vdim", "snap32"))
+def _newmark_scan(offsets, A_w, K_w, free, s, Ct, CinvT, f_ext, u0, v0, a0,
+                  dt, beta, gamma, inner_tol, num_steps, maxiter, grid_dim,
+                  vdim, snap32):
+    dtype = u0.dtype
+    snap_dtype = jnp.float32 if snap32 else dtype
+    to_hat_b, to_hat_x, from_hat_x = _make_scale_ops(s, Ct, CinvT)
+
+    def K(x):
+        return _stencil_apply(offsets, K_w, x, grid_dim, vdim)
+
+    c1 = dt * dt * (0.5 - beta)
+    c2 = beta * dt * dt
+
+    def step(carry, _):
+        u, v, a, iters_acc, res_acc = carry
+        u_pred = u + dt * v + c1 * a
+        bt = free * (f_ext - K(u_pred))
+        xh, k, relres = _cg_unit_diag(offsets, A_w, to_hat_b(bt),
+                                      to_hat_x(a), inner_tol, maxiter,
+                                      grid_dim, vdim)
+        a_new = free * from_hat_x(xh)
+        u_new = u_pred + c2 * a_new
+        v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+        return ((u_new, v_new, a_new, iters_acc + k,
+                 jnp.maximum(res_acc, relres.astype(dtype))),
+                (u_new.astype(snap_dtype), v_new.astype(snap_dtype)))
+
+    carry0 = (u0, v0, a0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype))
+    (_, _, _, iters, res), (us, vs) = jax.lax.scan(
+        step, carry0, None, length=num_steps)
+    return us, vs, iters, res
+
+
+def run_newmark(
+    K_np: Dict,
+    M_np: Dict,
+    mesh: StructuredMesh,
+    bc: DirichletBC,
+    f_np: np.ndarray,
+    u0_np: np.ndarray,
+    v0_np: np.ndarray,
+    dt: float,
+    num_steps: int,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    vdim: int = 1,
+    config: Optional[SolverConfig] = None,
+) -> NewmarkResult:
+    """Implicit Newmark-β time integration of M ü + K u = f.
+
+    ``K_np``/``M_np`` are (block) stencils; ``f_np`` a constant external
+    load; ``u0_np`` must satisfy the Dirichlet values (they stay pinned)."""
+    cfg = config or get_config()
+    prec = cfg.resolve_precision()
+    if prec == "mixed":
+        prec = "f32"   # no f64 inside device scans (see run_transient)
+    d = mesh.dim
+    n = int(np.prod(mesh.node_shape)) * vdim
+    maxiter = cfg.resolved_maxiter(n)
+
+    A_np = _combine(K_np, M_np, alpha=beta * dt * dt, beta=1.0)
+    # Acceleration BC values are zero ⇒ zero-valued mask with u's sparsity.
+    bc0 = DirichletBC(np.asarray(bc.free_mask, np.float64),
+                      np.zeros_like(np.asarray(bc.values, np.float64)))
+    sysm = prepare_system(A_np, mesh, bc0, np.zeros(u0_np.shape), vdim)
+    offsets = sysm.offsets
+
+    state_dtype = jnp.float64 if prec == "f64" else jnp.float32
+    A_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in sysm.weights)
+    if prec != "f64":
+        from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
+                                                       FlatStencilOperator,
+                                                       pallas_enabled)
+        if pallas_enabled() and n >= PALLAS_MIN_DOF:
+            A_w = FlatStencilOperator(offsets, sysm.weights, mesh.node_shape,
+                                      vdim=vdim)
+    K_list = [np.asarray(K_np.get(o, np.zeros(mesh.node_shape
+                                              + ((vdim, vdim) if vdim > 1
+                                                 else ()))), np.float64)
+              for o in offsets]
+    K_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in K_list)
+
+    free_np = np.asarray(bc.free_mask, dtype=np.float64)
+    # Consistent initial acceleration: M a0 = free ⊙ (f − K u0)
+    sys_m = prepare_system(M_np, mesh, bc0, free_np * (
+        np.asarray(f_np, np.float64)
+        - np_stencil_apply(K_np, np.asarray(u0_np, np.float64), d, vdim)),
+        vdim)
+    M_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in sys_m.weights)
+    xh0, _, _ = _cg_unit_diag(
+        offsets, M_w, jnp.asarray(sys_m.b_hat, state_dtype),
+        jnp.zeros(u0_np.shape, state_dtype),
+        cfg.transient_inner_tol if prec != "f64" else cfg.tol,
+        maxiter, d, vdim)
+    a0 = jnp.asarray(free_np, state_dtype) * jnp.asarray(
+        sys_m.from_hat_x(np.asarray(xh0, np.float64)), state_dtype)
+
+    if sysm.scale_kind == "scalar":
+        s_dev = jnp.asarray(sysm.s, state_dtype)
+        Ct_dev = CinvT_dev = None
+    else:
+        s_dev = None
+        Ct_dev = jnp.asarray(sysm.Ct, state_dtype)
+        CinvT_dev = jnp.asarray(sysm.CinvT, state_dtype)
+
+    inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
+    snap32 = cfg.snapshot_dtype == "f32" and prec != "f64"
+    us, vs, iters, res = _newmark_scan(
+        offsets, A_w, K_w,
+        jnp.asarray(free_np, state_dtype),
+        s_dev, Ct_dev, CinvT_dev,
+        jnp.asarray(f_np, state_dtype),
+        jnp.asarray(u0_np, state_dtype), jnp.asarray(v0_np, state_dtype),
+        a0, float(dt), float(beta), float(gamma), inner_tol,
+        int(num_steps), maxiter, d, vdim, snap32)
+
+    values = np.concatenate([np.asarray(u0_np, np.float64)[None],
+                             np.asarray(us, np.float64)], axis=0)
+    vels = np.concatenate([np.asarray(v0_np, np.float64)[None],
+                           np.asarray(vs, np.float64)], axis=0)
+    times = dt * np.arange(num_steps + 1, dtype=np.float64)
+    return NewmarkResult(values=values, velocities=vels, times=times,
+                         total_cg_iterations=int(iters),
+                         max_relative_residual=float(res))
