@@ -67,45 +67,63 @@ def main():
     x0 = jnp.zeros_like(b32)
 
     # --- pieces -------------------------------------------------------
+    # NB: every jit takes its arrays as ARGS — a jitted closure over large
+    # device arrays inlines them into the remote-compile HTTP request
+    # (413 error over the axon tunnel, see CLAUDE.md).
     from pde_solver_tpu.ops.linsolve import _stencil_apply
 
-    @jax.jit
-    def apply_f32(x):
-        return _stencil_apply(lv.offsets, lv.weights, x, d, vdim)
-
-    @jax.jit
-    def apply_lo(x):
-        return _stencil_apply(lv.offsets, lv.w_smooth, x, d, vdim)
+    @partial(jax.jit, static_argnames=("offs",))
+    def apply_w(offs, w, x):
+        return _stencil_apply(offs, w, x, d, vdim)
 
     timeit("fine apply (true f32 op)",
-           lambda: float(jnp.sum(apply_f32(b32)[0, 0, 0])))
+           lambda: float(jnp.sum(
+               apply_w(lv.offsets, lv.weights, b32)[0, 0, 0])))
     timeit("fine apply (smoother op)",
-           lambda: float(jnp.sum(apply_lo(b32)[0, 0, 0])))
+           lambda: float(jnp.sum(
+               apply_w(lv.offsets, lv.w_smooth, b32)[0, 0, 0])))
 
-    @jax.jit
-    def df_res(x):
-        return jit_df_residual(lv.offsets, ladder.Whi[0], ladder.Wlo[0],
-                               ladder.bhi0, ladder.blo0, x,
+    @partial(jax.jit, static_argnames=("offs",))
+    def df_res(offs, Whi, Wlo, bhi, blo, x):
+        return jit_df_residual(offs, Whi, Wlo, bhi, blo, x,
                                jnp.zeros_like(x), d, vdim)
 
     timeit("df32 residual (finest, dense weights)",
-           lambda: float(df_res(b32)[1]))
+           lambda: float(df_res(lv.offsets, ladder.Whi[0], ladder.Wlo[0],
+                                ladder.bhi0, ladder.blo0, b32)[1]))
 
-    @jax.jit
-    def vc(r):
-        return mg.v_cycle(h, r)
+    h_struct = (tuple(lv.offsets for lv in h.levels),
+                tuple(lv.omega for lv in h.levels),
+                d, vdim, h.pre_smooth, h.post_smooth, h.coarse_iters)
+    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
+                          lv.w_lo) for lv in h.levels)
+
+    @partial(jax.jit, static_argnames=("hs",))
+    def vc(hs, arrs, r):
+        (offsets_per_level, omegas, gd, vd, pre, post, ci) = hs
+        levels = [mg.MGLevel(offsets_per_level[i], a[0], a[1], omegas[i],
+                             a[2], a[3], a[4], a[5], w_lo=a[6])
+                  for i, a in enumerate(arrs)]
+        hh = mg.MGHierarchy(tuple(levels), gd, vd, pre, post, ci)
+        return mg.v_cycle(hh, r)
 
     timeit("one V-cycle (all levels)",
-           lambda: float(jnp.sum(vc(b32)[0, 0, 0])))
+           lambda: float(jnp.sum(vc(h_struct, level_arrays, b32)[0, 0, 0])))
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def pcg_n(bb, iters):
-        x, k, rr = mg.mg_pcg(h, bb, jnp.zeros_like(bb), 0.0, iters)
+    @partial(jax.jit, static_argnames=("hs", "iters"))
+    def pcg_n(hs, arrs, bb, iters):
+        (offsets_per_level, omegas, gd, vd, pre, post, ci) = hs
+        levels = [mg.MGLevel(offsets_per_level[i], a[0], a[1], omegas[i],
+                             a[2], a[3], a[4], a[5], w_lo=a[6])
+                  for i, a in enumerate(arrs)]
+        hh = mg.MGHierarchy(tuple(levels), gd, vd, pre, post, ci)
+        x, k, rr = mg.mg_pcg(hh, bb, jnp.zeros_like(bb), 0.0, iters)
         return x, k
 
     for it in (1, 14):
         timeit(f"mg_pcg level0 x{it} iters",
-               lambda it=it: float(jnp.sum(pcg_n(b32, it)[0][0, 0, 0])))
+               lambda it=it: float(jnp.sum(
+                   pcg_n(h_struct, level_arrays, b32, it)[0][0, 0, 0])))
 
     timeit("restrict_hat level0→1",
            lambda: float(jnp.sum(mg._jit_restrict_hat64(
