@@ -130,6 +130,73 @@ def main():
                ladder.scale32[0], ladder.scale32[1], ladder.free32[1],
                b32, d)[0, 0, 0])))
 
+    # --- chained pieces (true in-program costs, no dispatch latency) ---
+    from jax import lax
+
+    def norm(y):
+        return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+
+    @partial(jax.jit, static_argnames=("offs", "reps"))
+    def chain_apply(offs, w, x, reps):
+        return lax.fori_loop(
+            0, reps, lambda _, xx: norm(_stencil_apply(offs, w, xx, d, vdim)),
+            x)
+
+    rg = jnp.asarray(np.asarray(ladder.bhi0))  # grid layout
+    CH = 20
+    timeit("chain20: fine apply f32 (grid io)",
+           lambda: float(jnp.sum(chain_apply(lv.offsets, lv.weights, rg,
+                                             CH)[0, 0, 0])) / CH, reps=2)
+    timeit("chain20: fine apply bf16 smoother (grid io)",
+           lambda: float(jnp.sum(chain_apply(lv.offsets, lv.w_smooth, rg,
+                                             CH)[0, 0, 0])) / CH, reps=2)
+
+    op0 = lv.weights
+    xf0 = op0.to_flat(rg)
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def chain_flat(op, x, reps):
+        return lax.fori_loop(0, reps,
+                             lambda _, xx: norm(op.apply_flat(xx)), x)
+
+    timeit("chain20: fine apply f32 (flat io)",
+           lambda: float(jnp.sum(chain_flat(op0, xf0, CH)[0, 0, 0])) / CH,
+           reps=2)
+
+    @partial(jax.jit, static_argnames=("hs", "reps"))
+    def chain_vc(hs, arrs, r, reps):
+        (offsets_per_level, omegas, gd, vd, pre, post, ci) = hs
+        levels = [mg.MGLevel(offsets_per_level[i], a[0], a[1], omegas[i],
+                             a[2], a[3], a[4], a[5], w_lo=a[6])
+                  for i, a in enumerate(arrs)]
+        hh = mg.MGHierarchy(tuple(levels), gd, vd, pre, post, ci)
+        return lax.fori_loop(0, reps,
+                             lambda _, xx: norm(mg.v_cycle(hh, xx)), r)
+
+    timeit("chain20: one V-cycle (grid io)",
+           lambda: float(jnp.sum(chain_vc(h_struct, level_arrays, rg,
+                                          CH)[0, 0, 0])) / CH, reps=2)
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def chain_rp(fs, cs, cfree, ffree, r, reps):
+        def body(_, xx):
+            rc = mg._restrict_hat(
+                mg.MGLevel(lv.offsets, None, ffree, 1.0, None, fs[0], fs[1]),
+                mg.MGLevel(lv.offsets, None, cfree, 1.0, None, cs[0], cs[1]),
+                xx, d, vdim)
+            e = mg._prolong_hat(
+                mg.MGLevel(lv.offsets, None, ffree, 1.0, None, fs[0], fs[1]),
+                mg.MGLevel(lv.offsets, None, cfree, 1.0, None, cs[0], cs[1]),
+                rc, d, vdim)
+            return norm(xx + e)
+        return lax.fori_loop(0, reps, body, r)
+
+    lv1 = h.levels[1]
+    timeit("chain20: restrict+prolong L0↔L1 (block)",
+           lambda: float(jnp.sum(chain_rp(
+               (lv.C, lv.Cinv), (lv1.C, lv1.Cinv), lv1.free, lv.free,
+               rg, CH)[0, 0, 0])) / CH, reps=2)
+
     # --- one fused round ---------------------------------------------
     h_struct = (tuple(lv.offsets for lv in h.levels),
                 tuple(lv.omega for lv in h.levels),

@@ -47,6 +47,27 @@ def _pallas_chain(op, x_flat, reps):
     return jax.lax.fori_loop(0, reps, body, x_flat)
 
 
+@partial(jax.jit, static_argnames=("reps",))
+def _pallas_grid_chain(op, x_grid, reps):
+    """apply() on grid-layout vectors — includes the to_flat/from_flat
+    layout conversions the MG code pays per apply."""
+    def body(_, x):
+        y = op.apply(x)
+        return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+
+    return jax.lax.fori_loop(0, reps, body, x_grid)
+
+
+@partial(jax.jit, static_argnames=("reps",))
+def _convert_chain(op, x_grid, reps):
+    """Layout round-trip only (no SpMV): isolates conversion cost."""
+    def body(_, x):
+        y = op.from_flat(op.to_flat(x))
+        return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+
+    return jax.lax.fori_loop(0, reps, body, x_grid)
+
+
 def main():
     args = sys.argv[1:]
     cells = tuple(int(a) for a in args[:3]) if len(args) >= 3 else (160, 64, 64)
@@ -116,6 +137,8 @@ def main():
         ("pallas resident f32 b4096", dict(resident=True, block=4096)),
         ("pallas resident bf16 b4096", dict(resident=True, block=4096,
                                             weight_dtype=jnp.bfloat16)),
+        ("pallas resident f32 b8192", dict(resident=True, block=8192)),
+        ("pallas resident f32 b16384", dict(resident=True, block=16384)),
     ):
         try:
             op = FlatStencilOperator(sysm.offsets, sysm.weights,
@@ -133,6 +156,18 @@ def main():
             print(f"    rel-vs-f64: {rel:.2e}", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    # --- layout-conversion overhead (what MG pays per grid-layout apply) ---
+    op = FlatStencilOperator(sysm.offsets, sysm.weights, mesh.node_shape,
+                             vdim=3, interpret=False, resident=True)
+    xg = jnp.asarray(x_np)
+    for name, chain in (("pallas GRID apply (with conv)", _pallas_grid_chain),
+                        ("layout round-trip only", _convert_chain)):
+        sync_scalar(chain(op, xg, reps))
+        t0 = time.perf_counter()
+        sync_scalar(chain(op, xg, reps))
+        print(f"{name:28s}: {(time.perf_counter()-t0)/reps*1e3:8.3f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ class LocalToolSet(ToolSet):
             "solve_heat_1D_spherical", "solve_heat_2D_cylindrical",
             "solve_heat_2D_spherical", "solve_elasticity_1D_static",
             "solve_elasticity_2D_static", "solve_elasticity_3D_static",
+            "solve_elasticity_3D_dynamic",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -219,6 +220,13 @@ class DispatcherAgent:
                 return "solve_heat_3D", self._heat_3d_args(params, geometry)
             raise ValueError(f"Unsupported dimension: {params.dim}")
         if params.pde_type == "elasticity":
+            # Dynamics is OPT-IN via an explicit "dynamic" note (set by the
+            # parser only for vibration/oscillation/dynamic phrasing) so
+            # every query the reference handles still routes to the static
+            # solvers (its elasticity is static-only).
+            if params.dim == 3 and "dynamic" in (params.notes or []):
+                return ("solve_elasticity_3D_dynamic",
+                        self._elast_3d_dynamic_args(params))
             name = f"solve_elasticity_{params.dim}D_static"
             builder = {1: self._elast_1d_args, 2: self._elast_2d_args,
                        3: self._elast_3d_args}.get(params.dim)
@@ -515,6 +523,23 @@ class DispatcherAgent:
             "data_dir": "data",
         }
 
+    def _elast_3d_dynamic_args(self, params: PDEParameters) -> Dict[str, Any]:
+        args = self._elast_3d_args(params)
+        args.pop("quantity", None)
+        args["rho"] = params.density if params.density is not None else 7800.0
+        # dt/num_steps heuristics mirror the heat-solver defaults policy:
+        # explicit values win; otherwise total_time spreads over 50 steps.
+        num_steps = params.num_steps or 50
+        if params.dt is not None:
+            dt = params.dt
+        elif params.total_time is not None:
+            dt = params.total_time / num_steps
+        else:
+            dt = 1e-4
+        args["dt"] = float(dt)
+        args["num_steps"] = int(num_steps)
+        return args
+
     def _elast_3d_args(self, params: PDEParameters) -> Dict[str, Any]:
         domain = params.domain_size or {}
         if any(k in domain for k in ("Lx", "lx", "width")):
@@ -613,7 +638,8 @@ class DispatcherAgent:
             mode = "steady-state" if params.steady else "transient"
             material = f"Diffusivity: {params.diffusivity or 'default'}"
         else:
-            mode = "static"
+            mode = ("dynamic (Newmark)" if "dynamic" in (params.notes or [])
+                    else "static")
             E_str = (f"{params.young_modulus / 1e9:.1f} GPa"
                      if params.young_modulus else "default")
             nu_str = (f"{params.poisson_ratio}"

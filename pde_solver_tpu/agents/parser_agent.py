@@ -145,7 +145,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     material: Dict[str, Any] = {}
 
     # --- PDE type ---
-    if re.search(r"elastic|stress|strain|displacement|deform|cantilever|beam bend", t):
+    if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
+                 r"|beam bend|vibrat|oscillat", t):
         out["pde_type"] = "elasticity"
     else:
         out["pde_type"] = "heat"
@@ -318,7 +319,15 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # has backward Euler; "crank-nicolson" requests ride the notes channel
     # and flip SolverConfig.theta in the dispatcher) ---
     if re.search(r"crank[\s–-]*nicol?son|trapezoidal\s+(?:rule|scheme|stepping)", t):
-        out["notes"] = ["time_scheme:crank_nicolson"]
+        out.setdefault("notes", []).append("time_scheme:crank_nicolson")
+
+    # --- elastodynamics opt-in (framework extension: the reference's
+    # elasticity is static-only) — only explicit vibration/dynamic phrasing
+    # routes to the Newmark solver, so reference-style queries are untouched ---
+    if out.get("pde_type") == "elasticity" and re.search(
+            r"vibrat|oscillat|\bdynamic|elastodynamic", t):
+        out.setdefault("notes", []).append("dynamic")
+        out["steady"] = False
 
     # --- coordinate system from geometry ---
     if out.get("geometry_type") == "cylinder":

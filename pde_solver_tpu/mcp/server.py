@@ -152,7 +152,8 @@ class MCPServer:
 
 
 def default_tools() -> Dict[str, Callable]:
-    """The 13-tool surface (same names as the reference MCP server)."""
+    """The reference's 13-tool surface (same names as its MCP server), plus
+    the elastodynamics extension tool."""
     from pde_solver_tpu import api
     names = [
         "solve_heat_1D", "solve_heat_2D", "solve_heat_3D_spherical",
@@ -161,6 +162,8 @@ def default_tools() -> Dict[str, Callable]:
         "solve_elasticity_1D_static", "solve_elasticity_2D_static",
         "solve_elasticity_3D_static", "plot_time_series_field_from_file",
         "plot_time_series_field",
+        # extension beyond the reference (see api.solve_elasticity_3D_dynamic)
+        "solve_elasticity_3D_dynamic",
     ]
     return {n: getattr(api, n) for n in names}
 

@@ -204,10 +204,13 @@ def solve_elasticity_dynamic(mesh: StructuredMesh, E: float, nu: float,
     with phase_timer(phases, "solve"):
         res = run_newmark(K, M, mesh, bc, f, u0, v0, dt, num_steps,
                           beta=beta, gamma=gamma, vdim=d, config=cfg)
+    inner_tol = cfg.tol if cfg.resolve_precision() == "f64" \
+        else cfg.transient_inner_tol
     info = {
         "num_dofs": mesh.num_nodes * d,
         "cg_iterations": res.total_cg_iterations,
         "relative_residual": res.max_relative_residual,
+        "converged": bool(res.max_relative_residual <= 10 * inner_tol),
         "num_steps": num_steps,
         **phases,
     }

@@ -304,8 +304,23 @@ def _prolong_hat(fine: MGLevel, coarse: MGLevel, e_hat_c: jnp.ndarray,
     return fine.free * out
 
 
-def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0) -> jnp.ndarray:
-    """One symmetric V-cycle approximating Â⁻¹ r̂ at ``level``."""
+def _is_flat_op(w) -> bool:
+    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+    return isinstance(w, FlatStencilOperator)
+
+
+def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0,
+            flat_io: bool = False) -> jnp.ndarray:
+    """One symmetric V-cycle approximating Â⁻¹ r̂ at ``level``.
+
+    At levels whose operator is a Pallas :class:`FlatStencilOperator`, all
+    smoothing runs in the kernel's packed ``[v, rows, 128]`` layout and only
+    the restrict/prolong boundary converts to grid layout — the grid↔flat
+    transpose costs several× the SpMV itself at 2M DOF, so paying it per
+    *level visit* instead of per *apply* is most of the V-cycle's speed.
+    ``flat_io=True`` (callers holding flat state, e.g. ``mg_pcg``) skips the
+    entry/exit conversions too.
+    """
     lv = h.levels[level]
     d, vdim = h.grid_dim, h.vdim
 
@@ -352,23 +367,42 @@ def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0) -> jnp.ndarray:
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
 
-    def cheb(x, rhs, degree):
-        res = rhs - A(x)
-        dvec = res / theta
-        x = x + dvec
-        rho_old = 1.0 / sigma
-        for _ in range(degree - 1):
-            rho = 1.0 / (2.0 * sigma - rho_old)
-            dvec = rho * rho_old * dvec + (2.0 * rho / delta) * (rhs - A(x))
+    def make_cheb(A_fn):
+        def cheb(x, rhs, degree):
+            res = rhs - A_fn(x)
+            dvec = res / theta
             x = x + dvec
-            rho_old = rho
-        return x
+            rho_old = 1.0 / sigma
+            for _ in range(degree - 1):
+                rho = 1.0 / (2.0 * sigma - rho_old)
+                dvec = (rho * rho_old * dvec
+                        + (2.0 * rho / delta) * (rhs - A_fn(x)))
+                x = x + dvec
+                rho_old = rho
+            return x
+        return cheb
 
+    lvc = h.levels[level + 1]
+    if _is_flat_op(lv.w_smooth):
+        # Pallas level: smooth in the packed flat layout; grid layout only
+        # at the transfer boundary.
+        op = lv.w_smooth
+        cheb = make_cheb(op.apply_flat)
+        rf = r_hat if flat_io else op.to_flat(r_hat)
+        xf = cheb(jnp.zeros_like(rf), rf, h.pre_smooth)
+        rho_f = rf - op.apply_flat(xf)
+        rc = _restrict_hat(lv, lvc, op.from_flat(rho_f), d, vdim)
+        ec = v_cycle(h, rc, level + 1)
+        xf = xf + op.to_flat(_prolong_hat(lv, lvc, ec, d, vdim))
+        xf = cheb(xf, rf, h.post_smooth)
+        return xf if flat_io else op.from_flat(xf)
+
+    cheb = make_cheb(A)
     x = cheb(jnp.zeros_like(r_hat), r_hat, h.pre_smooth)
     rho_res = r_hat - A(x)
-    rc = _restrict_hat(lv, h.levels[level + 1], rho_res, d, vdim)
+    rc = _restrict_hat(lv, lvc, rho_res, d, vdim)
     ec = v_cycle(h, rc, level + 1)
-    x = x + _prolong_hat(lv, h.levels[level + 1], ec, d, vdim)
+    x = x + _prolong_hat(lv, lvc, ec, d, vdim)
     x = cheb(x, r_hat, h.post_smooth)
     return x
 
@@ -380,17 +414,36 @@ def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
     with an iterative coarse solve is not an exactly fixed linear operator —
     textbook PCG silently loses the true residual in that setting (observed:
     recursive 5e-7 vs true 0.2 at 2M DOF).  Convergence is checked on the
-    *true* residual norm ‖r‖ (always recurrence-tracked, cheap)."""
+    *true* residual norm ‖r‖ (always recurrence-tracked, cheap).
+
+    When the finest level applies through the Pallas flat kernel, the whole
+    CG state lives in the packed flat layout (dots/axpys are layout-
+    agnostic; the zero tail padding contributes nothing) and only the
+    V-cycle's internal transfer boundary converts to grid layout."""
     lv = h.levels[0]
     d, vdim = h.grid_dim, h.vdim
     dtype = b.dtype
 
-    def A(x):
-        return _stencil_apply(lv.offsets, lv.weights, x, d, vdim)
+    flat = _is_flat_op(lv.weights)
+    if flat:
+        op = lv.weights
+        free = op.to_flat(lv.free)
+        b = op.to_flat(b)
+        x0 = op.to_flat(x0)
+        A = op.apply_flat
 
-    def M(r):
-        z = v_cycle(h, r * lv.free)
-        return z * lv.free + (1.0 - lv.free) * r
+        def M(r):
+            z = v_cycle(h, r * free, flat_io=True)
+            return z * free + (1.0 - free) * r
+    else:
+        free = lv.free
+
+        def A(x):
+            return _stencil_apply(lv.offsets, lv.weights, x, d, vdim)
+
+        def M(r):
+            z = v_cycle(h, r * free)
+            return z * free + (1.0 - free) * r
 
     def dot(a, c):
         return jnp.vdot(a.reshape(-1), c.reshape(-1))
@@ -430,6 +483,8 @@ def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
     x, r, p, z, rz, k = jax.lax.while_loop(
         cond, body, (x, r, p, z, rz, jnp.asarray(0, jnp.int32)))
     relres = jnp.sqrt(dot(r, r) / bnorm2)
+    if flat:
+        x = op.from_flat(x)
     return x, k, relres
 
 

@@ -235,8 +235,11 @@ class FlatStencilOperator:
 
     def __init__(self, offsets, weights_np: Sequence[np.ndarray],
                  node_shape: Tuple[int, ...], vdim: int = 1,
-                 block: int = 2048, interpret: bool | None = None,
+                 block: int = 4096, interpret: bool | None = None,
                  weight_dtype=jnp.float32, resident: bool | None = None):
+        # block=4096 (rb=32 rows) measured fastest at the 2M-DOF flagship
+        # shape (benchmarks/spmv_bench.py): larger blocks amortize the
+        # +1-row/alignment slop of shifted wide loads; 16384 OOMs VMEM.
         self.node_shape = tuple(node_shape)
         self.vdim = vdim
         strides = []

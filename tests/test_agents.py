@@ -139,6 +139,27 @@ def test_routing_table():
         assert name == expected, (params, name, expected)
 
 
+def test_elastodynamics_routing_opt_in():
+    """'vibration' phrasing routes 3D elasticity to the Newmark extension
+    tool; reference-style static queries keep routing to the static tool
+    even when a parser marks them transient (steady=False alone must NOT
+    flip the route — only the explicit 'dynamic' note does)."""
+    d = DispatcherAgent()
+    parsed = rule_based_parse(
+        "simulate the vibration of a 1 m steel cantilever in 3d, "
+        "time step 0.001, 20 steps")
+    assert "dynamic" in parsed.get("notes", [])
+    params = PDEParameters.from_dict({**parsed, "dim": 3})
+    name, args = d.route(params)
+    assert name == "solve_elasticity_3D_dynamic"
+    assert args["dt"] == 0.001 and args["num_steps"] == 20
+    assert args["rho"] == 7800.0 and "quantity" not in args
+
+    static = PDEParameters(pde_type="elasticity", dim=3, steady=False)
+    name, _ = d.route(static)
+    assert name == "solve_elasticity_3D_static"
+
+
 def test_geometry_inference_from_domain_notation():
     assert normalize_geometry(PDEParameters(domain_size={"r1": 0.1, "r2": 1, "h": 2})) == "cylinder"
     assert normalize_geometry(PDEParameters(domain_size={"r2": 1.0})) == "sphere"

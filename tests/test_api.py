@@ -214,3 +214,17 @@ def test_solve_elasticity_tools(tmp_path):
                                         quantity="strain", data_dir=str(tmp_path))
     f3 = _check_artifact(r3, 3, "von_mises_strain", tmp_path, expect_nt=1)
     assert f3.meta["unit"] == "-"
+
+
+def test_solve_elasticity_3d_dynamic_tool(tmp_path):
+    """Extension tool (beyond the reference): Newmark elastodynamics time
+    series in the standard TimeSeriesField artifact shape."""
+    r = api.solve_elasticity_3D_dynamic(
+        Lx=1.0, Ly=0.25, Lz=0.25, nx=6, ny=3, nz=3, E=1e6, rho=10.0,
+        body_fz=-98.1, dt=2e-3, num_steps=8, data_dir=str(tmp_path))
+    f = _check_artifact(r, 3, "displacement_magnitude", tmp_path,
+                        expect_nt=9)
+    assert f.meta["integrator"] == "newmark_beta"
+    vals = f.values_array()
+    assert np.isfinite(vals).all() and vals.min() >= 0.0
+    assert vals[0].max() == 0.0 and vals[-1].max() > 0.0  # motion happened

@@ -19,7 +19,8 @@ def test_initialize_and_tools_list():
     resp = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/list"})
     tools = resp["result"]["tools"]
     names = {t["name"] for t in tools}
-    # the reference's 13-tool surface (fenics_mcp_server.py table in SURVEY §2)
+    # the reference's 13-tool surface (fenics_mcp_server.py table in
+    # SURVEY §2) plus the elastodynamics extension tool
     assert names == {
         "solve_heat_1D", "solve_heat_2D", "solve_heat_3D",
         "solve_heat_3D_spherical", "solve_heat_1D_cylindrical",
@@ -27,6 +28,7 @@ def test_initialize_and_tools_list():
         "solve_heat_2D_spherical", "solve_elasticity_1D_static",
         "solve_elasticity_2D_static", "solve_elasticity_3D_static",
         "plot_time_series_field_from_file", "plot_time_series_field",
+        "solve_elasticity_3D_dynamic",
     }
 
 
@@ -77,7 +79,7 @@ def test_stdio_subprocess_round_trip(tmp_path):
         client = StdioMCPClient([sys.executable, env_script])
         try:
             tools = await client.list_tools()
-            assert len(tools) == 13
+            assert len(tools) == 14
             res = await client.call_tool("solve_heat_1D", {
                 "nx": 8, "num_steps": 2, "data_dir": str(tmp_path)})
             assert os.path.exists(res["data_file"])

@@ -76,3 +76,24 @@ def test_mg_solve_through_pallas_interpret(monkeypatch):
     assert info_p["converged"] and info_x["converged"]
     scale = np.abs(v_xla).max()
     assert np.abs(v_pallas - v_xla).max() < 1e-6 * scale
+
+
+def test_mg_elasticity_through_pallas_interpret(monkeypatch):
+    """vdim=3 MG-PCG with the finest level flat (Pallas interpret): the
+    flat-layout V-cycle/PCG state path must match the grid-layout route."""
+    from pde_solver_tpu.config import SolverConfig
+    from pde_solver_tpu.models.elasticity import solve_elasticity_nd
+    from pde_solver_tpu.ops import pallas_kernels
+
+    mesh = box_mesh(8, 4, 4, (0.0, 0.0, 0.0), (1.0, 0.25, 0.25))
+    g = np.array([0.0, 0.0, -9.81 * 500.0])
+    cfg = SolverConfig(precision="mixed", use_multigrid=True, mg_threshold=100)
+
+    monkeypatch.setenv("PDE_TPU_PALLAS", "1")
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_DOF", 100)
+    v_pallas, info_p = solve_elasticity_nd(mesh, 1e6, 0.3, g, "3d", config=cfg)
+    monkeypatch.setenv("PDE_TPU_PALLAS", "0")
+    v_xla, info_x = solve_elasticity_nd(mesh, 1e6, 0.3, g, "3d", config=cfg)
+    assert info_p["converged"] and info_x["converged"]
+    scale = np.abs(v_xla).max()
+    assert np.abs(v_pallas - v_xla).max() < 1e-6 * scale
