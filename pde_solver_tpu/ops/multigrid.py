@@ -44,49 +44,78 @@ def _parities(grid_dim: int):
     return list(itertools.product((0, 1), repeat=grid_dim))
 
 
+def _bisection_edges(grid_dim: int):
+    """Freudenthal/right-diagonal triangulation edge directions: the axes
+    plus the *consistent-orientation* diagonals only (each fine node with
+    parity p bisects the edge along +p)."""
+    return [p for p in _parities(grid_dim) if any(p)]
+
+
+def _edge_stencil_apply(x: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
+    """y = x + ½ Σ_e (x shifted ±e), e over the bisection edges, zero-padded.
+
+    The common factor of both transfer operators (see :func:`prolong`):
+    15 plain shifted-slice adds in 3D — no strided access, so XLA fuses it
+    into a few dense passes.  The previous 8-parity stride-2 gather/scatter
+    formulation cost ~20 ms per transfer at 2M DOF (lane-strided relayouts);
+    this form plus ONE strided up/downsample measures ~20× cheaper."""
+    shape = x.shape[:grid_dim]
+    pad = [(1, 1)] * grid_dim + [(0, 0)] * (x.ndim - grid_dim)
+    xp = jnp.pad(x, pad)
+    y = x
+    for e in _bisection_edges(grid_dim):
+        sl_p = tuple(slice(1 + o, 1 + o + s) for o, s in zip(e, shape))
+        sl_m = tuple(slice(1 - o, 1 - o + s) for o, s in zip(e, shape))
+        y = y + 0.5 * (xp[sl_p + (Ellipsis,)] + xp[sl_m + (Ellipsis,)])
+    return y
+
+
 def prolong(v: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
     """Simplicial P1 interpolation on the Freudenthal/right-diagonal split.
 
     Every fine node bisects a *triangulation edge* (or coincides with a
-    coarse node): for parity p ∈ {0,1}^d the fine node at 2c+p gets
-    ½(v[c] + v[c+p]) — including the (1,1)/(1,1,1) parities, which average
-    along the cell diagonal rather than over all corners.  This makes the
-    coarse P1 space exactly nested in the fine one, so the re-assembled
-    coarse operator equals the Galerkin operator PᵀAP — the property the
-    coarse-grid correction needs (separable trilinear interpolation broke
-    it and stalled the V-cycle on elasticity)."""
-    shape_c = v.shape[:grid_dim]
-    extra = v.shape[grid_dim:]
-    shape_f = tuple(2 * s - 1 for s in shape_c)
-    out = jnp.zeros(shape_f + extra, v.dtype)
-    for p in _parities(grid_dim):
-        base = tuple(slice(0, s - pi if pi else s) for s, pi in zip(shape_c, p))
-        top = tuple(slice(pi, s) for s, pi in zip(shape_c, p))
-        dst = tuple(slice(pi, None, 2) for pi in p)
-        out = out.at[dst].set(0.5 * (v[base] + v[top]))
-        if not any(p):
-            out = out.at[dst].set(v)
-    return out
+    coarse node): the fine node at 2c+p gets ½(v[c] + v[c+p]) — including
+    the (1,1)/(1,1,1) parities, which average along the cell diagonal
+    rather than over all corners.  This makes the coarse P1 space exactly
+    nested in the fine one, so the re-assembled coarse operator equals the
+    Galerkin operator PᵀAP — the property the coarse-grid correction needs
+    (separable trilinear interpolation broke it and stalled the V-cycle on
+    elasticity).
+
+    Computed as  S ⊛ upsample₂(v)  where S is the constant 15-point edge
+    stencil: zeros at non-coarse sites make every non-edge term vanish
+    (e ≡ p (mod 2) ⟺ e = p for 0/1 vectors)."""
+    return _edge_stencil_apply(_upsample2(v, grid_dim), grid_dim)
+
+
+def _upsample2(v: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
+    """Zeros at odd sites, axis by axis — stack+reshape (no strided scatter:
+    `.at[::2,...].set` inside the large fused solver programs reproducibly
+    crashed the TPU worker; the reshape form is also faster)."""
+    for ax in range(grid_dim):
+        s = v.shape[ax]
+        w = jnp.stack([v, jnp.zeros_like(v)], axis=ax + 1)
+        w = w.reshape(v.shape[:ax] + (2 * s,) + v.shape[ax + 1:])
+        v = jax.lax.slice_in_dim(w, 0, 2 * s - 1, axis=ax)
+    return v
+
+
+def _downsample2(r: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
+    """Keep even sites, axis by axis — pad+reshape (see :func:`_upsample2`)."""
+    for ax in range(grid_dim):
+        s = r.shape[ax]                      # odd: 2m+1
+        pad = [(0, 0)] * r.ndim
+        pad[ax] = (0, 1)
+        w = jnp.pad(r, pad)
+        w = w.reshape(r.shape[:ax] + ((s + 1) // 2, 2) + r.shape[ax + 1:])
+        r = jax.lax.index_in_dim(w, 0, axis=ax + 1, keepdims=False)
+    return r
 
 
 def restrict(r: jnp.ndarray, grid_dim: int) -> jnp.ndarray:
     """Adjoint of :func:`prolong` (unnormalized full weighting on the
-    triangulation edges)."""
-    shape_f = r.shape[:grid_dim]
-    extra = r.shape[grid_dim:]
-    shape_c = tuple((s + 1) // 2 for s in shape_f)
-    out = jnp.zeros(shape_c + extra, r.dtype)
-    for p in _parities(grid_dim):
-        src = tuple(slice(pi, None, 2) for pi in p)
-        rp = r[src]
-        base = tuple(slice(0, s - pi if pi else s) for s, pi in zip(shape_c, p))
-        top = tuple(slice(pi, s) for s, pi in zip(shape_c, p))
-        if not any(p):
-            out = out.at[base].add(rp)
-        else:
-            out = out.at[base].add(0.5 * rp)
-            out = out.at[top].add(0.5 * rp)
-    return out
+    triangulation edges):  downsample₂(S ⊛ r)."""
+    return _downsample2(_edge_stencil_apply(r, grid_dim), grid_dim)
 
 
 # ----------------------------------------------------------------------
