@@ -70,9 +70,10 @@ def bench_heat3d():
     t0 = time.perf_counter()
     times, values, info = heat.solve_heat_problem(p)
     total = time.perf_counter() - t0
-    solve_s = info["solve_seconds"]
-    steps_s = num_steps / solve_s
-    log(f"[bench] timed: total={total:.2f}s solve={solve_s:.2f}s "
+    scan_s = info.get("scan_seconds") or info["solve_seconds"]
+    steps_s = num_steps / scan_s
+    log(f"[bench] timed: total={total:.2f}s scan={scan_s:.2f}s "
+        f"setup={info.get('setup_seconds', 0.0):.2f}s "
         f"→ {steps_s:.1f} steps/s  (CG iters total {info['cg_iterations']}, "
         f"relres {info['relative_residual']:.1e})")
     print(json.dumps({
@@ -99,7 +100,7 @@ def bench_heat1d():
     heat.solve_heat_problem(p)  # compile
     t0 = time.perf_counter()
     _, values, info = heat.solve_heat_problem(p)
-    steps_s = num_steps / info["solve_seconds"]
+    steps_s = num_steps / (info.get("scan_seconds") or info["solve_seconds"])
     x = np.linspace(0.0, 2.0, 256)
     err = float(np.linalg.norm(values[-1] - 20.0 * (1 - x / 2.0))
                 / np.linalg.norm(20.0 * (1 - x / 2.0)))
@@ -145,7 +146,7 @@ def bench_heat2d_cn():
         T_initial=20.0, dt=0.001, num_steps=num_steps, theta=0.5)
     heat.solve_heat_problem(p)  # compile
     _, values, info = heat.solve_heat_problem(p)
-    steps_s = num_steps / info["solve_seconds"]
+    steps_s = num_steps / (info.get("scan_seconds") or info["solve_seconds"])
     log(f"[bench] heat2d CN: {steps_s:.1f} steps/s "
         f"(iters {info['cg_iterations']}, relres {info['relative_residual']:.1e})")
     print(json.dumps({

@@ -35,6 +35,13 @@ class SolverConfig:
     transient_refine_rounds: int = 1
     use_multigrid: bool = True    # MG-PCG when a level builder is available
     mg_threshold: int = 20000     # min DOF count before MG pays off
+    transient_mg_threshold: Optional[int] = None  # min DOF for MG-PCG *step*
+                                  # solves inside transient scans.  None →
+                                  # 500k: below that the V-cycle is kernel-
+                                  # launch-bound and warm-started plain CG is
+                                  # faster (measured 64³: 23 ms/MG-iter vs
+                                  # 1.6 ms/CG-iter swamps the 12× iteration
+                                  # win).  Tests override downward.
     mg_maxiter: int = 300         # MG-PCG iteration cap per (refinement) solve
     mg_inner_tol: float = 1e-4    # per-round inner target: f32 recursion
                                   # can't certify deeper anyway; the nested
@@ -62,6 +69,10 @@ class SolverConfig:
         if p == "auto":
             return "f64" if jax.default_backend() == "cpu" else "mixed"
         return p
+
+    def resolved_transient_mg_threshold(self) -> int:
+        t = self.transient_mg_threshold
+        return 500_000 if t is None else max(t, self.mg_threshold)
 
     def resolved_maxiter(self, num_dofs: int) -> int:
         if self.maxiter is not None:

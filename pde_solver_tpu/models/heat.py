@@ -156,11 +156,20 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
                 quad_degree=max(p.weight_quad_degree, 2) if p.weight_fn is not None else 2,
             )
             u0 = np.asarray(bc.apply_values(_initial_field(p)), dtype=np.float64)
+        mg_builder_t = None
+        if mg_builder is not None:
+            def mg_builder_t(mesh_c):
+                K_c, bc_c = mg_builder(mesh_c)
+                M_c = assembly.assemble_scalar_stencil(
+                    mesh_c, "mass", weight_fn=p.weight_fn,
+                    quad_degree=(max(p.weight_quad_degree, 2)
+                                 if p.weight_fn is not None else 2))
+                return K_c, M_c, bc_c
         with phase_timer(phases, "solve"):
             res = run_transient(K, M, mesh, bc, b, u0, dt=p.dt,
                                 num_steps=p.num_steps,
                                 theta=p.theta if p.theta is not None else cfg.theta,
-                                config=cfg)
+                                config=cfg, mg_level_builder=mg_builder_t)
         values = np.stack([flatten_values(v, mesh.dim) for v in res.values])
         times = res.times
         info = {
@@ -168,6 +177,10 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
             "cg_iterations": int(res.total_cg_iterations),
             "relative_residual": float(res.max_relative_residual),
             "converged": bool(res.max_relative_residual < 1e-5),
+            # stepping throughput = num_steps/scan_seconds; setup_seconds is
+            # the one-time host prep (system + MG hierarchy build/upload)
+            "scan_seconds": float(res.scan_seconds),
+            "setup_seconds": float(res.setup_seconds),
         }
     info.update({"num_dofs": mesh.num_nodes, **phases})
     get_logger().info(

@@ -230,14 +230,12 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     # TPU hot path: big f32 levels apply through the Pallas flat-stencil
     # kernel (ops.pallas_kernels) instead of the XLA shifted-slice form —
     # 1.6-4× less SpMV time at the 2M-DOF flagship shape.
-    from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
-                                                   FlatStencilOperator,
-                                                   pallas_enabled)
+    from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
+                                                   pallas_wins)
     import os as _os
     w_lo = None
     n_dof = int(np.prod(mesh.node_shape)) * vdim
-    if (pallas_enabled() and dtype == jnp.float32
-            and n_dof >= PALLAS_MIN_DOF):
+    if dtype == jnp.float32 and pallas_wins(n_dof, vdim):
         w = FlatStencilOperator(sysm.offsets, sysm.weights, mesh.node_shape,
                                 vdim=vdim)
         if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
@@ -436,7 +434,8 @@ def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0,
     return x
 
 
-def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
+def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter,
+           resync_every: int = 16):
     """Flexible PCG on the finest scaled system, one V-cycle per application.
 
     *Flexible* (Polak-Ribière β = z·(r−r_prev)/rz_prev) because the V-cycle
@@ -497,10 +496,14 @@ def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
         alpha = rz / jnp.where(pAp == 0, jnp.asarray(1.0, dtype), pAp)
         x = x + alpha * p
         r_new = r - alpha * Ap
-        # periodic true-residual resync: the recurrence drifts from b − A x
-        # in f32 once conjugacy degrades
-        r_new = jax.lax.cond(k % 16 == 15, lambda _: b - A(x),
-                             lambda _: r_new, None)
+        if resync_every > 0:
+            # periodic true-residual resync: the recurrence drifts from
+            # b − A x in f32 once conjugacy degrades.  NB inside outer
+            # control flow XLA lowers this cond to a select — both branches
+            # execute — so short warm-started solves (transient steps) pass
+            # resync_every=0 to avoid paying one wasted apply per iteration.
+            r_new = jax.lax.cond(k % resync_every == resync_every - 1,
+                                 lambda _: b - A(x), lambda _: r_new, None)
         z = M(r_new)
         # Polak-Ribière: β = z·(r_new − r)/rz — robust to inexact M
         rz_new = dot(r_new, z)
@@ -515,6 +518,30 @@ def mg_pcg(h: MGHierarchy, b: jnp.ndarray, x0: jnp.ndarray, tol, maxiter):
     if flat:
         x = op.from_flat(x)
     return x, k, relres
+
+
+def hierarchy_struct(h: MGHierarchy):
+    """(static structure, array pytree) split of a hierarchy, so jitted
+    programs can take the arrays as arguments (a jitted closure over large
+    device arrays inlines them into the remote-compile request)."""
+    h_struct = (tuple(lv.offsets for lv in h.levels),
+                tuple(lv.omega for lv in h.levels),
+                h.grid_dim, h.vdim, h.pre_smooth, h.post_smooth,
+                h.coarse_iters)
+    level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
+                          lv.w_lo) for lv in h.levels)
+    return h_struct, level_arrays
+
+
+def hierarchy_from_arrays(h_struct, level_arrays) -> MGHierarchy:
+    """Inverse of :func:`hierarchy_struct` (trace-time reconstruction)."""
+    (offsets_per_level, omegas, grid_dim, vdim, pre, post, coarse_iters) = h_struct
+    levels = []
+    for i, arrs in enumerate(level_arrays):
+        weights, free, s, C, Cinv, Ainv, w_lo = arrs
+        levels.append(MGLevel(offsets_per_level[i], weights, free,
+                              omegas[i], s, C, Cinv, Ainv, w_lo=w_lo))
+    return MGHierarchy(tuple(levels), grid_dim, vdim, pre, post, coarse_iters)
 
 
 @partial(jax.jit, static_argnames=("h_struct",))

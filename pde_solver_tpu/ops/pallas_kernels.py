@@ -350,3 +350,14 @@ def pallas_enabled() -> bool:
 # pallas_call fixed overhead dominates — keep small (coarse) levels on XLA.
 PALLAS_MIN_DOF = 65536
 
+
+def pallas_wins(n_dof: int, vdim: int) -> bool:
+    """Whether the flat Pallas SpMV beats the XLA shifted-slice apply.
+
+    Measured on the v5e: 1.6-2.2× faster for vdim=3 elasticity at 2M DOF,
+    and 1.6× faster for the scalar 15-plane apply at 275k DOF (64³
+    transient heat: 7.9 → 12.8 steps/s) — PROVIDED the caller iterates in
+    the kernel's flat layout (`_cg_unit_diag`/`mg_pcg` flat-io paths);
+    per-iteration grid↔flat conversion erases the scalar win."""
+    return pallas_enabled() and n_dof >= PALLAS_MIN_DOF
+

@@ -43,6 +43,9 @@ class TransientResult(NamedTuple):
     times: np.ndarray         # [num_steps+1]
     total_cg_iterations: int
     max_relative_residual: float
+    setup_seconds: float = 0.0  # host system prep + MG hierarchy build/upload
+    scan_seconds: float = 0.0   # the jitted stepping scan itself (post-compile
+                                # stepping throughput = num_steps/scan_seconds)
 
 
 def _combine(K: Dict, M: Dict, alpha: float, beta: float) -> Dict:
@@ -79,20 +82,27 @@ def _make_scale_ops(s, Ct, CinvT):
 
 @partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
                                    "refine", "grid_dim", "vdim", "mode",
-                                   "snap32"))
+                                   "snap32", "h_struct"))
 def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
                     Ag, u0, inner_tol, num_steps, maxiter, refine, grid_dim,
-                    vdim, mode, snap32):
+                    vdim, mode, snap32, h_struct=None, level_arrays=None):
     """One fused scan over implicit steps on the scaled system.
 
     mode: "f64" | "f32" | "mixed".  All weight tuples are aligned with
     ``offsets``; ``B_w`` is the unmasked explicit-side operator.  Scaling is
     scalar (``s``) for vdim=1 or block-Cholesky (``Ct``/``CinvT``) otherwise.
+    With ``h_struct``/``level_arrays`` (a multigrid hierarchy of the
+    implicit operator) each step solves with MG-PCG instead of plain CG —
+    ~8× fewer inner iterations at 64³ and beyond.
     """
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
     u0 = u0.astype(state_dtype)
     snap_dtype = jnp.float32 if snap32 else state_dtype
     to_hat_b, to_hat_x, from_hat_x = _make_scale_ops(s, Ct, CinvT)
+
+    if h_struct is not None:
+        from pde_solver_tpu.ops import multigrid as mg
+        hh = mg.hierarchy_from_arrays(h_struct, level_arrays)
 
     def B(x):
         return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
@@ -104,7 +114,15 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
         b_hat = to_hat_b(bt)
         x0_hat = to_hat_x(u)
 
-        if mode == "f64":
+        if h_struct is not None:
+            from pde_solver_tpu.ops import multigrid as mg
+            # resync_every=0: the periodic true-residual refresh would lower
+            # to a select inside the scan (one wasted apply per iteration);
+            # warm-started per-step solves run ~5 iterations and never drift.
+            xh, k, relres = mg.mg_pcg(hh, b_hat.astype(state_dtype),
+                                      x0_hat.astype(state_dtype),
+                                      inner_tol, maxiter, resync_every=0)
+        elif mode == "f64":
             xh, k, relres = _cg_unit_diag(offsets, A64, b_hat, x0_hat,
                                           inner_tol, maxiter, grid_dim, vdim)
         elif mode == "f32":
@@ -152,8 +170,15 @@ def run_transient(
     theta: float = 1.0,
     vdim: int = 1,
     config: Optional[SolverConfig] = None,
+    mg_level_builder=None,
 ) -> TransientResult:
+    """``mg_level_builder(mesh_c) -> (K_c, M_c, bc_c)`` (optional) enables
+    MG-PCG step solves: the implicit operator M + θΔtK is re-assembled per
+    coarse level and each scan step runs a V-cycle-preconditioned CG."""
+    import time as _time
+
     cfg = config or get_config()
+    t_setup = _time.perf_counter()
     prec = cfg.resolve_precision()
     if prec == "mixed":
         # No f64 inside device scans: emulated-f64 programs compile 10-40×
@@ -186,10 +211,9 @@ def run_transient(
     if A32 is not None:
         # The per-step CG dominates the scan; apply it through the Pallas
         # flat-stencil kernel on TPU (_stencil_apply dispatches on the type).
-        from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
-                                                       FlatStencilOperator,
-                                                       pallas_enabled)
-        if pallas_enabled() and n >= PALLAS_MIN_DOF:
+        from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
+                                                       pallas_wins)
+        if pallas_wins(n, vdim):
             A32 = FlatStencilOperator(offsets, scaled, mesh.node_shape,
                                       vdim=vdim)
     B_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in B_list)
@@ -197,6 +221,21 @@ def run_transient(
     inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
     refine = cfg.transient_refine_rounds if prec == "mixed" else 0
     snap32 = cfg.snapshot_dtype == "f32" and prec != "f64"
+
+    h_struct = level_arrays = None
+    if (mg_level_builder is not None and cfg.use_multigrid
+            and n >= cfg.resolved_transient_mg_threshold()
+            and prec != "mixed"):
+        from pde_solver_tpu.ops import multigrid as mg
+
+        def A_builder(mesh_c):
+            K_c, M_c, bc_c = mg_level_builder(mesh_c)
+            return _combine(K_c, M_c, alpha=theta * dt, beta=1.0), bc_c
+
+        h = mg.build_hierarchy(mesh, sysm, A_builder, vdim=vdim,
+                               dtype=state_dtype)
+        if h is not None:
+            h_struct, level_arrays = mg.hierarchy_struct(h)
 
     if sysm.scale_kind == "scalar":
         s_dev = jnp.asarray(sysm.s, dtype=state_dtype)
@@ -206,6 +245,8 @@ def run_transient(
         Ct_dev = jnp.asarray(sysm.Ct, dtype=state_dtype)
         CinvT_dev = jnp.asarray(sysm.CinvT, dtype=state_dtype)
 
+    setup_s = _time.perf_counter() - t_setup
+    t_scan = _time.perf_counter()
     snaps, iters, res = _transient_scan(
         offsets, A32, A64, B_w,
         jnp.asarray(free_np, dtype=state_dtype),
@@ -214,15 +255,18 @@ def run_transient(
         jnp.asarray(dt * b_source_np, dtype=state_dtype),
         jnp.asarray(Ag_np, dtype=state_dtype),
         jnp.asarray(u0_np, dtype=state_dtype),
-        inner_tol, int(num_steps), maxiter, refine, d, vdim, prec, snap32)
+        inner_tol, int(num_steps), maxiter, refine, d, vdim, prec, snap32,
+        h_struct, level_arrays)
 
     values = np.concatenate(
         [np.asarray(u0_np, dtype=np.float64)[None],
-         np.asarray(snaps, dtype=np.float64)], axis=0)
+         np.asarray(snaps, dtype=np.float64)], axis=0)  # forces device sync
+    scan_s = _time.perf_counter() - t_scan
     times = dt * np.arange(num_steps + 1, dtype=np.float64)
     return TransientResult(values=values, times=times,
                            total_cg_iterations=int(iters),
-                           max_relative_residual=float(res))
+                           max_relative_residual=float(res),
+                           setup_seconds=setup_s, scan_seconds=scan_s)
 
 
 # ----------------------------------------------------------------------
@@ -322,10 +366,9 @@ def run_newmark(
     state_dtype = jnp.float64 if prec == "f64" else jnp.float32
     A_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in sysm.weights)
     if prec != "f64":
-        from pde_solver_tpu.ops.pallas_kernels import (PALLAS_MIN_DOF,
-                                                       FlatStencilOperator,
-                                                       pallas_enabled)
-        if pallas_enabled() and n >= PALLAS_MIN_DOF:
+        from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
+                                                       pallas_wins)
+        if pallas_wins(n, vdim):
             A_w = FlatStencilOperator(offsets, sysm.weights, mesh.node_shape,
                                       vdim=vdim)
     K_list = [np.asarray(K_np.get(o, np.zeros(mesh.node_shape

@@ -50,3 +50,29 @@ def test_mixed_transient_matches_f64(mixed_cfg):
     _, v_f64, _ = heat.solve_heat_problem(p)
     rel = np.linalg.norm(v_mixed - v_f64) / np.linalg.norm(v_f64)
     assert rel < 5e-6, rel
+
+
+def test_transient_mg_step_solves_match_plain_cg():
+    """MG-PCG per-step solves (mg_level_builder path) match plain-CG
+    stepping, with a substantially lower inner-iteration count."""
+    from pde_solver_tpu.config import SolverConfig
+
+    mesh = box_mesh(16, 16, 16, (0, 0, 0), (1.0, 1.0, 1.0))
+
+    def make():
+        return heat.HeatProblem(
+            mesh=mesh, diffusivity=1.0,
+            bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
+            T_initial=20.0, dt=0.01, num_steps=6)
+
+    cfg_mg = SolverConfig(precision="f32", mg_threshold=100,
+                          transient_mg_threshold=100,
+                          transient_inner_tol=1e-8)
+    cfg_cg = SolverConfig(precision="f32", use_multigrid=False,
+                          transient_inner_tol=1e-8)
+    _, v_mg, info_mg = heat.solve_heat_problem(make(), cfg_mg)
+    _, v_cg, info_cg = heat.solve_heat_problem(make(), cfg_cg)
+    scale = np.abs(v_cg).max()
+    assert np.abs(v_mg - v_cg).max() < 1e-5 * scale
+    assert info_mg["cg_iterations"] < 0.5 * info_cg["cg_iterations"], (
+        info_mg["cg_iterations"], info_cg["cg_iterations"])
