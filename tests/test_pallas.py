@@ -78,6 +78,31 @@ def test_mg_solve_through_pallas_interpret(monkeypatch):
     assert np.abs(v_pallas - v_xla).max() < 1e-6 * scale
 
 
+def test_transient_scan_flat_cg_through_pallas_interpret(monkeypatch):
+    """Transient scan whose per-step CG iterates in the Pallas flat layout
+    (the flat-io `_cg_unit_diag` path) matches the XLA route."""
+    from pde_solver_tpu.config import SolverConfig
+    from pde_solver_tpu.models import heat
+    from pde_solver_tpu.ops import pallas_kernels
+
+    mesh = box_mesh(12, 12, 12, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+    def make():
+        return heat.HeatProblem(
+            mesh=mesh, diffusivity=1.0,
+            bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
+            T_initial=20.0, dt=0.01, num_steps=4)
+
+    cfg = SolverConfig(precision="f32", transient_inner_tol=1e-8)
+    monkeypatch.setenv("PDE_TPU_PALLAS", "1")
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_DOF", 100)
+    _, v_pallas, _ = heat.solve_heat_problem(make(), cfg)
+    monkeypatch.setenv("PDE_TPU_PALLAS", "0")
+    _, v_xla, _ = heat.solve_heat_problem(make(), cfg)
+    scale = np.abs(v_xla).max()
+    assert np.abs(v_pallas - v_xla).max() < 1e-6 * scale
+
+
 def test_mg_elasticity_through_pallas_interpret(monkeypatch):
     """vdim=3 MG-PCG with the finest level flat (Pallas interpret): the
     flat-layout V-cycle/PCG state path must match the grid-layout route."""
