@@ -33,6 +33,14 @@ class SolverConfig:
                                   # (early-exits once tol is reached)
     transient_inner_tol: float = 1e-6  # implicit steps are mass-dominated
     transient_refine_rounds: int = 1
+    host_direct_threshold: int = 4000  # ≤ this many DOF → host sparse-LU
+                                  # solve.  Over the tunneled TPU each
+                                  # dispatch costs ~40 ms and the decomposed
+                                  # mixed-precision refinement makes ~a
+                                  # dozen (a 256-DOF bar solve measured
+                                  # 585 ms on device vs <1 ms host) — this
+                                  # is the serving-latency path for
+                                  # default-resolution NL queries.  0 = off.
     use_multigrid: bool = True    # MG-PCG when a level builder is available
     mg_threshold: int = 20000     # min DOF count before MG pays off
     transient_mg_threshold: Optional[int] = None  # min DOF for MG-PCG *step*

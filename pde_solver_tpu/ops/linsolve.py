@@ -387,6 +387,48 @@ def device_operator(offsets: Tuple[Offset, ...], weights_np, grid_dim: int,
 # Public facade
 # ----------------------------------------------------------------------
 
+def _host_direct_solve(sysm: ScaledSystem, node_shape, vdim: int):
+    """Sparse-LU the scaled hat system on host (float64, exact).
+
+    C-order DOF numbering matching ``grid.reshape(-1)``; the assembled
+    weights carry exact zeros wherever a flat shift would wrap across a
+    grid row, so flat-index column arithmetic is valid (see ops.assembly
+    invariant)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    N = int(np.prod(node_shape))
+    strides = []
+    acc = 1
+    for s in reversed(node_shape):
+        strides.append(acc)
+        acc *= s
+    strides = list(reversed(strides))
+    base = np.arange(N)
+    rows_l, cols_l, vals_l = [], [], []
+    for off, W in zip(sysm.offsets, sysm.weights):
+        delta = int(sum(o * st for o, st in zip(off, strides)))
+        cols = base + delta
+        valid = (cols >= 0) & (cols < N)
+        Wf = (np.asarray(W, np.float64).reshape(N, vdim, vdim) if vdim > 1
+              else np.asarray(W, np.float64).reshape(N, 1, 1))
+        r, c = base[valid], cols[valid]
+        for a in range(vdim):
+            for b_ in range(vdim):
+                rows_l.append(r * vdim + a)
+                cols_l.append(c * vdim + b_)
+                vals_l.append(Wf[valid, a, b_])
+    n = N * vdim
+    A = sp.csr_matrix((np.concatenate(vals_l),
+                       (np.concatenate(rows_l), np.concatenate(cols_l))),
+                      shape=(n, n))
+    b = np.asarray(sysm.b_hat, np.float64).reshape(-1)
+    x = spla.spsolve(A, b)
+    bn = np.linalg.norm(b)
+    relres = np.linalg.norm(b - A @ x) / (bn if bn > 0 else 1.0)
+    return x.reshape(sysm.b_hat.shape), float(relres)
+
+
 def solve_stencil_system(
     stencil_np: Dict,
     mesh: StructuredMesh,
@@ -414,6 +456,16 @@ def solve_stencil_system(
     offsets = sysm.offsets
     x0_hat = (np.zeros_like(sysm.b_hat) if x0 is None
               else sysm.to_hat_x(np.asarray(x0, dtype=np.float64)))
+
+    # Tiny systems: host sparse LU, no device round-trips (the explicit
+    # sharding request below still wins — its tests exercise small meshes).
+    if (0 < n <= cfg.host_direct_threshold
+            and cfg.resolved_shard_devices() <= 1):
+        xh, relres = _host_direct_solve(sysm, mesh.node_shape, vdim)
+        x = sysm.from_hat_x(xh)
+        return x, SolveStats(iterations=np.int32(1),
+                             relative_residual=np.float64(relres),
+                             converged=np.bool_(relres <= 1e-9))
 
     hierarchy = None
     if (mg_level_builder is not None and cfg.use_multigrid
