@@ -125,10 +125,12 @@ def bench_bar1d():
     from pde_solver_tpu.models.elasticity import solve_bar_1d
 
     _ = float(jnp.zeros(()))
-    solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)  # compile
-    t0 = time.perf_counter()
-    x, field, info = solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)
-    ms = (time.perf_counter() - t0) * 1e3
+    solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)  # compile/warm caches
+    ms = np.inf  # best of 3: the 1-core host competes with the TPU
+    for _rep in range(3):  # client's background threads (2 ms pure-CPU)
+        t0 = time.perf_counter()
+        x, field, info = solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)
+        ms = min(ms, (time.perf_counter() - t0) * 1e3)
     exact = 500.0 * (2.0 - x) / 0.01
     err = float(np.abs(field[10:-10] - exact[10:-10]).max() / exact.max())
     log(f"[bench] bar1d: {ms:.1f} ms/solve, interior stress err={err:.1e}")

@@ -530,9 +530,12 @@ def solve_stencil_system(
             # plain f32 refinement loop on ill-conditioned problems.
             from pde_solver_tpu.ops import df32
             from pde_solver_tpu.ops.multigrid import (build_df_ladder,
-                                                      solve_fcycle_df)
+                                                      solve_fcycle_df2)
             ladder = build_df_ladder(hierarchy, sysm, sysm.b_hat)
-            x_hi, x_lo, iters, relres = solve_fcycle_df(
+            # per-round-fused df2: ONE program + ONE scalar pull per round
+            # (the host-driven df variant pays ~10 tunnel dispatches per
+            # round — it remains available for multi-step/batched callers)
+            x_hi, x_lo, iters, relres = solve_fcycle_df2(
                 hierarchy, ladder, max(cfg.tol, 1e-9),
                 max_rounds=max(cfg.refine_rounds, 8))
             x_hat = df32.df_to_f64(np.asarray(x_hi), np.asarray(x_lo))
