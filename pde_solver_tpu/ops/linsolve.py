@@ -387,6 +387,45 @@ def device_operator(offsets: Tuple[Offset, ...], weights_np, grid_dim: int,
 # Public facade
 # ----------------------------------------------------------------------
 
+# ----------------------------------------------------------------------
+# MG operator cache: hierarchy + df-ladder weight parts keyed by CONTENT
+# (node shape, offsets, scaled-weight + free-mask bytes).  Repeated solves
+# of the same discrete system — bench warm/timed pairs, agent follow-up
+# queries that only change BC values or the RHS — skip the per-call
+# hierarchy rebuild + weight re-upload (~1.1 s at 132k DOF, tens of
+# seconds at 2M over the ~30 MB/s tunnel).  BC *values* are not part of
+# the operator (masking bakes in the free PATTERN only; values enter
+# through b̂), so value-only follow-ups hit the cache.
+# ----------------------------------------------------------------------
+
+_MG_CACHE: Dict = {}
+_MG_CACHE_MAX = 2
+
+
+def _mg_cache_key(mesh: StructuredMesh, vdim: int, prec: str,
+                  sysm: ScaledSystem):
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for W in sysm.weights:
+        h.update(np.ascontiguousarray(W))
+    h.update(np.ascontiguousarray(sysm.free))
+    return (mesh.node_shape, vdim, prec, sysm.offsets, h.hexdigest())
+
+
+def _mg_cache_get(key):
+    entry = _MG_CACHE.pop(key, None)
+    if entry is not None:
+        _MG_CACHE[key] = entry  # LRU refresh
+    return entry
+
+
+def _mg_cache_put(key, entry):
+    _MG_CACHE[key] = entry
+    while len(_MG_CACHE) > _MG_CACHE_MAX:
+        _MG_CACHE.pop(next(iter(_MG_CACHE)))
+
+
 def _host_direct_solve(sysm: ScaledSystem, node_shape, vdim: int):
     """Sparse-LU the scaled hat system on host (float64, exact).
 
@@ -468,12 +507,29 @@ def solve_stencil_system(
                              converged=np.bool_(relres <= 1e-9))
 
     hierarchy = None
+    ladder_core = None
+    hier_key = None
     if (mg_level_builder is not None and cfg.use_multigrid
             and n >= cfg.mg_threshold):
+        import time as _time
+
         from pde_solver_tpu.ops import multigrid as mg
-        mg_dtype = jnp.float64 if prec == "f64" else jnp.float32
-        hierarchy = mg.build_hierarchy(mesh, sysm, mg_level_builder,
-                                       vdim=vdim, dtype=mg_dtype)
+        from pde_solver_tpu.utils.observability import get_logger
+        t_h = _time.perf_counter()
+        hier_key = _mg_cache_key(mesh, vdim, prec, sysm)
+        cached = _mg_cache_get(hier_key)
+        if cached is not None:
+            hierarchy, ladder_core = cached
+            get_logger().info("hierarchy cache hit (%.3fs key, %d DOF)",
+                              _time.perf_counter() - t_h, n)
+        else:
+            mg_dtype = jnp.float64 if prec == "f64" else jnp.float32
+            hierarchy = mg.build_hierarchy(mesh, sysm, mg_level_builder,
+                                           vdim=vdim, dtype=mg_dtype)
+            if hierarchy is not None:
+                _mg_cache_put(hier_key, (hierarchy, None))
+            get_logger().info("hierarchy build: %.3fs (%d DOF)",
+                              _time.perf_counter() - t_h, n)
 
     # Domain-decomposed CG over a device mesh (SolverConfig.shard_devices):
     # the scaled system is sharded along grid axis 0, halo exchange rides
@@ -531,13 +587,27 @@ def solve_stencil_system(
             from pde_solver_tpu.ops import df32
             from pde_solver_tpu.ops.multigrid import (build_df_ladder,
                                                       solve_fcycle_df2)
-            ladder = build_df_ladder(hierarchy, sysm, sysm.b_hat)
+            import time as _time
+
+            from pde_solver_tpu.ops.multigrid import ladder_with_b
+            from pde_solver_tpu.utils.observability import get_logger
+            t_l = _time.perf_counter()
+            if ladder_core is not None:
+                ladder = ladder_with_b(ladder_core, sysm.b_hat)
+            else:
+                ladder = build_df_ladder(hierarchy, sysm, sysm.b_hat)
+                jax.block_until_ready(ladder.Whi)
+                if hier_key is not None:
+                    _mg_cache_put(hier_key, (hierarchy, ladder))
+            t_s = _time.perf_counter()
             # per-round-fused df2: ONE program + ONE scalar pull per round
             # (the host-driven df variant pays ~10 tunnel dispatches per
             # round — it remains available for multi-step/batched callers)
             x_hi, x_lo, iters, relres = solve_fcycle_df2(
                 hierarchy, ladder, max(cfg.tol, 1e-9),
                 max_rounds=max(cfg.refine_rounds, 8))
+            get_logger().info("df ladder build: %.3fs, df2 rounds: %.3fs",
+                              t_s - t_l, _time.perf_counter() - t_s)
             x_hat = df32.df_to_f64(np.asarray(x_hi), np.asarray(x_lo))
             x = sysm.from_hat_x(x_hat)
             stats = SolveStats(

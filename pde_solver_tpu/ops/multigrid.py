@@ -845,6 +845,16 @@ def build_df_ladder(h: MGHierarchy, sysm, b_hat: np.ndarray) -> DFLadder:
                     scale32=tuple(scales), free32=tuple(frees))
 
 
+def ladder_with_b(ladder: DFLadder, b_hat: np.ndarray) -> DFLadder:
+    """Re-target a (cached) ladder at a new RHS — the weight parts are
+    operator-only, so only the two small b pair-arrays re-upload."""
+    from pde_solver_tpu.ops import df32
+
+    bhi_np, blo_np = df32.df_from_f64(np.asarray(b_hat, dtype=np.float64))
+    return ladder._replace(bhi0=jnp.asarray(bhi_np),
+                           blo0=jnp.asarray(blo_np))
+
+
 @partial(jax.jit, static_argnames=("h_struct", "inner_iters", "n_corr"))
 def _jit_ascend_df(h_struct, level_arrays, Whi_m, Wlo_m, scale_m, scale_c,
                    free_m, r_m, e_c, inner_iters, n_corr):

@@ -52,6 +52,37 @@ def test_mixed_transient_matches_f64(mixed_cfg):
     assert rel < 5e-6, rel
 
 
+def test_mg_operator_cache_hits_and_stays_correct():
+    """Repeated solves of the same operator with DIFFERENT BC values (the
+    agent follow-up pattern) must hit the hierarchy/ladder cache and still
+    produce the right answer; a changed coefficient must miss."""
+    from pde_solver_tpu.config import SolverConfig
+    from pde_solver_tpu.ops import linsolve
+
+    mesh = box_mesh(12, 12, 12, (0, 0, 0), (1.0, 1.0, 1.0))
+    cfg = SolverConfig(precision="mixed", mg_threshold=100,
+                       host_direct_threshold=0)
+
+    def solve(T_left, diff):
+        return heat.solve_heat_problem(heat.HeatProblem(
+            mesh=mesh, diffusivity=diff,
+            bc_builder=lambda m: [(m.face_mask(0, 0), T_left),
+                                  (m.face_mask(0, 1), 0.0)],
+            steady=True), cfg)
+
+    linsolve._MG_CACHE.clear()
+    _, v100, _ = solve(100.0, 1.0)
+    assert len(linsolve._MG_CACHE) == 1
+    _, v50, _ = solve(50.0, 1.0)     # value-only change → cache hit
+    assert len(linsolve._MG_CACHE) == 1
+    # linear problem: halving the boundary value halves the solution
+    np.testing.assert_allclose(v50, 0.5 * v100, rtol=0, atol=1e-6 * 100)
+    _, v_k, _ = solve(100.0, 2.0)    # coefficient change → new entry
+    assert len(linsolve._MG_CACHE) == 2
+    # steady heat with uniform kappa: solution independent of kappa scale
+    np.testing.assert_allclose(v_k, v100, rtol=0, atol=1e-5 * 100)
+
+
 def test_transient_mg_step_solves_match_plain_cg():
     """MG-PCG per-step solves (mg_level_builder path) match plain-CG
     stepping, with a substantially lower inner-iteration count."""
