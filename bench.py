@@ -49,8 +49,9 @@ def bench_heat3d():
 
     scale = os.environ.get("PDE_BENCH_SCALE",
                            "full" if jax.default_backend() == "tpu" else "small")
-    cells = {"small": 16, "medium": 40, "full": 64}[scale]
-    num_steps = 50
+    # xl (128³ ≈ 2.1M DOF) crosses transient_mg_threshold → MG-PCG steps
+    cells = {"small": 16, "medium": 40, "full": 64, "xl": 128}[scale]
+    num_steps = 50 if scale != "xl" else 20
     t0 = time.perf_counter()
     _ = float(jnp.zeros(()))
     log(f"[bench] warmup: {time.perf_counter() - t0:.1f}s")

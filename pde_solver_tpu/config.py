@@ -45,11 +45,12 @@ class SolverConfig:
     mg_threshold: int = 20000     # min DOF count before MG pays off
     transient_mg_threshold: Optional[int] = None  # min DOF for MG-PCG *step*
                                   # solves inside transient scans.  None →
-                                  # 500k: below that the V-cycle is kernel-
-                                  # launch-bound and warm-started plain CG is
-                                  # faster (measured 64³: 23 ms/MG-iter vs
-                                  # 1.6 ms/CG-iter swamps the 12× iteration
-                                  # win).  Tests override downward.
+                                  # 250k.  Healthy-chip measurements at 64³
+                                  # (275k DOF): MG 6.2 iters/step ×
+                                  # 8.9 ms ≈ 55 ms/step vs plain CG
+                                  # 66 iters × 1.2 ms ≈ 78 ms/step; below
+                                  # ~250k the V-cycle's fixed per-level cost
+                                  # dominates.  Tests override downward.
     mg_maxiter: int = 300         # MG-PCG iteration cap per (refinement) solve
     mg_inner_tol: float = 1e-4    # per-round inner target: f32 recursion
                                   # can't certify deeper anyway; the nested
@@ -80,7 +81,7 @@ class SolverConfig:
 
     def resolved_transient_mg_threshold(self) -> int:
         t = self.transient_mg_threshold
-        return 500_000 if t is None else max(t, self.mg_threshold)
+        return 250_000 if t is None else max(t, self.mg_threshold)
 
     def resolved_maxiter(self, num_dofs: int) -> int:
         if self.maxiter is not None:
