@@ -56,6 +56,13 @@ class SolverConfig:
                                   # can't certify deeper anyway; the nested
                                   # refinement ladder supplies the depth
     snapshot_dtype: str = "f32"   # dtype snapshots are stored in on device
+    snapshot_budget_bytes: int = 2 << 30  # device bytes allowed for the
+                                  # stacked [Nt][N] trajectory; beyond it the
+                                  # scan keeps every k-th frame (the plotters
+                                  # cap animations at ~30 frames anyway).
+                                  # Reference parity: below the budget every
+                                  # step is kept, exactly like the reference.
+    snapshot_max_frames: int = 0  # >0 → hard cap on kept frames (opt-in)
     shard_devices: int = 0        # >1 → domain-decompose CG solves over a
                                   # 1-D jax.sharding.Mesh of that many devices
                                   # (parallel.shard.ShardedScaledCG); 0 = off

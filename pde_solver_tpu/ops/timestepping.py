@@ -98,64 +98,107 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
     u0 = u0.astype(state_dtype)
     snap_dtype = jnp.float32 if snap32 else state_dtype
-    to_hat_b, to_hat_x, from_hat_x = _make_scale_ops(s, Ct, CinvT)
-
-    if h_struct is not None:
-        from pde_solver_tpu.ops import multigrid as mg
-        hh = mg.hierarchy_from_arrays(h_struct, level_arrays)
-
-    def B(x):
-        return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
 
     def step(carry, _):
-        u, iters_acc, res_acc = carry
-        rhs = B(u) + b_src
-        bt = free * (rhs - Ag) + g
-        b_hat = to_hat_b(bt)
-        x0_hat = to_hat_x(u)
-
-        if h_struct is not None:
-            from pde_solver_tpu.ops import multigrid as mg
-            # resync_every=0: the periodic true-residual refresh would lower
-            # to a select inside the scan (one wasted apply per iteration);
-            # warm-started per-step solves run ~5 iterations and never drift.
-            xh, k, relres = mg.mg_pcg(hh, b_hat.astype(state_dtype),
-                                      x0_hat.astype(state_dtype),
-                                      inner_tol, maxiter, resync_every=0)
-        elif mode == "f64":
-            xh, k, relres = _cg_unit_diag(offsets, A64, b_hat, x0_hat,
-                                          inner_tol, maxiter, grid_dim, vdim)
-        elif mode == "f32":
-            xh, k, relres = _cg_unit_diag(offsets, A32, b_hat, x0_hat,
-                                          inner_tol, maxiter, grid_dim, vdim)
-        else:  # mixed: f32 inner solves from warm start + f64 refinement
-            def A64f(x):
-                return _stencil_apply(offsets, A64, x, grid_dim, vdim)
-
-            xh = x0_hat
-            k = jnp.asarray(0, jnp.int32)
-            for _r in range(1 + refine):
-                r = b_hat - A64f(xh)
-                scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
-                d32, ki, _ = _cg_unit_diag(offsets, A32,
-                                           (r / scale).astype(jnp.float32),
-                                           jnp.zeros(r.shape, jnp.float32),
-                                           inner_tol, maxiter, grid_dim, vdim)
-                xh = xh + scale * d32.astype(jnp.float64)
-                k = k + ki
-            r = b_hat - A64f(xh)
-            bn = jnp.maximum(jnp.sqrt(jnp.vdot(b_hat.reshape(-1),
-                                               b_hat.reshape(-1))), 1e-300)
-            relres = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1))) / bn
-
-        u_new = from_hat_x(xh).astype(state_dtype)
-        return ((u_new, iters_acc + k,
-                 jnp.maximum(res_acc, relres.astype(state_dtype))),
-                u_new.astype(snap_dtype))
+        carry, u_new = _transient_step_body(
+            offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src, Ag,
+            inner_tol, maxiter, refine, grid_dim, vdim, mode, h_struct,
+            level_arrays, carry)
+        return carry, u_new.astype(snap_dtype)
 
     carry0 = (u0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, state_dtype))
     (u_f, iters, res), snaps = jax.lax.scan(step, carry0, None, length=num_steps)
     return snaps, iters, res
+
+
+def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
+                         b_src, Ag, inner_tol, maxiter, refine, grid_dim,
+                         vdim, mode, h_struct, level_arrays, carry):
+    """One implicit θ-step on the scaled system (shared by the plain and
+    snapshot-thinned scans).  Returns (new carry, u_new)."""
+    state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
+    to_hat_b, to_hat_x, from_hat_x = _make_scale_ops(s, Ct, CinvT)
+
+    def B(x):
+        return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
+
+    u, iters_acc, res_acc = carry
+    rhs = B(u) + b_src
+    bt = free * (rhs - Ag) + g
+    b_hat = to_hat_b(bt)
+    x0_hat = to_hat_x(u)
+
+    if h_struct is not None:
+        from pde_solver_tpu.ops import multigrid as mg
+        hh = mg.hierarchy_from_arrays(h_struct, level_arrays)
+        # resync_every=0: the periodic true-residual refresh would lower
+        # to a select inside the scan (one wasted apply per iteration);
+        # warm-started per-step solves run ~5 iterations and never drift.
+        xh, k, relres = mg.mg_pcg(hh, b_hat.astype(state_dtype),
+                                  x0_hat.astype(state_dtype),
+                                  inner_tol, maxiter, resync_every=0)
+    elif mode == "f64":
+        xh, k, relres = _cg_unit_diag(offsets, A64, b_hat, x0_hat,
+                                      inner_tol, maxiter, grid_dim, vdim)
+    elif mode == "f32":
+        xh, k, relres = _cg_unit_diag(offsets, A32, b_hat, x0_hat,
+                                      inner_tol, maxiter, grid_dim, vdim)
+    else:  # mixed: f32 inner solves from warm start + f64 refinement
+        def A64f(x):
+            return _stencil_apply(offsets, A64, x, grid_dim, vdim)
+
+        xh = x0_hat
+        k = jnp.asarray(0, jnp.int32)
+        for _r in range(1 + refine):
+            r = b_hat - A64f(xh)
+            scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-300)
+            d32, ki, _ = _cg_unit_diag(offsets, A32,
+                                       (r / scale).astype(jnp.float32),
+                                       jnp.zeros(r.shape, jnp.float32),
+                                       inner_tol, maxiter, grid_dim, vdim)
+            xh = xh + scale * d32.astype(jnp.float64)
+            k = k + ki
+        r = b_hat - A64f(xh)
+        bn = jnp.maximum(jnp.sqrt(jnp.vdot(b_hat.reshape(-1),
+                                           b_hat.reshape(-1))), 1e-300)
+        relres = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1))) / bn
+
+    u_new = from_hat_x(xh).astype(state_dtype)
+    return ((u_new, iters_acc + k,
+             jnp.maximum(res_acc, relres.astype(state_dtype))), u_new)
+
+
+@partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
+                                   "refine", "grid_dim", "vdim", "mode",
+                                   "snap32", "h_struct", "snap_every"))
+def _transient_scan_thinned(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
+                            b_src, Ag, u0, inner_tol, num_steps, maxiter,
+                            refine, grid_dim, vdim, mode, snap32, h_struct,
+                            level_arrays, snap_every):
+    """Chunked scan: ``snap_every`` steps per emitted snapshot, so the
+    stacked trajectory holds num_steps/snap_every frames instead of
+    num_steps — the [Nt][N] snapshot buffer is what exceeds HBM for long
+    transients at multi-M DOF (the plotter caps animations at ~30 frames
+    anyway, matching the reference's fenics_mcp_server.py:3042-3048).
+    num_steps must be divisible by snap_every (caller pads the step count).
+    """
+    def chunk(carry, _):
+        def inner(c, _):
+            c2, _snap = _transient_step_body(
+                offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src, Ag,
+                inner_tol, maxiter, refine, grid_dim, vdim, mode, h_struct,
+                level_arrays, c)
+            return c2, None
+        carry, _ = jax.lax.scan(inner, carry, None, length=snap_every)
+        snap_dtype = jnp.float32 if snap32 else carry[0].dtype
+        return carry, carry[0].astype(snap_dtype)
+
+    state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
+    carry0 = (u0.astype(state_dtype), jnp.asarray(0, jnp.int32),
+              jnp.asarray(0.0, state_dtype))
+    (u_f, iters, res), snaps = jax.lax.scan(
+        chunk, carry0, None, length=num_steps // snap_every)
+    return snaps, u_f, iters, res
 
 
 def run_transient(
@@ -247,22 +290,56 @@ def run_transient(
 
     setup_s = _time.perf_counter() - t_setup
     t_scan = _time.perf_counter()
-    snaps, iters, res = _transient_scan(
+    scan_args = (
         offsets, A32, A64, B_w,
         jnp.asarray(free_np, dtype=state_dtype),
         jnp.asarray(gvals, dtype=state_dtype),
         s_dev, Ct_dev, CinvT_dev,
         jnp.asarray(dt * b_source_np, dtype=state_dtype),
         jnp.asarray(Ag_np, dtype=state_dtype),
-        jnp.asarray(u0_np, dtype=state_dtype),
-        inner_tol, int(num_steps), maxiter, refine, d, vdim, prec, snap32,
-        h_struct, level_arrays)
+        jnp.asarray(u0_np, dtype=state_dtype))
+    tail = (maxiter, refine, d, vdim, prec, snap32, h_struct, level_arrays)
 
-    values = np.concatenate(
-        [np.asarray(u0_np, dtype=np.float64)[None],
-         np.asarray(snaps, dtype=np.float64)], axis=0)  # forces device sync
+    # Snapshot thinning: the stacked [Nt][N] trajectory is the HBM hazard
+    # for long transients at multi-M DOF (SURVEY §7 "hard parts").  When
+    # the dense trajectory would exceed the budget, keep every k-th frame
+    # (the plotters cap animations at ~30 frames regardless, matching
+    # fenics_mcp_server.py:3042-3048); the final state is always kept.
+    snap_bytes = n * (4 if (snap32 or prec != "f64") else 8)
+    snap_every = 1
+    if cfg.snapshot_max_frames > 0:
+        snap_every = max(1, -(-int(num_steps) // cfg.snapshot_max_frames))
+    elif num_steps * snap_bytes > cfg.snapshot_budget_bytes:
+        snap_every = -(-(num_steps * snap_bytes) // cfg.snapshot_budget_bytes)
+
+    if snap_every <= 1:
+        snaps, iters, res = _transient_scan(
+            *scan_args, inner_tol, int(num_steps), *tail)
+        values = np.concatenate(
+            [np.asarray(u0_np, dtype=np.float64)[None],
+             np.asarray(snaps, dtype=np.float64)], axis=0)  # device sync
+        times = dt * np.arange(num_steps + 1, dtype=np.float64)
+    else:
+        main = (int(num_steps) // snap_every) * snap_every
+        snaps, u_f, iters, res = _transient_scan_thinned(
+            *scan_args[:-1], scan_args[-1], inner_tol, main, *tail,
+            snap_every)
+        frames = [np.asarray(u0_np, dtype=np.float64)[None],
+                  np.asarray(snaps, dtype=np.float64)]
+        t_list = [0.0] + [dt * snap_every * (j + 1)
+                          for j in range(main // snap_every)]
+        rem = int(num_steps) - main
+        if rem > 0:
+            snaps2, iters2, res2 = _transient_scan(
+                scan_args[0], *scan_args[1:-1], u_f.astype(state_dtype),
+                inner_tol, rem, *tail)
+            frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
+            t_list.append(dt * num_steps)
+            iters = iters + iters2
+            res = jnp.maximum(res, res2)
+        values = np.concatenate(frames, axis=0)
+        times = np.asarray(t_list, dtype=np.float64)
     scan_s = _time.perf_counter() - t_scan
-    times = dt * np.arange(num_steps + 1, dtype=np.float64)
     return TransientResult(values=values, times=times,
                            total_cg_iterations=int(iters),
                            max_relative_residual=float(res),

@@ -52,6 +52,33 @@ def test_mixed_transient_matches_f64(mixed_cfg):
     assert rel < 5e-6, rel
 
 
+def test_snapshot_thinning_matches_dense_trajectory():
+    """Thinned scan (snapshot_max_frames) keeps every k-th frame plus the
+    final state, bitwise-matching the dense trajectory at those times."""
+    from pde_solver_tpu.config import SolverConfig
+    from pde_solver_tpu.mesh import rectangle_mesh
+
+    mesh = rectangle_mesh(10, 8, (0.0, 0.0), (1.0, 1.0))
+    nsteps = 13  # prime: exercises the remainder tail
+
+    def make():
+        return heat.HeatProblem(
+            mesh=mesh, diffusivity=1.0,
+            bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
+            T_initial=20.0, dt=0.01, num_steps=nsteps)
+
+    dense_cfg = SolverConfig(precision="f64")
+    thin_cfg = SolverConfig(precision="f64", snapshot_max_frames=4)
+    t_d, v_d, _ = heat.solve_heat_problem(make(), dense_cfg)
+    t_t, v_t, _ = heat.solve_heat_problem(make(), thin_cfg)
+    assert v_d.shape[0] == nsteps + 1
+    assert v_t.shape[0] < v_d.shape[0]
+    assert t_t[-1] == t_d[-1]
+    for tt, vv in zip(t_t, v_t):
+        j = int(round(tt / 0.01))
+        np.testing.assert_allclose(vv, v_d[j], rtol=0, atol=1e-12)
+
+
 def test_mg_operator_cache_hits_and_stays_correct():
     """Repeated solves of the same operator with DIFFERENT BC values (the
     agent follow-up pattern) must hit the hierarchy/ladder cache and still
