@@ -201,9 +201,18 @@ def solve_elasticity_dynamic(mesh: StructuredMesh, E: float, nu: float,
     shape = mesh.node_shape + (d,)
     u0 = np.zeros(shape) if u0 is None else np.asarray(u0, np.float64)
     v0 = np.zeros(shape) if v0 is None else np.asarray(v0, np.float64)
+
+    def mg_builder(mesh_c):
+        K_c = assembly.assemble_elasticity_stencil(mesh_c, lam, mu)
+        M_c = assemble_vector_mass(mesh_c, rho)
+        bc_c = DirichletBC.from_masks([(mesh_c.face_mask(0, 0), 0.0)],
+                                      mesh_c.node_shape, vdim=d)
+        return K_c, M_c, bc_c
+
     with phase_timer(phases, "solve"):
         res = run_newmark(K, M, mesh, bc, f, u0, v0, dt, num_steps,
-                          beta=beta, gamma=gamma, vdim=d, config=cfg)
+                          beta=beta, gamma=gamma, vdim=d, config=cfg,
+                          mg_level_builder=mg_builder)
     inner_tol = cfg.tol if cfg.resolve_precision() == "f64" \
         else cfg.transient_inner_tol
     info = {

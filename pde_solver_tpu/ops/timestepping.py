@@ -372,13 +372,17 @@ class NewmarkResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
-                                   "grid_dim", "vdim", "snap32"))
+                                   "grid_dim", "vdim", "snap32", "h_struct"))
 def _newmark_scan(offsets, A_w, K_w, free, s, Ct, CinvT, f_ext, u0, v0, a0,
                   dt, beta, gamma, inner_tol, num_steps, maxiter, grid_dim,
-                  vdim, snap32):
+                  vdim, snap32, h_struct=None, level_arrays=None):
     dtype = u0.dtype
     snap_dtype = jnp.float32 if snap32 else dtype
     to_hat_b, to_hat_x, from_hat_x = _make_scale_ops(s, Ct, CinvT)
+
+    if h_struct is not None:
+        from pde_solver_tpu.ops import multigrid as mg
+        hh = mg.hierarchy_from_arrays(h_struct, level_arrays)
 
     def K(x):
         return _stencil_apply(offsets, K_w, x, grid_dim, vdim)
@@ -390,9 +394,14 @@ def _newmark_scan(offsets, A_w, K_w, free, s, Ct, CinvT, f_ext, u0, v0, a0,
         u, v, a, iters_acc, res_acc = carry
         u_pred = u + dt * v + c1 * a
         bt = free * (f_ext - K(u_pred))
-        xh, k, relres = _cg_unit_diag(offsets, A_w, to_hat_b(bt),
-                                      to_hat_x(a), inner_tol, maxiter,
-                                      grid_dim, vdim)
+        if h_struct is not None:
+            from pde_solver_tpu.ops import multigrid as mg
+            xh, k, relres = mg.mg_pcg(hh, to_hat_b(bt), to_hat_x(a),
+                                      inner_tol, maxiter, resync_every=0)
+        else:
+            xh, k, relres = _cg_unit_diag(offsets, A_w, to_hat_b(bt),
+                                          to_hat_x(a), inner_tol, maxiter,
+                                          grid_dim, vdim)
         a_new = free * from_hat_x(xh)
         u_new = u_pred + c2 * a_new
         v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
@@ -420,11 +429,15 @@ def run_newmark(
     gamma: float = 0.5,
     vdim: int = 1,
     config: Optional[SolverConfig] = None,
+    mg_level_builder=None,
 ) -> NewmarkResult:
     """Implicit Newmark-β time integration of M ü + K u = f.
 
     ``K_np``/``M_np`` are (block) stencils; ``f_np`` a constant external
-    load; ``u0_np`` must satisfy the Dirichlet values (they stay pinned)."""
+    load; ``u0_np`` must satisfy the Dirichlet values (they stay pinned).
+    ``mg_level_builder(mesh_c) -> (K_c, M_c, bc_c)`` (optional) enables
+    MG-PCG step solves on A_eff = M + βΔt²K above
+    ``transient_mg_threshold`` DOF."""
     cfg = config or get_config()
     prec = cfg.resolve_precision()
     if prec == "mixed":
@@ -479,6 +492,21 @@ def run_newmark(
 
     inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
     snap32 = cfg.snapshot_dtype == "f32" and prec != "f64"
+
+    h_struct = level_arrays = None
+    if (mg_level_builder is not None and cfg.use_multigrid
+            and n >= cfg.resolved_transient_mg_threshold()):
+        from pde_solver_tpu.ops import multigrid as mg
+
+        def A_builder(mesh_c):
+            K_c, M_c, bc_c = mg_level_builder(mesh_c)
+            return _combine(K_c, M_c, alpha=beta * dt * dt, beta=1.0), bc_c
+
+        h = mg.build_hierarchy(mesh, sysm, A_builder, vdim=vdim,
+                               dtype=state_dtype)
+        if h is not None:
+            h_struct, level_arrays = mg.hierarchy_struct(h)
+
     us, vs, iters, res = _newmark_scan(
         offsets, A_w, K_w,
         jnp.asarray(free_np, state_dtype),
@@ -486,7 +514,7 @@ def run_newmark(
         jnp.asarray(f_np, state_dtype),
         jnp.asarray(u0_np, state_dtype), jnp.asarray(v0_np, state_dtype),
         a0, float(dt), float(beta), float(gamma), inner_tol,
-        int(num_steps), maxiter, d, vdim, snap32)
+        int(num_steps), maxiter, d, vdim, snap32, h_struct, level_arrays)
 
     values = np.concatenate([np.asarray(u0_np, np.float64)[None],
                              np.asarray(us, np.float64)], axis=0)

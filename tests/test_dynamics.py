@@ -166,6 +166,23 @@ def test_elastodynamics_model_entry():
     assert np.abs(res.values[:, 0, :, :, :]).max() == 0.0
 
 
+def test_newmark_mg_step_solves_match_plain():
+    """MG-PCG Newmark step solves (transient_mg_threshold crossed) match
+    the plain-CG path."""
+    mesh = box_mesh(8, 4, 4, (0, 0, 0), (1.0, 0.25, 0.25))
+    g = np.array([0.0, 0.0, -98.1])
+    kw = dict(dt=2e-3, num_steps=10)
+    cfg_mg = SolverConfig(precision="f64", tol=1e-12, mg_threshold=100,
+                          transient_mg_threshold=100)
+    res_mg, info_mg = solve_elasticity_dynamic(
+        mesh, 1e6, 0.3, 10.0, g, "3d", config=cfg_mg, **kw)
+    res_cg, info_cg = solve_elasticity_dynamic(
+        mesh, 1e6, 0.3, 10.0, g, "3d", config=CFG64, **kw)
+    scale = np.abs(res_cg.values).max()
+    assert np.abs(res_mg.values - res_cg.values).max() < 1e-8 * scale
+    assert info_mg["cg_iterations"] < info_cg["cg_iterations"]
+
+
 def test_transient_heat_vector_block_path():
     """run_transient with vdim>1 (block-scaled scan) matches two independent
     scalar runs stacked — a vector heat system with decoupled components."""
