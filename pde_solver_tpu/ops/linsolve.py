@@ -91,6 +91,28 @@ class ScaledSystem(NamedTuple):
         return np.einsum("...ij,...j->...i", self.Ct, x)
 
 
+# Operator-part cache for prepare_system: the masked+scaled weights and
+# scale factors depend on (stencil, free-mask PATTERN) only — not on the
+# RHS or the BC *values* — and cost ~25 s of 1-core numpy at 2M-DOF
+# elasticity.  Content-keyed (blake2b over the weight + mask bytes, ~2 s
+# at 2M); only systems above _PREP_CACHE_MIN_DOF are cached (below that
+# prepare is fast and per-level coarse systems would churn the LRU).
+_PREP_CACHE: Dict = {}
+_PREP_CACHE_MAX = 2
+_PREP_CACHE_MIN_DOF = 200_000
+
+
+def _prep_cache_key(stencil: Dict, free: np.ndarray, node_shape, vdim: int):
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for off in sorted(stencil.keys()):
+        h.update(np.ascontiguousarray(np.asarray(stencil[off], np.float64)))
+    h.update(np.ascontiguousarray(free))
+    return (tuple(node_shape), vdim, tuple(sorted(stencil.keys())),
+            h.hexdigest())
+
+
 def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
                    bc: DirichletBC, rhs: np.ndarray, vdim: int = 1
                    ) -> ScaledSystem:
@@ -99,12 +121,32 @@ def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
     free = np.asarray(bc.free_mask, dtype=np.float64)
     gvals = np.asarray(bc.values, dtype=np.float64) * (1.0 - free)
 
-    # RHS lift with the *unmasked* operator (host, one pass)
-    Ag = np_stencil_apply(stencil, gvals, d, vdim)
-    b_t = free * (np.asarray(rhs, dtype=np.float64) - Ag) + gvals
+    # RHS lift with the *unmasked* operator (host, one pass; skipped when
+    # all Dirichlet values are zero — A·0 = 0)
+    if np.any(gvals):
+        Ag = np_stencil_apply(stencil, gvals, d, vdim)
+        b_t = free * (np.asarray(rhs, dtype=np.float64) - Ag) + gvals
+    else:
+        b_t = free * np.asarray(rhs, dtype=np.float64)
 
     zero = tuple(0 for _ in range(d))
     offsets = tuple(sorted(stencil.keys()))
+
+    n = int(np.prod(mesh.node_shape)) * vdim
+    key = None
+    if n >= _PREP_CACHE_MIN_DOF:
+        key = _prep_cache_key(stencil, free, mesh.node_shape, vdim)
+        core = _PREP_CACHE.pop(key, None)
+        if core is not None:
+            _PREP_CACHE[key] = core  # LRU refresh
+            scaled, s, Ct, CinvT = core
+            if vdim == 1:
+                return ScaledSystem(offsets, scaled, s * b_t, gvals, free,
+                                    "scalar", s, None, None)
+            Cinv = np.swapaxes(CinvT, -1, -2)
+            b_hat = np.einsum("...ab,...b->...a", Cinv, b_t)
+            return ScaledSystem(offsets, scaled, b_hat, gvals, free,
+                                "block", None, Ct, CinvT)
 
     if vdim == 1:
         diag = stencil[zero] * free + (1.0 - free)
@@ -119,6 +161,10 @@ def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
             if off == zero:
                 W = W + (1.0 - free)
             scaled.append(W)
+        if key is not None:
+            _PREP_CACHE[key] = (scaled, s, None, None)
+            while len(_PREP_CACHE) > _PREP_CACHE_MAX:
+                _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
         return ScaledSystem(offsets, scaled, s * b_t, gvals, free, "scalar", s,
                             None, None)
 
@@ -144,8 +190,12 @@ def prepare_system(stencil: Dict[Offset, np.ndarray], mesh: StructuredMesh,
     b_hat = np.einsum("...ab,...b->...a", Cinv, b_t)
     Ct = np.swapaxes(C, -1, -2)
     CinvT = np.swapaxes(Cinv, -1, -2)
-    return ScaledSystem(offsets, scaled, b_hat, gvals, free, "block", None, Ct,
-                        CinvT)
+    if key is not None:
+        _PREP_CACHE[key] = (scaled, None, Ct, CinvT)
+        while len(_PREP_CACHE) > _PREP_CACHE_MAX:
+            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+    return ScaledSystem(offsets, scaled, b_hat, gvals, free, "block", None,
+                        Ct, CinvT)
 
 
 # ----------------------------------------------------------------------

@@ -52,6 +52,40 @@ def test_mixed_transient_matches_f64(mixed_cfg):
     assert rel < 5e-6, rel
 
 
+def test_prepare_system_operator_cache(monkeypatch):
+    """prepare_system's cached operator part must reproduce the fresh
+    result exactly for new RHS / BC values (value changes enter via b̂)."""
+    from pde_solver_tpu.mesh import box_mesh as _box
+    from pde_solver_tpu.ops import assembly, linsolve
+    from pde_solver_tpu.ops.bc import DirichletBC
+
+    monkeypatch.setattr(linsolve, "_PREP_CACHE_MIN_DOF", 10)
+    linsolve._PREP_CACHE.clear()
+    mesh = _box(4, 4, 4, (0, 0, 0), (1.0, 1.0, 1.0))
+    from pde_solver_tpu.models.elasticity import lame_parameters
+    lam, mu = lame_parameters(1e6, 0.3, "3d")
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+
+    def mk(val, rhs_scale):
+        bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), val)],
+                                    mesh.node_shape, vdim=3)
+        rhs = rhs_scale * np.ones(mesh.node_shape + (3,))
+        return linsolve.prepare_system(K, mesh, bc, rhs, 3)
+
+    s1 = mk(0.0, 1.0)
+    assert len(linsolve._PREP_CACHE) == 1
+    s2 = mk(1e-3, 2.0)           # different values/rhs → operator cached
+    assert len(linsolve._PREP_CACHE) == 1
+    for W1, W2 in zip(s1.weights, s2.weights):
+        assert W1 is W2          # identical cached arrays
+    # fresh (cache-cleared) result must match the cached-path b_hat exactly
+    linsolve._PREP_CACHE.clear()
+    s2_fresh = mk(1e-3, 2.0)
+    np.testing.assert_allclose(s2.b_hat, s2_fresh.b_hat, rtol=0, atol=0)
+    np.testing.assert_allclose(s2.gvals, s2_fresh.gvals, rtol=0, atol=0)
+    linsolve._PREP_CACHE.clear()
+
+
 def test_snapshot_thinning_matches_dense_trajectory():
     """Thinned scan (snapshot_max_frames) keeps every k-th frame plus the
     final state, bitwise-matching the dense trajectory at those times."""
