@@ -95,11 +95,11 @@ class ScaledSystem(NamedTuple):
 # scale factors depend on (stencil, free-mask PATTERN) only — not on the
 # RHS or the BC *values* — and cost ~25 s of 1-core numpy at 2M-DOF
 # elasticity.  Content-keyed (blake2b over the weight + mask bytes, ~2 s
-# at 2M); only systems above _PREP_CACHE_MIN_DOF are cached (below that
+# at 2M, ~40 ms at 132k); only systems above _PREP_CACHE_MIN_DOF cache (below
 # prepare is fast and per-level coarse systems would churn the LRU).
 _PREP_CACHE: Dict = {}
 _PREP_CACHE_MAX = 2
-_PREP_CACHE_MIN_DOF = 200_000
+_PREP_CACHE_MIN_DOF = 100_000
 
 
 def _prep_cache_key(stencil: Dict, free: np.ndarray, node_shape, vdim: int):
