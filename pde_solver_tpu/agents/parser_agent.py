@@ -46,6 +46,10 @@ Rules:
 - "steady state"/"equilibrium" → steady=true; otherwise transient.
 - If gravity is mentioned for elasticity set material_params.gravity=true.
 - A high-conductivity core implies core_radius and core_diffusivity.
+- Vibration/oscillation/dynamic phrasing for elasticity → pde_type
+  "elasticity", steady=false, and notes=["dynamic"] (routes to the Newmark
+  elastodynamics solver); "crank-nicolson"/"trapezoidal" stepping →
+  notes=["time_scheme:crank_nicolson"].
 - Do not invent values that are not stated or clearly implied.
 """
 
