@@ -22,7 +22,8 @@ Secondary metrics via PDE_BENCH_CONFIG:
   elast2d    BASELINE config 4: 2D plane stress, solve wall time / MDOF/s
   spmv       finest-level stencil SpMV ms + HBM roofline fraction
 
-Env knobs: PDE_BENCH_SCALE=small|medium|full (default full on TPU),
+Env knobs: PDE_BENCH_SCALE=small|medium|full|xl (default full on TPU;
+xl = 128³ heat3d, crosses the transient-MG threshold),
 PDE_BENCH_CONFIG (above), PDE_TPU_TRACE_DIR (capture a jax.profiler trace
 around the timed flagship solve).
 """
