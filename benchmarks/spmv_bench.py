@@ -138,7 +138,10 @@ def main():
         ("pallas resident bf16 b4096", dict(resident=True, block=4096,
                                             weight_dtype=jnp.bfloat16)),
         ("pallas resident f32 b8192", dict(resident=True, block=8192)),
-        ("pallas resident f32 b16384", dict(resident=True, block=16384)),
+        ("pallas resident bf16 b8192", dict(resident=True, block=8192,
+                                            weight_dtype=jnp.bfloat16)),
+        ("pallas resident bf16 b16384", dict(resident=True, block=16384,
+                                             weight_dtype=jnp.bfloat16)),
     ):
         try:
             op = FlatStencilOperator(sysm.offsets, sysm.weights,
