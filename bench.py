@@ -3,33 +3,54 @@
 
 Headline metric (BASELINE.md config 5): 3D static elasticity on a
 1 m × 0.2 m × 0.2 m cantilever under gravity at ~2M DOF — wall time of the
-PCG solve (mixed-precision MG-PCG with f64 refinement) on one TPU chip.
-Target < 5 s → ``vs_baseline`` = target_seconds / measured_seconds
+PCG solve (mixed-precision MG-PCG with double-f32 refinement) on one TPU
+chip.  Target < 5 s → ``vs_baseline`` = target_seconds / measured_seconds
 (>1 beats the target).
+
+Fault tolerance (round-2 lesson: one transient tunnel error aborted the
+bench with no JSON on record):
+
+* the default entry point is a PARENT that runs the real bench as a child
+  process and retries on crash/timeout, walking a solver fallback chain
+  (df2 fused F-cycle → host-driven df F-cycle → plain f32 MG-PCG);
+* the CHILD wraps every device phase in retry-with-rewarm (transient
+  ``JaxRuntimeError``s from the tunnel get ~3 attempts with channel
+  re-warms in between) and falls back across solvers in-process too;
+* a worker-health probe (bf16 matmul TFLOP/s) runs before timed windows —
+  the tunneled v5e has degraded states 5-10× off peak (see CLAUDE.md);
+* whichever path produces a timed solve, the JSON line IS printed.
+
+The heavy host-side setup (prepare_system, MG hierarchy, df ladder) is
+disk-cached content-keyed (utils.diskcache), so retries and fresh driver
+runs skip most pre-solve work.
 
 Methodology: the axon-tunneled TPU charges minutes of warmup to the first
 device→host transfer and tens of seconds to XLA compiles; both are one-time
 session costs, not solver throughput.  The bench therefore (1) warms the
 transfer channel, (2) runs the full solve once to populate jit caches and
-device-resident operators, then (3) times a fresh solve (from x=0) of the
-same system.  Assembly/upload/postprocess times are reported on stderr.
+device-resident operators, then (3) times fresh solves (from x=0) of the
+same system, reporting the best of N (worker-slowdown insurance).
 
 Secondary metrics via PDE_BENCH_CONFIG:
   heat3d     backward-Euler steps/s, 3D heat 64³ cells (275k DOF)
   heat1d     BASELINE config 1: 1D rod 256 nodes, BE steps/s
-  bar1d      BASELINE config 2: 1D bar static solve wall time
+  bar1d      BASELINE config 2: 1D bar static solve wall time (pure host —
+             runs on the CPU backend so TPU-client threads don't contend
+             for the single host core)
   heat2d_cn  BASELINE config 3: 2D 128² plate, Crank–Nicolson steps/s
   elast2d    BASELINE config 4: 2D plane stress, solve wall time / MDOF/s
   spmv       finest-level stencil SpMV ms + HBM roofline fraction
 
 Env knobs: PDE_BENCH_SCALE=small|medium|full|xl (default full on TPU;
-xl = 128³ heat3d, crosses the transient-MG threshold),
-PDE_BENCH_CONFIG (above), PDE_TPU_TRACE_DIR (capture a jax.profiler trace
-around the timed flagship solve).
+xl = 128³ heat3d, crosses the transient-MG threshold), PDE_BENCH_CONFIG
+(above), PDE_BENCH_SOLVER=df2|df|mgf32, PDE_BENCH_PROBE=0 (skip the health
+probe), PDE_BENCH_NO_WRAP=1 (run the child logic directly, no parent),
+PDE_TPU_TRACE_DIR (capture a jax.profiler trace around the timed solve).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -39,6 +60,165 @@ import numpy as np
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
+
+def emit(obj):
+    """The one driver-visible JSON line."""
+    print(json.dumps(obj), flush=True)
+
+
+# ======================================================================
+# Parent: crash/timeout isolation + solver fallback chain
+# ======================================================================
+
+def _attempt_plan(cfg_name):
+    """[(extra_env, timeout_s), ...] — one child process per attempt."""
+    if cfg_name == "elasticity3d":
+        return [({"PDE_BENCH_SOLVER": os.environ.get("PDE_BENCH_SOLVER",
+                                                     "df2")}, 1500),
+                ({"PDE_BENCH_SOLVER": "df"}, 1200),
+                ({"PDE_BENCH_SOLVER": "mgf32"}, 900)]
+    if cfg_name == "bar1d":
+        # pure-host path: no TPU client in the child → no thread contention
+        # on the single host core (VERDICT r2 item 10)
+        env = {"JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu"}
+        return [(env, 600), (env, 600)]
+    return [({}, 1500), ({}, 1200)]
+
+
+def run_parent():
+    cfg_name = os.environ.get("PDE_BENCH_CONFIG", "elasticity3d")
+    plan = _attempt_plan(cfg_name)
+    for i, (extra_env, timeout_s) in enumerate(plan):
+        env = dict(os.environ)
+        env.update(extra_env)
+        env["PDE_BENCH_CHILD"] = "1"
+        log(f"[bench] attempt {i + 1}/{len(plan)} config={cfg_name} "
+            f"env={extra_env} timeout={timeout_s}s")
+        try:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE, stderr=None, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except OSError as e:
+            log(f"[bench] spawn failed: {e}")
+            continue
+        stdout_text = ""
+        try:
+            stdout_text, _ = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] attempt {i + 1} timed out after {timeout_s}s — "
+                f"killing child pid {proc.pid}")
+            proc.kill()
+            try:
+                stdout_text, _ = proc.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                stdout_text = ""
+        result_line = None
+        for line in (stdout_text or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "metric" in parsed:
+                    result_line = line
+                    continue
+            if line:
+                log(f"[bench child stdout] {line}")
+        if result_line is not None:
+            print(result_line, flush=True)
+            return 0
+        log(f"[bench] attempt {i + 1} produced no metric "
+            f"(rc={proc.returncode}); "
+            + ("retrying with fallback" if i + 1 < len(plan) else "giving up"))
+        if i + 1 < len(plan):
+            time.sleep(20)  # let the tunnel/worker settle before respawning
+    log("[bench] all attempts failed — no metric to report")
+    return 1
+
+
+# ======================================================================
+# Child-side helpers
+# ======================================================================
+
+def rewarm_channel():
+    try:
+        import jax.numpy as jnp
+        _ = float(jnp.zeros(()))
+        return True
+    except Exception as e:  # worker restarting — give it time
+        log(f"[bench] channel re-warm failed: {type(e).__name__}: {e}")
+        return False
+
+
+def warm_channel(attempts=5):
+    """First device→host transfer (the expensive one) with worker-restart
+    patience."""
+    for _ in range(attempts):
+        if rewarm_channel():
+            return
+        time.sleep(20)
+    raise RuntimeError("device channel never came up")
+
+
+def device_retry(fn, what, attempts=3):
+    """Run fn(); on transient device/tunnel errors re-warm and retry."""
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            log(f"[bench] {what} failed (attempt {k + 1}/{attempts}): "
+                f"{type(e).__name__}: {e}")
+            if k == attempts - 1:
+                raise
+            time.sleep(10 * (k + 1))
+            if not rewarm_channel():
+                time.sleep(30)
+                rewarm_channel()
+
+
+def worker_health_probe(min_tflops=None, attempts=3):
+    """bf16 matmul TFLOP/s check: the tunneled v5e degrades under sustained
+    load (measured 18 TFLOP/s ≈ 5% of peak in a bad state).  Returns the
+    measured TFLOP/s; waits + retries while degraded."""
+    import jax
+    import jax.numpy as jnp
+
+    if (os.environ.get("PDE_BENCH_PROBE", "1") in ("0", "off")
+            or jax.default_backend() != "tpu"):
+        return None
+    if min_tflops is None:
+        min_tflops = float(os.environ.get("PDE_BENCH_PROBE_MIN_TFLOPS", 50.0))
+    n, reps = 4096, 32
+
+    @jax.jit
+    def chain(a):
+        def body(_, x):
+            y = a @ x
+            return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+        return jax.lax.fori_loop(0, reps, body, a)
+
+    a = jnp.ones((n, n), jnp.bfloat16) * jnp.bfloat16(0.001)
+    tf = None
+    for k in range(attempts):
+        float(jnp.max(jnp.abs(chain(a))))  # compile+warm / sync
+        t0 = time.perf_counter()
+        float(jnp.max(jnp.abs(chain(a))))
+        dt = time.perf_counter() - t0
+        tf = 2 * n**3 * reps / dt / 1e12
+        log(f"[bench] worker health probe: {tf:.0f} TFLOP/s bf16 "
+            f"({'healthy' if tf >= min_tflops else 'DEGRADED'})")
+        if tf >= min_tflops or k == attempts - 1:
+            break
+        log("[bench] degraded worker — resting 30s before re-probe")
+        time.sleep(30)
+    return tf
+
+
+# ======================================================================
+# Secondary configs
+# ======================================================================
 
 def bench_heat3d():
     """Transient 3D heat: backward-Euler steps/s (BASELINE 'steps/s' metric)."""
@@ -54,8 +234,9 @@ def bench_heat3d():
     cells = {"small": 16, "medium": 40, "full": 64, "xl": 128}[scale]
     num_steps = 50 if scale != "xl" else 20
     t0 = time.perf_counter()
-    _ = float(jnp.zeros(()))
+    warm_channel()
     log(f"[bench] warmup: {time.perf_counter() - t0:.1f}s")
+    worker_health_probe()
 
     mesh = box_mesh(cells, cells, cells, (0, 0, 0), (1.0, 1.0, 1.0))
     log(f"[bench] heat3d transient: {cells}³ cells, {mesh.num_nodes} DOF, "
@@ -66,7 +247,8 @@ def bench_heat3d():
         T_initial=20.0, dt=0.01, num_steps=num_steps)
 
     t0 = time.perf_counter()
-    _, _, info = heat.solve_heat_problem(p)
+    _, _, info = device_retry(lambda: heat.solve_heat_problem(p),
+                              "heat3d warm-up solve")
     log(f"[bench] warm-up run (incl. compile): {time.perf_counter() - t0:.1f}s "
         f"iters={info['cg_iterations']} relres={info['relative_residual']:.1e}")
     # best of 2: the tunneled worker shows sporadic slowdown states that
@@ -74,9 +256,14 @@ def bench_heat3d():
     # the faster of two post-compile runs is the honest device capability.
     scans = []
     for rep in range(2):
-        t0 = time.perf_counter()
-        times, values, info = heat.solve_heat_problem(p)
-        total = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            times, values, info = heat.solve_heat_problem(p)
+            total = time.perf_counter() - t0
+        except Exception as e:
+            log(f"[bench] timed[{rep}] failed: {type(e).__name__}: {e}")
+            rewarm_channel()
+            continue
         scan_s = info.get("scan_seconds") or info["solve_seconds"]
         scans.append(scan_s)
         log(f"[bench] timed[{rep}]: total={total:.2f}s scan={scan_s:.2f}s "
@@ -85,149 +272,154 @@ def bench_heat3d():
             f"relres {info['relative_residual']:.1e})")
     steps_s = num_steps / min(scans)
     log(f"[bench] → {steps_s:.1f} steps/s (best of {len(scans)})")
-    print(json.dumps({
+    emit({
         "metric": f"heat3d_{cells}cubed_backward_euler_steps_per_s",
         "value": round(steps_s, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_s / 10.0, 3),  # ref-class: ~10 PETSc solves/s
-    }))
+    })
 
 
 def bench_heat1d():
     """BASELINE config 1: 2 m rod, 256 nodes, 20→0 °C, backward Euler."""
-    import jax.numpy as jnp
     from pde_solver_tpu.mesh import interval_mesh
     from pde_solver_tpu.models import heat
 
-    _ = float(jnp.zeros(()))
+    warm_channel()
     num_steps = 400
     p = heat.HeatProblem(
         mesh=interval_mesh(255, 0.0, 2.0), diffusivity=1.0,
         bc_builder=lambda m: [(m.face_mask(0, 0), 20.0),
                               (m.face_mask(0, 1), 0.0)],
         T_initial=0.0, dt=0.05, num_steps=num_steps)
-    heat.solve_heat_problem(p)  # compile
+    device_retry(lambda: heat.solve_heat_problem(p), "heat1d compile")
     t0 = time.perf_counter()
-    _, values, info = heat.solve_heat_problem(p)
+    _, values, info = device_retry(lambda: heat.solve_heat_problem(p),
+                                   "heat1d timed solve")
     steps_s = num_steps / (info.get("scan_seconds") or info["solve_seconds"])
     x = np.linspace(0.0, 2.0, 256)
     err = float(np.linalg.norm(values[-1] - 20.0 * (1 - x / 2.0))
                 / np.linalg.norm(20.0 * (1 - x / 2.0)))
     log(f"[bench] heat1d: {steps_s:.0f} steps/s, steady-limit relL2={err:.1e}")
-    print(json.dumps({
+    emit({
         "metric": "heat1d_256nodes_backward_euler_steps_per_s",
         "value": round(steps_s, 1), "unit": "steps/s",
         "vs_baseline": round(steps_s / 100.0, 3),  # ref-class: ~100 solves/s
-    }))
+    })
 
 
 def bench_bar1d():
-    """BASELINE config 2: 2 m aluminum bar, fixed-free, static KU=F."""
-    import jax.numpy as jnp
+    """BASELINE config 2: 2 m aluminum bar, fixed-free, static KU=F.
+
+    Runs on the CPU backend (parent sets JAX_PLATFORMS=cpu): the solve is a
+    pure-host sparse LU and the TPU client's background threads were
+    measured stealing ~97% of the single host core (71 ms for a 2 ms
+    solve)."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from pde_solver_tpu.models.elasticity import solve_bar_1d
 
-    _ = float(jnp.zeros(()))
-    solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)  # compile/warm caches
-    ms = np.inf  # best of 3: the 1-core host competes with the TPU
-    for _rep in range(3):  # client's background threads (2 ms pure-CPU)
+    solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)  # warm caches
+    ms = np.inf
+    for _rep in range(3):
         t0 = time.perf_counter()
         x, field, info = solve_bar_1d(2.0, 255, 70e9, 0.01, 500.0)
         ms = min(ms, (time.perf_counter() - t0) * 1e3)
     exact = 500.0 * (2.0 - x) / 0.01
     err = float(np.abs(field[10:-10] - exact[10:-10]).max() / exact.max())
-    log(f"[bench] bar1d: {ms:.1f} ms/solve, interior stress err={err:.1e}")
-    print(json.dumps({
+    log(f"[bench] bar1d: {ms:.1f} ms/solve (backend={jax.default_backend()}), "
+        f"interior stress err={err:.1e}")
+    emit({
         "metric": "bar1d_256nodes_static_solve_ms",
         "value": round(ms, 2), "unit": "ms",
         "vs_baseline": round(20.0 / ms, 3),  # ref-class LU+overhead ~20 ms
-    }))
+    })
 
 
 def bench_heat2d_cn():
     """BASELINE config 3: 1 m² plate, 128² mesh, Crank–Nicolson stepping."""
-    import jax.numpy as jnp
     from pde_solver_tpu.mesh import rectangle_mesh
     from pde_solver_tpu.models import heat
 
-    _ = float(jnp.zeros(()))
+    warm_channel()
     num_steps = 50
     p = heat.HeatProblem(
         mesh=rectangle_mesh(128, 128, (0.0, 0.0), (1.0, 1.0)),
         diffusivity=1.0, bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
         T_initial=20.0, dt=0.001, num_steps=num_steps, theta=0.5)
-    heat.solve_heat_problem(p)  # compile
-    _, values, info = heat.solve_heat_problem(p)
+    device_retry(lambda: heat.solve_heat_problem(p), "heat2d compile")
+    _, values, info = device_retry(lambda: heat.solve_heat_problem(p),
+                                   "heat2d timed solve")
     steps_s = num_steps / (info.get("scan_seconds") or info["solve_seconds"])
     log(f"[bench] heat2d CN: {steps_s:.1f} steps/s "
         f"(iters {info['cg_iterations']}, relres {info['relative_residual']:.1e})")
-    print(json.dumps({
+    emit({
         "metric": "heat2d_128sq_crank_nicolson_steps_per_s",
         "value": round(steps_s, 2), "unit": "steps/s",
         "vs_baseline": round(steps_s / 20.0, 3),  # ref-class: ~20 solves/s
-    }))
+    })
 
 
 def bench_elast2d():
     """BASELINE config 4: 1 m² steel plate, plane stress, clamped + load."""
-    import jax.numpy as jnp
     from pde_solver_tpu.mesh import rectangle_mesh
     from pde_solver_tpu.models.elasticity import solve_elasticity_nd
 
-    _ = float(jnp.zeros(()))
+    warm_channel()
     mesh = rectangle_mesh(256, 256, (0.0, 0.0), (1.0, 1.0))
     body = np.array([0.0, -7.65e4])
-    solve_elasticity_nd(mesh, 210e9, 0.3, body, "plane_stress")  # compile
-    _, info = solve_elasticity_nd(mesh, 210e9, 0.3, body, "plane_stress")
+    device_retry(
+        lambda: solve_elasticity_nd(mesh, 210e9, 0.3, body, "plane_stress"),
+        "elast2d compile")
+    _, info = device_retry(
+        lambda: solve_elasticity_nd(mesh, 210e9, 0.3, body, "plane_stress"),
+        "elast2d timed solve")
     ms = info["solve_seconds"] * 1e3
     mdof = info["num_dofs"] * max(info["cg_iterations"], 1) / info["solve_seconds"] / 1e6
     log(f"[bench] elast2d 256²: {ms:.0f} ms/solve, {mdof:.0f} MDOF/s, "
         f"relres {info['relative_residual']:.1e}")
-    print(json.dumps({
+    emit({
         "metric": "elasticity2d_256sq_plane_stress_solve_ms",
         "value": round(ms, 1), "unit": "ms",
         "vs_baseline": round(2000.0 / ms, 3),  # ref-class sparse LU ~2 s
-    }))
+    })
 
 
 def bench_spmv():
     """Finest-level stencil SpMV: ms/apply + HBM roofline fraction."""
-    import subprocess
     scale = os.environ.get("PDE_BENCH_SCALE", "full")
     cells = {"small": "32 16 16", "medium": "96 32 32",
-             "full": "160 64 64"}[scale]
+             "full": "160 64 64", "xl": "256 128 64"}.get(scale, "160 64 64")
     out = subprocess.run(
         [sys.executable, "benchmarks/spmv_bench.py", *cells.split(), "50"],
         capture_output=True, text=True)
     log(out.stdout + out.stderr)
 
 
-def main():
-    cfg_name = os.environ.get("PDE_BENCH_CONFIG", "elasticity3d")
-    sub = {"heat3d": bench_heat3d, "heat1d": bench_heat1d,
-           "bar1d": bench_bar1d, "heat2d_cn": bench_heat2d_cn,
-           "elast2d": bench_elast2d, "spmv": bench_spmv}.get(cfg_name)
-    if sub is not None:
-        sub()
-        return
+# ======================================================================
+# Flagship: 2M-DOF 3D elasticity
+# ======================================================================
+
+def bench_flagship():
     import jax
     import jax.numpy as jnp
 
-    from pde_solver_tpu.config import get_config
     from pde_solver_tpu.mesh import box_mesh
     from pde_solver_tpu.models.elasticity import lame_parameters, von_mises_fields
     from pde_solver_tpu.ops import assembly, multigrid as mg
     from pde_solver_tpu.ops.bc import DirichletBC
-    from pde_solver_tpu.ops.linsolve import np_stencil_apply, prepare_system
+    from pde_solver_tpu.ops.linsolve import prepare_system
 
     backend = jax.default_backend()
     scale = os.environ.get("PDE_BENCH_SCALE",
                            "full" if backend == "tpu" else "small")
     cells = {"small": (32, 16, 16), "medium": (96, 32, 32),
-             "full": (160, 64, 64)}[scale]
+             "full": (160, 64, 64), "xl": (160, 64, 64)}[scale]
     log(f"[bench] backend={backend} scale={scale} cells={cells}")
 
     t0 = time.perf_counter()
-    _ = float(jnp.zeros(()))  # warm the device→host channel (minutes, one-time)
+    warm_channel()
     log(f"[bench] transfer-channel warmup: {time.perf_counter() - t0:.1f}s")
 
     E, nu = 210e9, 0.3
@@ -236,6 +428,7 @@ def main():
     ndof = mesh.num_nodes * 3
     log(f"[bench] nodes={mesh.num_nodes} DOF={ndof}")
 
+    t_setup0 = time.perf_counter()
     t0 = time.perf_counter()
     K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
     b = assembly.assemble_vector_load(mesh, np.array([0.0, 0.0, -9.81 * 7800.0]))
@@ -253,90 +446,119 @@ def main():
                                        mc.node_shape, vdim=3))
 
     t0 = time.perf_counter()
-    h = mg.build_hierarchy(mesh, sysm, builder, vdim=3, dtype=jnp.float32)
+    h = device_retry(
+        lambda: mg.build_hierarchy_cached(mesh, sysm, builder, vdim=3,
+                                          dtype=jnp.float32,
+                                          cache_key=sysm.ckey),
+        "hierarchy build+upload")
     log(f"[bench] hierarchy build+upload ({len(h.levels)} levels): "
         f"{time.perf_counter() - t0:.1f}s")
 
-    cfg = get_config()
     t0 = time.perf_counter()
-    ladder = mg.build_df_ladder(h, sysm, sysm.b_hat)
+    ladder = device_retry(lambda: mg.build_df_ladder(h, sysm, sysm.b_hat),
+                          "df ladder build+upload")
     jax.block_until_ready(ladder.Whi)
     log(f"[bench] double-f32 ladder upload: {time.perf_counter() - t0:.1f}s")
+    setup_s = time.perf_counter() - t_setup0
+    log(f"[bench] total pre-solve setup: {setup_s:.1f}s")
 
     bench_tol = float(os.environ.get("PDE_BENCH_TOL", 1e-7))
-    solver_kind = os.environ.get("PDE_BENCH_SOLVER", "df2")
 
-    def full_solve():
-        """Double-float32 F-cycle (Pallas-applied fine levels): per-round
-        fused df2 (ONE program + ONE scalar pull per round) by default;
-        stall detection stops at the df32 floor.  tol 1e-7 covers the ≤1e-6
-        L2-vs-FEniCS target with margin (measured floor ≈5e-8)."""
-        fcycle = (mg.solve_fcycle_df2 if solver_kind == "df2"
-                  else mg.solve_fcycle_df)
-        x_hi, x_lo, iters, relres = fcycle(
+    def solve_df2():
+        x_hi, x_lo, iters, relres = mg.solve_fcycle_df2(
             h, ladder, bench_tol, inner_iters=14, max_rounds=12)
         return (x_hi, x_lo), iters, relres
 
-    t0 = time.perf_counter()
-    x_hat, iters, relres = full_solve()
-    log(f"[bench] warm-up solve (incl. jit compile): "
-        f"{time.perf_counter() - t0:.1f}s  iters={iters} relres={relres:.2e}")
+    def solve_df():
+        x_hi, x_lo, iters, relres = mg.solve_fcycle_df(
+            h, ladder, bench_tol, inner_iters=14, max_rounds=12)
+        return (x_hi, x_lo), iters, relres
+
+    def solve_mgf32():
+        """Last-resort fallback: plain f32 MG-PCG (no df refinement —
+        residual floors near f32 precision, ~1e-6 relative)."""
+        xh, k, relres = mg.solve_mg(h, sysm.b_hat.astype(np.float32), None,
+                                    max(bench_tol, 1e-6), 300)
+        z = jnp.zeros_like(xh)
+        return (xh, z), int(k), float(relres)
+
+    chain = {"df2": [("df2", solve_df2), ("df", solve_df),
+                     ("mgf32", solve_mgf32)],
+             "df": [("df", solve_df), ("mgf32", solve_mgf32)],
+             "mgf32": [("mgf32", solve_mgf32)]}[
+        os.environ.get("PDE_BENCH_SOLVER", "df2")]
+
+    worker_health_probe()
 
     from pde_solver_tpu.utils.observability import device_trace
-    # best of 2 (see BENCH_NOTES chip-health caveat: the tunneled worker
-    # has sporadic slowdown states; the faster run is the device capability)
+
+    solver_used = None
+    x_hat = None
     solve_s = float("inf")
-    for rep in range(2):
-        t0 = time.perf_counter()
-        with device_trace("elasticity3d_solve"):
-            x_hat, iters, relres = full_solve()
-        rep_s = time.perf_counter() - t0
-        log(f"[bench] timed solve[{rep}]: {rep_s:.3f}s  MG-PCG iters={iters} "
-            f"relres={relres:.2e}")
-        solve_s = min(solve_s, rep_s)
+    iters = 0
+    relres = float("nan")
+    for kind, solver in chain:
+        # warm-up run (compiles); transient tunnel errors retried in place
+        try:
+            t0 = time.perf_counter()
+            x_hat, iters, relres = device_retry(
+                solver, f"{kind} warm-up solve", attempts=3)
+            log(f"[bench] {kind} warm-up solve (incl. jit compile): "
+                f"{time.perf_counter() - t0:.1f}s  iters={iters} "
+                f"relres={relres:.2e}")
+        except Exception as e:
+            log(f"[bench] solver {kind} unusable ({type(e).__name__}: {e}) — "
+                f"falling back")
+            rewarm_channel()
+            continue
+        # timed runs: best of 2 (worker slowdown insurance); keep any
+        # successful rep even if the other crashes
+        ok = 0
+        for rep in range(2):
+            try:
+                t0 = time.perf_counter()
+                with device_trace("elasticity3d_solve"):
+                    x_hat, iters, relres = solver()
+                rep_s = time.perf_counter() - t0
+                ok += 1
+                log(f"[bench] timed solve[{rep}] ({kind}): {rep_s:.3f}s  "
+                    f"iters={iters} relres={relres:.2e}")
+                solve_s = min(solve_s, rep_s)
+            except Exception as e:
+                log(f"[bench] timed solve[{rep}] failed: "
+                    f"{type(e).__name__}: {e}")
+                rewarm_channel()
+        if ok > 0:
+            solver_used = kind
+            break
+    if solver_used is None:
+        log("[bench] every solver path failed — no timed measurement")
+        raise SystemExit(3)
+
     mdof = ndof * max(iters, 1) / solve_s / 1e6
     log(f"[bench] throughput: {mdof:.0f} MDOF/s across MG-PCG iterations")
 
     # SpMV roofline fraction (BASELINE.md north star: ≥60% of the HBM
     # roofline for the finest-level stencil apply).
     spmv_frac = None
-    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
-    fine_w = h.levels[0].weights
-    if isinstance(fine_w, FlatStencilOperator):
-        import jax as _jax
-        from functools import partial as _partial
-
-        @_partial(_jax.jit, static_argnames=("reps",))
-        def _chain(op, xf, reps):
-            def body(_, xx):
-                y = op.apply_flat(xx)
-                return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
-            return _jax.lax.fori_loop(0, reps, body, xf)
-
-        xf = fine_w.to_flat(jnp.asarray(sysm.b_hat, jnp.float32))
-        reps = 50
-        float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))  # compile+warm
-        t0 = time.perf_counter()
-        float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))
-        spmv_ms = (time.perf_counter() - t0) / reps * 1e3
-        traffic = (fine_w.Wf.size * fine_w.Wf.dtype.itemsize
-                   + 2 * 3 * mesh.num_nodes * 4)
-        roof_ms = traffic / 819e9 * 1e3  # v5e HBM
-        spmv_frac = roof_ms / spmv_ms
-        log(f"[bench] finest SpMV: {spmv_ms:.3f} ms/apply, traffic "
-            f"{traffic/1e6:.0f} MB, HBM roofline {roof_ms:.3f} ms → "
-            f"{spmv_frac*100:.0f}% of roofline")
+    try:
+        spmv_frac = _spmv_roofline(h, sysm, mesh)
+    except Exception as e:
+        log(f"[bench] roofline measurement skipped: {type(e).__name__}: {e}")
 
     # physics sanity + postprocess timing (excluded from the metric)
-    t0 = time.perf_counter()
-    from pde_solver_tpu.ops import df32 as _df
-    x_np = _df.df_to_f64(np.asarray(x_hat[0]), np.asarray(x_hat[1]))
-    log(f"[bench] solution retrieval: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    u = sysm.from_hat_x(x_np)
-    vm_stress, _ = von_mises_fields(mesh, u, lam, mu)
-    log(f"[bench] postprocess (host): {time.perf_counter() - t0:.1f}s  "
-        f"max von Mises={float(vm_stress.max()):.3e} Pa")
+    try:
+        t0 = time.perf_counter()
+        from pde_solver_tpu.ops import df32 as _df
+        x_np = _df.df_to_f64(np.asarray(x_hat[0]), np.asarray(x_hat[1]))
+        log(f"[bench] solution retrieval: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        u = sysm.from_hat_x(x_np)
+        vm_stress, _ = von_mises_fields(mesh, u, lam, mu)
+        log(f"[bench] postprocess (host): {time.perf_counter() - t0:.1f}s  "
+            f"max von Mises={float(vm_stress.max()):.3e} Pa")
+    except Exception as e:  # never let postprocess void the measurement
+        log(f"[bench] postprocess skipped: {type(e).__name__}: {e}")
 
     target_seconds = 5.0
     out = {
@@ -344,10 +566,66 @@ def main():
         "value": round(solve_s, 3),
         "unit": "s",
         "vs_baseline": round(target_seconds / solve_s, 3),
+        "solver": solver_used,
+        "relres": float(f"{relres:.3e}"),
+        "setup_seconds": round(setup_s, 1),
     }
     if spmv_frac is not None:
         out["spmv_roofline_frac"] = round(spmv_frac, 3)
-    print(json.dumps(out))
+    emit(out)
+
+
+def _spmv_roofline(h, sysm, mesh):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+
+    fine_w = h.levels[0].weights
+    if not isinstance(fine_w, FlatStencilOperator):
+        return None
+
+    @partial(jax.jit, static_argnames=("reps",))
+    def _chain(op, xf, reps):
+        def body(_, xx):
+            y = op.apply_flat(xx)
+            return y * (1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30))
+        return jax.lax.fori_loop(0, reps, body, xf)
+
+    xf = fine_w.to_flat(jnp.asarray(sysm.b_hat, jnp.float32))
+    reps = 50
+    float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))  # compile+warm
+    t0 = time.perf_counter()
+    float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))
+    spmv_ms = (time.perf_counter() - t0) / reps * 1e3
+    traffic = (fine_w.Wf.size * fine_w.Wf.dtype.itemsize
+               + 2 * 3 * mesh.num_nodes * 4)
+    roof_ms = traffic / 819e9 * 1e3  # v5e HBM
+    spmv_frac = roof_ms / spmv_ms
+    log(f"[bench] finest SpMV: {spmv_ms:.3f} ms/apply, traffic "
+        f"{traffic/1e6:.0f} MB, HBM roofline {roof_ms:.3f} ms → "
+        f"{spmv_frac*100:.0f}% of roofline")
+    return spmv_frac
+
+
+def run_child():
+    cfg_name = os.environ.get("PDE_BENCH_CONFIG", "elasticity3d")
+    sub = {"heat3d": bench_heat3d, "heat1d": bench_heat1d,
+           "bar1d": bench_bar1d, "heat2d_cn": bench_heat2d_cn,
+           "elast2d": bench_elast2d, "spmv": bench_spmv}.get(cfg_name)
+    if sub is not None:
+        sub()
+    else:
+        bench_flagship()
+
+
+def main():
+    if (os.environ.get("PDE_BENCH_CHILD") == "1"
+            or os.environ.get("PDE_BENCH_NO_WRAP") == "1"):
+        run_child()
+        return
+    raise SystemExit(run_parent())
 
 
 if __name__ == "__main__":

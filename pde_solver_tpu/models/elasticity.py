@@ -154,6 +154,7 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
         "cg_iterations": int(stats.iterations),
         "relative_residual": float(stats.relative_residual),
         "converged": bool(stats.converged),
+        "convergence_target": stats.target,
         **phases,
     }
     get_logger().info(
@@ -215,11 +216,13 @@ def solve_elasticity_dynamic(mesh: StructuredMesh, E: float, nu: float,
                           mg_level_builder=mg_builder)
     inner_tol = cfg.tol if cfg.resolve_precision() == "f64" \
         else cfg.transient_inner_tol
+    step_target = max(inner_tol, cfg.accuracy_target)
     info = {
         "num_dofs": mesh.num_nodes * d,
         "cg_iterations": res.total_cg_iterations,
         "relative_residual": res.max_relative_residual,
-        "converged": bool(res.max_relative_residual <= 10 * inner_tol),
+        "converged": bool(res.max_relative_residual <= step_target),
+        "convergence_target": step_target,
         "num_steps": num_steps,
         **phases,
     }

@@ -148,6 +148,7 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
             "cg_iterations": int(stats.iterations),
             "relative_residual": float(stats.relative_residual),
             "converged": bool(stats.converged),
+            "convergence_target": stats.target,
         }
     else:
         with phase_timer(phases, "assembly"):
@@ -172,11 +173,15 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
                                 config=cfg, mg_level_builder=mg_builder_t)
         values = np.stack([flatten_values(v, mesh.dim) for v in res.values])
         times = res.times
+        # explicit per-step target: the worst step residual must meet the
+        # larger of the per-step inner tolerance and the accuracy contract
+        step_target = max(cfg.transient_inner_tol, cfg.accuracy_target)
         info = {
             "steady": False,
             "cg_iterations": int(res.total_cg_iterations),
             "relative_residual": float(res.max_relative_residual),
-            "converged": bool(res.max_relative_residual < 1e-5),
+            "converged": bool(res.max_relative_residual <= step_target),
+            "convergence_target": step_target,
             # stepping throughput = num_steps/scan_seconds; setup_seconds is
             # the one-time host prep (system + MG hierarchy build/upload)
             "scan_seconds": float(res.scan_seconds),

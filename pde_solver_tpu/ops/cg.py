@@ -31,7 +31,8 @@ import jax.numpy as jnp
 class SolveStats(NamedTuple):
     iterations: jnp.ndarray   # int32
     relative_residual: jnp.ndarray  # float
-    converged: jnp.ndarray    # bool
+    converged: jnp.ndarray    # bool — relative_residual ≤ target (explicit)
+    target: Optional[float] = None  # the residual target the verdict used
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -85,7 +86,8 @@ def pcg(
 
     x, r, p, z, rz, k = jax.lax.while_loop(cond, body, (x, r, p, z, rz, jnp.asarray(0, jnp.int32)))
     relres = jnp.sqrt(_dot(r, r)) / bnorm
-    stats = SolveStats(iterations=k, relative_residual=relres, converged=relres <= tol * 1.001)
+    stats = SolveStats(iterations=k, relative_residual=relres,
+                       converged=relres <= tol * 1.001, target=float(tol))
     return x, stats
 
 
@@ -126,6 +128,7 @@ def solve_refined(
         total_iters = total_iters + jnp.where(relres > tol, stats.iterations, 0)
     r = b64 - apply_A64(x)
     relres = jnp.sqrt(_dot(r, r)) / bnorm
+    target = max(float(tol), 1e-6)  # mixed-precision accuracy contract
     stats = SolveStats(iterations=total_iters, relative_residual=relres,
-                       converged=relres <= tol * 10)
+                       converged=relres <= target, target=target)
     return x, stats

@@ -142,6 +142,10 @@ class MGLevel(NamedTuple):
     # so PCG validity is unaffected; only the true-residual path (mg_pcg's
     # A) must use the exact f32 weights.
     w_lo: Optional[object] = None
+    # (hi, lo) f32 numpy pairs of host_weights — populated by the disk-cache
+    # rebuild path so build_df_ladder skips the df split (the pair IS what
+    # the ladder uploads; splitting hi+lo again reproduces it bit-exactly).
+    host_pairs: Optional[tuple] = None
 
     @property
     def w_smooth(self):
@@ -205,55 +209,64 @@ def _power_iteration(offsets, weights, x, grid_dim, vdim, iters):
 
 
 def _estimate_lambda_max(offsets, weights, shape, grid_dim, vdim,
-                         iters: int = 10) -> float:
+                         iters: int = 10, dtype=jnp.float32) -> float:
     """Power iteration on the scaled operator (setup only).  Weights are jit
     *arguments* — closing over large device arrays inlines them into the
     serialized program, which overflows the remote-compile request."""
     rng = np.random.default_rng(0)
     full_shape = shape + ((vdim,) if vdim > 1 else ())
-    x = jnp.asarray(rng.standard_normal(full_shape), dtype=weights[0].dtype)
+    x = jnp.asarray(rng.standard_normal(full_shape), dtype=dtype)
     lam = float(_power_iteration(offsets, weights, x, grid_dim, vdim, iters))
     return max(lam, 1e-6)
 
 
 def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
-              dtype, estimate_omega: bool = True) -> MGLevel:
-    w = tuple(jnp.asarray(W, dtype=dtype) for W in sysm.weights)
+              dtype, omega: Optional[float] = None,
+              pairs: Optional[tuple] = None) -> MGLevel:
     host_w = [np.asarray(W, dtype=np.float64) for W in sysm.weights]
     free = jnp.asarray(sysm.free, dtype=dtype)
-    # λmax must be estimated per level: Chebyshev smoothing *diverges* on any
-    # eigenvalue above its assumed λmax, so guessing is not safe.  The 1.05
-    # factor covers power-iteration underestimation.
-    lam = 1.05 * _estimate_lambda_max(sysm.offsets, w, mesh.node_shape,
-                                      mesh.dim, vdim)
-    omega = float(4.0 / (3.0 * lam))  # λmax recoverable as 4/(3ω)
     # TPU hot path: big f32 levels apply through the Pallas flat-stencil
     # kernel (ops.pallas_kernels) instead of the XLA shifted-slice form —
-    # 1.6-4× less SpMV time at the 2M-DOF flagship shape.
+    # 1.6-4× less SpMV time at the 2M-DOF flagship shape.  Built FIRST so
+    # the λmax power iteration runs on it — uploading a throwaway dense f32
+    # tuple just for the power iteration cost ~660 MB of tunnel traffic at
+    # the 2M flagship shape.
     from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
                                                    pallas_wins)
     import os as _os
     w_lo = None
+    # weight source for the f32 device operator: the cached hi pair equals
+    # f32(weights) bit-exactly and skips a 1.4 GB f64→f32 conversion pass
+    w_src = pairs[0] if pairs is not None else sysm.weights
     n_dof = int(np.prod(mesh.node_shape)) * vdim
     if dtype == jnp.float32 and pallas_wins(n_dof, vdim):
-        w = FlatStencilOperator(sysm.offsets, sysm.weights, mesh.node_shape,
+        w = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
                                 vdim=vdim)
         if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
-            w_lo = FlatStencilOperator(sysm.offsets, sysm.weights,
+            w_lo = FlatStencilOperator(sysm.offsets, w_src,
                                        mesh.node_shape, vdim=vdim,
                                        weight_dtype=jnp.bfloat16)
+    else:
+        w = tuple(jnp.asarray(W, dtype=dtype) for W in w_src)
+    if omega is None:
+        # λmax must be estimated per level: Chebyshev smoothing *diverges* on
+        # any eigenvalue above its assumed λmax, so guessing is not safe.  The
+        # 1.05 factor covers power-iteration underestimation.
+        lam = 1.05 * _estimate_lambda_max(sysm.offsets, w, mesh.node_shape,
+                                          mesh.dim, vdim, dtype=dtype)
+        omega = float(4.0 / (3.0 * lam))  # λmax recoverable as 4/(3ω)
     if sysm.scale_kind == "scalar":
         return MGLevel(sysm.offsets, w, free, omega,
                        jnp.asarray(sysm.s, dtype=dtype), None, None,
                        host_weights=host_w, host_scale=(np.asarray(sysm.s),),
-                       w_lo=w_lo)
+                       w_lo=w_lo, host_pairs=pairs)
     C_np = np.swapaxes(sysm.Ct, -1, -2)
     Cinv_np = np.swapaxes(sysm.CinvT, -1, -2)
     C = jnp.asarray(C_np, dtype=dtype)
     Cinv = jnp.asarray(Cinv_np, dtype=dtype)
     return MGLevel(sysm.offsets, w, free, omega, None, C, Cinv,
                    host_weights=host_w, host_scale=(C_np, Cinv_np),
-                   w_lo=w_lo)
+                   w_lo=w_lo, host_pairs=pairs)
 
 
 def build_hierarchy(
@@ -299,6 +312,135 @@ def build_hierarchy(
 def _zeros_shape(mesh: StructuredMesh, vdim: int):
     shape = mesh.node_shape + ((vdim,) if vdim > 1 else ())
     return np.zeros(shape)
+
+
+# ----------------------------------------------------------------------
+# Disk-backed hierarchy build (fresh-process setup skip)
+# ----------------------------------------------------------------------
+#
+# A hierarchy is a pure function of the fine scaled system, so it persists
+# across processes keyed by the fine system's content hash
+# (ScaledSystem.ckey / linsolve._mg_cache_key).  The disk entry stores the
+# per-level double-f32 weight pairs (hi ≡ the f32 device weights; hi+lo
+# carries the f64 operator to 2⁻⁴⁸ — exactly what the df ladder uploads),
+# the transfer scales, free masks, cached λmax-derived ω per level (skipping
+# the per-level device power iterations), and the dense coarsest inverse.
+# A cached rebuild does no host numerics — only device uploads.  f32 only:
+# the f64 (CPU-test) path must not round-trip through f32 pairs.
+
+class _ShapeOnlyMesh:
+    """Minimal mesh stand-in for :func:`_to_level` (node_shape + dim)."""
+
+    def __init__(self, node_shape):
+        self.node_shape = tuple(int(s) for s in node_shape)
+        self.dim = len(self.node_shape)
+
+
+def _hierarchy_to_arrays(h: MGHierarchy):
+    """Serialize a hierarchy (host side) → (arrays dict, meta dict, pairs)."""
+    from pde_solver_tpu.ops import df32
+
+    arrays = {}
+    omegas = []
+    shapes = []
+    all_pairs = []
+    scale_kind = "scalar" if h.levels[0].s is not None else "block"
+    for i, lv in enumerate(h.levels):
+        if lv.host_pairs is not None:
+            his, los = lv.host_pairs
+        else:
+            his, los = [], []
+            for W in lv.host_weights:
+                hi, lo = df32.df_from_f64(W)
+                his.append(hi)
+                los.append(lo)
+        all_pairs.append((list(his), list(los)))
+        arrays[f"hi{i}"] = np.stack(his)
+        arrays[f"lo{i}"] = np.stack(los)
+        arrays[f"off{i}"] = np.asarray(lv.offsets, dtype=np.int64)
+        arrays[f"free{i}"] = np.asarray(lv.free, dtype=np.float32)
+        if scale_kind == "scalar":
+            arrays[f"s{i}"] = np.asarray(lv.host_scale[0])
+        else:
+            arrays[f"C{i}"] = np.asarray(lv.host_scale[0])
+            arrays[f"Cinv{i}"] = np.asarray(lv.host_scale[1])
+        omegas.append(float(lv.omega))
+        shapes.append(list(np.asarray(lv.free).shape[:h.grid_dim]))
+    if h.levels[-1].host_Ainv is not None:
+        arrays["Ainv"] = np.asarray(h.levels[-1].host_Ainv)
+    meta = {"n_levels": len(h.levels), "grid_dim": h.grid_dim,
+            "vdim": h.vdim, "pre": h.pre_smooth, "post": h.post_smooth,
+            "coarse_iters": h.coarse_iters, "scale_kind": scale_kind,
+            "omegas": omegas, "node_shapes": shapes}
+    return arrays, meta, all_pairs
+
+
+def _hierarchy_from_arrays_disk(ent, dtype) -> MGHierarchy:
+    meta = ent["meta"]
+    vdim = int(meta["vdim"])
+    levels = []
+    for i in range(int(meta["n_levels"])):
+        hi, lo = ent[f"hi{i}"], ent[f"lo{i}"]
+        n_off = hi.shape[0]
+        offsets = tuple(tuple(int(x) for x in row) for row in ent[f"off{i}"])
+        host_w = [hi[k].astype(np.float64) + lo[k] for k in range(n_off)]
+        free = ent[f"free{i}"].astype(np.float64)
+        node_shape = tuple(int(s) for s in meta["node_shapes"][i])
+        if meta["scale_kind"] == "scalar":
+            sysm = ScaledSystem(offsets, host_w, None, None, free, "scalar",
+                                ent[f"s{i}"], None, None)
+        else:
+            C, Cinv = ent[f"C{i}"], ent[f"Cinv{i}"]
+            sysm = ScaledSystem(offsets, host_w, None, None, free, "block",
+                                None, np.swapaxes(C, -1, -2),
+                                np.swapaxes(Cinv, -1, -2))
+        pairs = ([hi[k] for k in range(n_off)], [lo[k] for k in range(n_off)])
+        levels.append(_to_level(sysm, _ShapeOnlyMesh(node_shape), vdim, dtype,
+                                omega=float(meta["omegas"][i]), pairs=pairs))
+    if "Ainv" in ent:
+        Ainv = ent["Ainv"]
+        levels[-1] = levels[-1]._replace(Ainv=jnp.asarray(Ainv, dtype=dtype),
+                                         host_Ainv=Ainv)
+    return MGHierarchy(tuple(levels), int(meta["grid_dim"]), vdim,
+                       int(meta["pre"]), int(meta["post"]),
+                       int(meta["coarse_iters"]))
+
+
+def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
+                           level_builder, vdim: int = 1, dtype=jnp.float32,
+                           cache_key=None, **kw) -> Optional[MGHierarchy]:
+    """:func:`build_hierarchy` with a disk-cache layer (f32 hierarchies only;
+    ``cache_key`` = the fine system's content key, e.g. ScaledSystem.ckey)."""
+    from pde_solver_tpu.utils import diskcache
+    from pde_solver_tpu.utils.observability import get_logger
+    import time as _time
+
+    cacheable = (cache_key is not None and dtype == jnp.float32
+                 and diskcache.enabled())
+    if cacheable:
+        t0 = _time.perf_counter()
+        ent = diskcache.load("mgh", (cache_key, vdim))
+        if ent is not None:
+            try:
+                h = _hierarchy_from_arrays_disk(ent, dtype)
+                get_logger().info("hierarchy disk-cache hit (%.2fs rebuild)",
+                                  _time.perf_counter() - t0)
+                return h
+            except Exception as e:  # corrupt entry → rebuild from scratch
+                get_logger().warning("hierarchy disk entry unusable (%s)", e)
+    h = build_hierarchy(mesh, fine_system, level_builder, vdim=vdim,
+                        dtype=dtype, **kw)
+    if h is not None and cacheable:
+        t0 = _time.perf_counter()
+        arrays, meta, all_pairs = _hierarchy_to_arrays(h)
+        # attach the freshly-split pairs so build_df_ladder in THIS process
+        # skips its own df split too
+        h = h._replace(levels=tuple(
+            lv._replace(host_pairs=p) for lv, p in zip(h.levels, all_pairs)))
+        diskcache.store("mgh", (cache_key, vdim), arrays, meta)
+        get_logger().info("hierarchy disk-cache store (%.2fs)",
+                          _time.perf_counter() - t0)
+    return h
 
 
 # ----------------------------------------------------------------------
@@ -833,7 +975,12 @@ def build_df_ladder(h: MGHierarchy, sysm, b_hat: np.ndarray) -> DFLadder:
 
     Whis, Wlos, scales, frees = [], [], [], []
     for lv in h.levels:
-        Whi, Wlo = df32.pack_df_weights(lv.host_weights)
+        if lv.host_pairs is not None:
+            # disk-cache path: the (hi, lo) split is already on hand
+            Whi = tuple(jnp.asarray(a) for a in lv.host_pairs[0])
+            Wlo = tuple(jnp.asarray(a) for a in lv.host_pairs[1])
+        else:
+            Whi, Wlo = df32.pack_df_weights(lv.host_weights)
         Whis.append(Whi)
         Wlos.append(Wlo)
         scales.append(tuple(jnp.asarray(S, dtype=jnp.float32)
@@ -919,6 +1066,7 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
     total = 0
     relres = 1.0
     prev = np.inf
+    stalled = 0
     for rnd in range(max_rounds):
         r32, rnorm2 = jit_df_residual(offsets0, ladder.Whi[0], ladder.Wlo[0],
                                       ladder.bhi0, ladder.blo0,
@@ -926,10 +1074,16 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
         relres = float(np.sqrt(float(rnorm2))) / bnorm
         if relres <= tol or not np.isfinite(relres):
             break
-        # stall detection: a round normally gains ~2 orders; <2× means the
-        # double-f32 floor is reached — further rounds only burn time
+        # stall detection: a round normally gains ~2 orders; two CONSECUTIVE
+        # sub-2× rounds means the double-f32 floor is reached — further
+        # rounds only burn time.  (Two, not one: legitimately slow-converging
+        # systems — high-contrast coefficients — can have one flat round.)
         if relres > 0.5 * prev:
-            break
+            stalled += 1
+            if stalled >= 2:
+                break
+        else:
+            stalled = 0
         prev = relres
         # descend (all f32 — the residual itself carries f32 information)
         rs = [r32]
@@ -1024,6 +1178,7 @@ def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
     total = 0
     relres = 1.0
     prev = np.inf
+    stalled = 0
     offsets0 = h.levels[0].offsets
     for rnd in range(max_rounds):
         if rnd > 0:
@@ -1037,8 +1192,13 @@ def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
             relres = float(np.sqrt(float(rnorm2))) / bnorm
             if relres <= tol or not np.isfinite(relres):
                 break
-            if relres > 0.5 * prev:  # df32 floor (see solve_fcycle_df)
-                break
+            # df32 floor: two consecutive sub-2× rounds (see solve_fcycle_df)
+            if relres > 0.5 * prev:
+                stalled += 1
+                if stalled >= 2:
+                    break
+            else:
+                stalled = 0
             prev = relres
         x_hi, x_lo, rnorm2, k = _jit_round_df(
             h_struct, level_arrays, ladder.Whi, ladder.Wlo, ladder.scale32,
