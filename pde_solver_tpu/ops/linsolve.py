@@ -615,6 +615,7 @@ def solve_stencil_system(
                                  converged=np.bool_(relres <= 1e-9),
                                  target=1e-9)
 
+    nshard = cfg.resolved_shard_devices()
     hierarchy = None
     ladder_core = None
     hier_key = None
@@ -625,7 +626,7 @@ def solve_stencil_system(
         from pde_solver_tpu.ops import multigrid as mg
         from pde_solver_tpu.utils.observability import get_logger
         t_h = _time.perf_counter()
-        hier_key = _mg_cache_key(mesh, vdim, prec, sysm)
+        hier_key = _mg_cache_key(mesh, vdim, prec, sysm) + (nshard > 1,)
         cached = _mg_cache_get(hier_key)
         if cached is not None:
             hierarchy, ladder_core = cached
@@ -633,27 +634,46 @@ def solve_stencil_system(
                               _time.perf_counter() - t_h, n)
         else:
             mg_dtype = jnp.float64 if prec == "f64" else jnp.float32
-            hierarchy = mg.build_hierarchy_cached(mesh, sysm, mg_level_builder,
-                                                  vdim=vdim, dtype=mg_dtype,
-                                                  cache_key=sysm.ckey)
+            hierarchy = mg.build_hierarchy_cached(
+                mesh, sysm, mg_level_builder, vdim=vdim, dtype=mg_dtype,
+                cache_key=sysm.ckey,
+                # the packed Pallas layout does not decompose along a grid
+                # axis — sharded hierarchies keep dense XLA weights
+                use_pallas=(nshard <= 1))
             if hierarchy is not None:
                 _mg_cache_put(hier_key, (hierarchy, None))
             get_logger().info("hierarchy build: %.3fs (%d DOF)",
                               _time.perf_counter() - t_h, n)
 
-    # Domain-decomposed CG over a device mesh (SolverConfig.shard_devices):
-    # the scaled system is sharded along grid axis 0, halo exchange rides
-    # ppermute, reductions ride psum — see parallel.shard.ShardedScaledCG.
+    # Domain decomposition over a device mesh (SolverConfig.shard_devices).
+    # With a hierarchy the two COMPOSE: the V-cycle runs under GSPMD with
+    # per-level sharded arrays (parallel.shard_mg).  Without one, the scaled
+    # system runs hand-shard_mapped CG (parallel.shard.ShardedScaledCG).
     sharded = None
-    nshard = cfg.resolved_shard_devices()
-    if nshard > 1 and hierarchy is None:
+    sharded_mg = None
+    if nshard > 1 and hierarchy is not None:
+        from pde_solver_tpu.parallel.shard import device_mesh
+        from pde_solver_tpu.parallel.shard_mg import shard_hierarchy
+        from pde_solver_tpu.utils.observability import get_logger
+        mesh_dev = device_mesh(nshard)
+        sharded_mg = (shard_hierarchy(hierarchy, mesh_dev), mesh_dev)
+        get_logger().info(
+            "sharded MG-PCG: V-cycle + domain decomposition over %d devices",
+            nshard)
+    elif nshard > 1:
         from pde_solver_tpu.parallel.shard import ShardedScaledCG, device_mesh
         sh_dtype = jnp.float64 if prec == "f64" else jnp.float32
         sharded = ShardedScaledCG(sysm, d, vdim, device_mesh(nshard),
                                   dtype=sh_dtype)
 
     if prec == "f64":
-        if hierarchy is not None:
+        if sharded_mg is not None:
+            from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
+            h_sh, mesh_dev = sharded_mg
+            xh, k, relres = solve_mg_sharded(h_sh, sysm.b_hat, x0_hat,
+                                             cfg.tol, cfg.mg_maxiter,
+                                             mesh_dev)
+        elif hierarchy is not None:
             from pde_solver_tpu.ops.multigrid import solve_mg
             xh, k, relres = solve_mg(hierarchy, sysm.b_hat, x0_hat,
                                      cfg.tol, cfg.mg_maxiter)
@@ -672,7 +692,13 @@ def solve_stencil_system(
     elif prec == "f32":
         w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
         tol_used = max(cfg.inner_tol, 1e-7)
-        if sharded is not None:
+        if sharded_mg is not None:
+            from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
+            h_sh, mesh_dev = sharded_mg
+            xh, k, relres = solve_mg_sharded(
+                h_sh, sysm.b_hat.astype(np.float32),
+                x0_hat.astype(np.float32), tol_used, cfg.mg_maxiter, mesh_dev)
+        elif sharded is not None:
             xh, k, relres = sharded.solve(x0=x0_hat.astype(np.float32),
                                           tol=tol_used, maxiter=maxiter)
         else:
@@ -689,7 +715,7 @@ def solve_stencil_system(
         # XLA compiles ~10× slower) and no double-precision weight uploads
         # (2× the f32 bytes over a ~30 MB/s link).  Per round only the f32
         # residual/correction vectors cross the link.
-        if hierarchy is not None:
+        if hierarchy is not None and sharded_mg is None:
             # Double-float32 F-cycle (ops.multigrid): Galerkin ladder with an
             # exact f64 coarsest anchor and error-free-transformation defects
             # at the finest level — beats the κ_eff·ε32 floor that stalls a
@@ -728,6 +754,16 @@ def solve_stencil_system(
                 target=target,
             )
             return x, stats
+        elif sharded_mg is not None:
+            # MG × domain decomposition, composed with the host f64
+            # refinement loop: sharded V-cycle-preconditioned f32 inner
+            # solves, true residuals on host.
+            from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
+            h_sh, mesh_dev = sharded_mg
+
+            def inner_solve(r32):
+                return solve_mg_sharded(h_sh, r32, None, cfg.mg_inner_tol,
+                                        cfg.mg_maxiter, mesh_dev)
         elif sharded is not None:
             def inner_solve(r32):
                 return sharded.solve(b_hat=r32, tol=cfg.inner_tol,

@@ -222,7 +222,8 @@ def _estimate_lambda_max(offsets, weights, shape, grid_dim, vdim,
 
 def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
               dtype, omega: Optional[float] = None,
-              pairs: Optional[tuple] = None) -> MGLevel:
+              pairs: Optional[tuple] = None,
+              use_pallas: bool = True) -> MGLevel:
     host_w = [np.asarray(W, dtype=np.float64) for W in sysm.weights]
     free = jnp.asarray(sysm.free, dtype=dtype)
     # TPU hot path: big f32 levels apply through the Pallas flat-stencil
@@ -239,7 +240,7 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     # f32(weights) bit-exactly and skips a 1.4 GB f64→f32 conversion pass
     w_src = pairs[0] if pairs is not None else sysm.weights
     n_dof = int(np.prod(mesh.node_shape)) * vdim
-    if dtype == jnp.float32 and pallas_wins(n_dof, vdim):
+    if use_pallas and dtype == jnp.float32 and pallas_wins(n_dof, vdim):
         w = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
                                 vdim=vdim)
         if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
@@ -279,14 +280,17 @@ def build_hierarchy(
     post_smooth: int = 2,
     coarse_iters: int = 60,
     dtype=jnp.float32,
+    use_pallas: bool = True,
 ) -> Optional[MGHierarchy]:
     """Build the level stack.  ``level_builder(mesh_c)`` re-assembles the
     operator + BCs on a coarse mesh (exact for the constant / coordinate-
     weight coefficients used by this framework).  Returns None when the fine
-    mesh cannot coarsen (odd cell counts)."""
+    mesh cannot coarsen (odd cell counts).  ``use_pallas=False`` keeps dense
+    XLA weights at every level (required by parallel.shard_mg — the packed
+    flat layout does not decompose along a grid axis)."""
     if not can_coarsen(mesh):
         return None
-    levels = [_to_level(fine_system, mesh, vdim, dtype)]
+    levels = [_to_level(fine_system, mesh, vdim, dtype, use_pallas=use_pallas)]
     cur = mesh
     cur_sys = fine_system
     while len(levels) < max_levels and can_coarsen(cur):
@@ -294,7 +298,8 @@ def build_hierarchy(
         stencil_c, bc_c = level_builder(cur)
         cur_sys = prepare_system(stencil_c, cur, bc_c, _zeros_shape(cur, vdim),
                                  vdim)
-        levels.append(_to_level(cur_sys, cur, vdim, dtype))
+        levels.append(_to_level(cur_sys, cur, vdim, dtype,
+                                use_pallas=use_pallas))
     # Exact dense inverse at the coarsest level: an iterative coarse "solve"
     # leaves the preconditioner non-SPD (observed: negative M⁻¹ eigenvalues →
     # PCG breakdown at scale).  Coarsest systems here are tiny (≤ few k DOF).
@@ -375,7 +380,7 @@ def _hierarchy_to_arrays(h: MGHierarchy):
     return arrays, meta, all_pairs
 
 
-def _hierarchy_from_arrays_disk(ent, dtype) -> MGHierarchy:
+def _hierarchy_from_arrays_disk(ent, dtype, use_pallas=True) -> MGHierarchy:
     meta = ent["meta"]
     vdim = int(meta["vdim"])
     levels = []
@@ -396,7 +401,8 @@ def _hierarchy_from_arrays_disk(ent, dtype) -> MGHierarchy:
                                 np.swapaxes(Cinv, -1, -2))
         pairs = ([hi[k] for k in range(n_off)], [lo[k] for k in range(n_off)])
         levels.append(_to_level(sysm, _ShapeOnlyMesh(node_shape), vdim, dtype,
-                                omega=float(meta["omegas"][i]), pairs=pairs))
+                                omega=float(meta["omegas"][i]), pairs=pairs,
+                                use_pallas=use_pallas))
     if "Ainv" in ent:
         Ainv = ent["Ainv"]
         levels[-1] = levels[-1]._replace(Ainv=jnp.asarray(Ainv, dtype=dtype),
@@ -408,9 +414,12 @@ def _hierarchy_from_arrays_disk(ent, dtype) -> MGHierarchy:
 
 def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
                            level_builder, vdim: int = 1, dtype=jnp.float32,
-                           cache_key=None, **kw) -> Optional[MGHierarchy]:
+                           cache_key=None, use_pallas: bool = True,
+                           **kw) -> Optional[MGHierarchy]:
     """:func:`build_hierarchy` with a disk-cache layer (f32 hierarchies only;
-    ``cache_key`` = the fine system's content key, e.g. ScaledSystem.ckey)."""
+    ``cache_key`` = the fine system's content key, e.g. ScaledSystem.ckey).
+    The disk entry is layout-agnostic — ``use_pallas`` only affects the
+    rebuilt device operators."""
     from pde_solver_tpu.utils import diskcache
     from pde_solver_tpu.utils.observability import get_logger
     import time as _time
@@ -422,14 +431,15 @@ def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
         ent = diskcache.load("mgh", (cache_key, vdim))
         if ent is not None:
             try:
-                h = _hierarchy_from_arrays_disk(ent, dtype)
+                h = _hierarchy_from_arrays_disk(ent, dtype,
+                                                use_pallas=use_pallas)
                 get_logger().info("hierarchy disk-cache hit (%.2fs rebuild)",
                                   _time.perf_counter() - t0)
                 return h
             except Exception as e:  # corrupt entry → rebuild from scratch
                 get_logger().warning("hierarchy disk entry unusable (%s)", e)
     h = build_hierarchy(mesh, fine_system, level_builder, vdim=vdim,
-                        dtype=dtype, **kw)
+                        dtype=dtype, use_pallas=use_pallas, **kw)
     if h is not None and cacheable:
         t0 = _time.perf_counter()
         arrays, meta, all_pairs = _hierarchy_to_arrays(h)

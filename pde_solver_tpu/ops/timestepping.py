@@ -246,6 +246,35 @@ def run_transient(
     B_list = [np.asarray(B_np.get(o, np.zeros_like(scaled[i])), dtype=np.float64)
               for i, o in enumerate(offsets)]
 
+    # Domain-decomposed stepping (SolverConfig.shard_devices): the whole
+    # θ-scheme scan runs inside one shard_map — grid arrays sharded along
+    # axis 0 with identity-row padding, halo-exchange applies, psum-CG step
+    # solves (parallel.shard.ShardedThetaScan).
+    nshard = cfg.resolved_shard_devices()
+    if nshard > 1:
+        from pde_solver_tpu.parallel.shard import ShardedThetaScan, device_mesh
+        from pde_solver_tpu.utils.observability import get_logger
+        sh_dtype = jnp.float64 if prec == "f64" else jnp.float32
+        sh_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
+        get_logger().info("sharded transient scan: %d devices, %d steps",
+                          nshard, int(num_steps))
+        scan = ShardedThetaScan(sysm, B_list, free_np, Ag_np,
+                                dt * np.asarray(b_source_np, np.float64),
+                                u0_np.shape, d, vdim, device_mesh(nshard),
+                                dtype=sh_dtype, inner_tol=sh_tol,
+                                maxiter=maxiter)
+        setup_s = _time.perf_counter() - t_setup
+        t_scan = _time.perf_counter()
+        snaps, iters, res = scan.run(u0_np, int(num_steps))
+        values = np.concatenate([np.asarray(u0_np, np.float64)[None],
+                                 np.asarray(snaps, np.float64)], axis=0)
+        times = dt * np.arange(num_steps + 1, dtype=np.float64)
+        return TransientResult(values=values, times=times,
+                               total_cg_iterations=int(iters),
+                               max_relative_residual=float(res),
+                               setup_seconds=setup_s,
+                               scan_seconds=_time.perf_counter() - t_scan)
+
     state_dtype = jnp.float64 if prec in ("f64", "mixed") else jnp.float32
     A64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in scaled) \
         if prec in ("f64", "mixed") else None

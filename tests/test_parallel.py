@@ -130,3 +130,112 @@ def test_solve_stencil_system_sharded_config_route():
     coords_x = np.linspace(0.0, 1.0, mesh.node_shape[0])
     expected = 20.0 * (1.0 - coords_x)[:, None] * np.ones(mesh.node_shape)
     assert np.abs(x - expected).max() < 1e-8
+
+
+@needs_multidevice
+def test_sharded_mg_composes_above_threshold():
+    """shard_devices>1 on an MG-eligible solve must run SHARDED MG-PCG —
+    round 2 silently dropped the shard request whenever MG engaged
+    (ops/linsolve.py routed only `if ... hierarchy is None`)."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.ops.linsolve import solve_stencil_system
+
+    mesh = box_mesh(40, 40, 40, (0, 0, 0), (1.0, 1.0, 1.0))  # 68,921 DOF
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    left = mesh.face_mask(0, 0)
+    right = mesh.face_mask(0, 1)
+    bc = DirichletBC.from_masks([(left, 20.0), (right, 0.0)], mesh.node_shape)
+    rhs = np.zeros(mesh.node_shape)
+
+    def builder(mc):
+        return (assembly.assemble_scalar_stencil(mc, "stiffness"),
+                DirichletBC.from_masks([(mc.face_mask(0, 0), 20.0),
+                                        (mc.face_mask(0, 1), 0.0)],
+                                       mc.node_shape))
+
+    with config_overrides(shard_devices=8):
+        x, stats = solve_stencil_system(K, mesh, bc, rhs,
+                                        mg_level_builder=builder)
+    assert stats.converged
+    # MG-PCG iteration counts are O(10); plain (sharded) CG at 69k DOF to
+    # 1e-11 needs hundreds — low count proves the V-cycle engaged
+    assert int(stats.iterations) <= 60, int(stats.iterations)
+    coords_x = np.linspace(0.0, 1.0, mesh.node_shape[0])
+    expected = 20.0 * (1.0 - coords_x)[:, None, None] * np.ones(mesh.node_shape)
+    assert np.abs(x - expected).max() < 1e-8
+
+
+@needs_multidevice
+def test_sharded_mg_mixed_precision_route():
+    """precision=mixed + shard_devices>1 + MG: sharded f32 V-cycle inner
+    solves inside the host f64 refinement loop."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.ops.linsolve import solve_stencil_system
+
+    mesh = box_mesh(40, 40, 40, (0, 0, 0), (1.0, 1.0, 1.0))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 20.0),
+                                 (mesh.face_mask(0, 1), 0.0)],
+                                mesh.node_shape)
+    rhs = np.zeros(mesh.node_shape)
+
+    def builder(mc):
+        return (assembly.assemble_scalar_stencil(mc, "stiffness"),
+                DirichletBC.from_masks([(mc.face_mask(0, 0), 20.0),
+                                        (mc.face_mask(0, 1), 0.0)],
+                                       mc.node_shape))
+
+    with config_overrides(shard_devices=8, precision="mixed", tol=1e-9):
+        x, stats = solve_stencil_system(K, mesh, bc, rhs,
+                                        mg_level_builder=builder)
+    assert stats.converged
+    coords_x = np.linspace(0.0, 1.0, mesh.node_shape[0])
+    expected = 20.0 * (1.0 - coords_x)[:, None, None] * np.ones(mesh.node_shape)
+    assert np.abs(x - expected).max() < 1e-6
+
+
+@needs_multidevice
+def test_sharded_transient_scan_matches_single_device():
+    """shard_devices>1 routes run_transient through the shard_mapped
+    θ-scheme scan (VERDICT r2 item 4: transient scans previously always ran
+    single-device)."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.models import heat
+
+    mesh = rectangle_mesh(21, 8, (0.0, 0.0), (1.0, 1.0))  # 22 rows / 8 dev
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=1.0,
+        bc_builder=lambda m: [(m.face_mask(0, 0), 20.0),
+                              (m.face_mask(0, 1), 0.0)],
+        T_initial=0.0, dt=0.01, num_steps=12)
+    _, ref_values, ref_info = heat.solve_heat_problem(p)
+    with config_overrides(shard_devices=8):
+        _, sh_values, sh_info = heat.solve_heat_problem(p)
+    assert sh_info["relative_residual"] <= 1e-9
+    assert np.abs(sh_values - ref_values).max() < 1e-8 * np.abs(ref_values).max()
+
+
+@needs_multidevice
+def test_sharded_transient_scan_vector_block():
+    """Sharded Newmark-free path: the θ-scan with block (vdim>1) scaling —
+    elastodynamics-style systems shard too (block-Cholesky to_hat/from_hat
+    inside shard_map)."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.ops.timestepping import run_transient
+    from pde_solver_tpu.models.elasticity import lame_parameters
+    from pde_solver_tpu.models.elasticity import assemble_vector_mass
+
+    mesh = rectangle_mesh(13, 6, (0.0, 0.0), (1.0, 1.0))
+    lam, mu = lame_parameters(1e6, 0.3, "plane_stress")
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+    M = assemble_vector_mass(mesh, 100.0)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=2)
+    b = assembly.assemble_vector_load(mesh, np.array([0.0, -10.0]))
+    u0 = np.zeros(mesh.node_shape + (2,))
+    ref = run_transient(K, M, mesh, bc, b, u0, dt=1e-3, num_steps=8, vdim=2)
+    with config_overrides(shard_devices=8):
+        sh = run_transient(K, M, mesh, bc, b, u0, dt=1e-3, num_steps=8,
+                           vdim=2)
+    scale = max(np.abs(ref.values).max(), 1e-30)
+    assert np.abs(sh.values - ref.values).max() < 1e-8 * scale
