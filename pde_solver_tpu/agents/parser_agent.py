@@ -220,9 +220,54 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             geometry_params["sphere_radius"] = r
         else:
             geometry_params["cylinder_radius"] = r
+    # diameter phrasing → radius (only when no explicit radius was given)
+    m = re.search(r"diameter\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m and not geometry_params:
+        r = 0.5 * float(m.group(1)) * _unit_scale(m.group(2))
+        if out.get("geometry_type") == "sphere":
+            geometry_params["sphere_radius"] = r
+        elif out.get("geometry_type") == "cylinder":
+            geometry_params["cylinder_radius"] = r
+    # wall thickness (hollow cylinders/shells): the second radius is implied
+    # — "inner radius 5 cm with a 2 cm wall" → r_outer = 0.05 + 0.02
+    # (VERDICT r2 weak #7 phrasing; reference prompt's hollow-cylinder
+    # conventions at pde_parser_agent.py:248-265)
+    m = re.search(r"wall(?:\s+thickness)?\s*(?:of|=|:)?\s*" + _NUM
+                  + r"\s*(m|cm|mm)?", t)
+    if m is None:
+        m = re.search(_NUM + r"\s*(m|cm|mm)?\s*(?:thick\s+)?wall", t)
+    if m and out.get("geometry_type") in ("cylinder", "sphere"):
+        t_wall = float(m.group(1)) * _unit_scale(m.group(2))
+        if "r_inner" in geometry_params and "r_outer" not in geometry_params:
+            geometry_params["r_outer"] = geometry_params["r_inner"] + t_wall
+        elif "r_outer" in geometry_params and "r_inner" not in geometry_params:
+            geometry_params["r_inner"] = max(
+                geometry_params["r_outer"] - t_wall, 0.0)
+        else:
+            key = ("sphere_radius" if out.get("geometry_type") == "sphere"
+                   else "cylinder_radius")
+            if key in geometry_params:
+                geometry_params["r_outer"] = geometry_params.pop(key)
+                geometry_params["r_inner"] = max(
+                    geometry_params["r_outer"] - t_wall, 0.0)
+    elif re.search(r"\bhollow\b", t) and "r_inner" not in geometry_params:
+        # "hollow" with one radius only: keep it as the outer radius and
+        # leave r_inner to the dispatcher's annulus default
+        key = ("sphere_radius" if out.get("geometry_type") == "sphere"
+               else "cylinder_radius")
+        if key in geometry_params:
+            geometry_params["r_outer"] = geometry_params.pop(key)
     m = re.search(r"(?:height|h)\s*(?:of|=|:)\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m:
         domain["h"] = float(m.group(1)) * _unit_scale(m.group(2))
+    # bare material thickness ("30nm thick conductor") is a cross-section
+    # property, NOT the domain length (reference pde_parser_agent.py:424-429
+    # CRITICAL rule) — record it in notes, never in domain_size
+    m = re.search(_NUM + r"\s*(nm|um|µm|mm|cm|m)?\s*thick(?:ness)?\b(?!\s+wall)", t)
+    if m and out.get("geometry_type") not in ("cylinder", "sphere"):
+        out.setdefault("notes", []).append(
+            f"Thickness mentioned ({m.group(1)}{m.group(2) or 'm'}) - "
+            f"material property, using default length")
 
     # --- temperatures ---
     temp = (r"\s*(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
@@ -241,6 +286,21 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(pat, t)
         if m and key not in bc:
             bc[key] = float(m.group(1))
+    # "both ends at 0" → symmetric 1D Dirichlet pair
+    m = re.search(r"both\s+ends" + temp, t)
+    if m:
+        bc.setdefault("T_left", float(m.group(1)))
+        bc.setdefault("T_right", float(m.group(1)))
+    # "ends at 100 and 0 degrees" → left/right in written order
+    m = re.search(r"\bends" + temp + r"\s*(?:°?c)?\s*and\s*" + _NUM, t)
+    if m and "T_left" not in bc and "T_right" not in bc:
+        bc["T_left"] = float(m.group(1))
+        bc["T_right"] = float(m.group(2))
+    # top/bottom/"all faces" phrasing → the uniform boundary value
+    m = re.search(r"(?:top|bottom|all\s+(?:four\s+|six\s+)?"
+                  r"(?:sides|faces|edges|boundaries|surfaces))" + temp, t)
+    if m and "T_boundary" not in bc:
+        bc["T_boundary"] = float(m.group(1))
 
     m = re.search(r"initial(?:\s+temperature| temp| condition)?" + temp.replace("fixed at", "fixed at|initially"), t)
     if m:
@@ -258,12 +318,17 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["initial_wavenumber"] = float(m.group(1))
 
     # --- material: heat ---
-    m = re.search(r"diffusivity\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    m = re.search(r"(?:diffusivity|thermal\s+conductivity)\s*(?:of|=|:|is)?\s*"
+                  + _NUM, t)
     if m:
         out["diffusivity"] = float(m.group(1))
 
     # --- material: elasticity ---
-    m = re.search(r"young'?s?\s+modulus\s*(?:of|=|:|is)?\s*" + _NUM + r"\s*(gpa|mpa|kpa|pa)?", t)
+    m = re.search(r"(?:young'?s?\s+modulus|modulus\s+of\s+elasticity|\be)"
+                  r"\s*(?:of|=|:|is)?\s*" + _NUM + r"\s*(gpa|mpa|kpa|pa)\b", t)
+    if m is None:
+        m = re.search(r"young'?s?\s+modulus\s*(?:of|=|:|is)?\s*" + _NUM
+                      + r"\s*(gpa|mpa|kpa|pa)?", t)
     if m:
         scale = {"gpa": 1e9, "mpa": 1e6, "kpa": 1e3, "pa": 1.0, None: 1.0}[m.group(2)]
         out["young_modulus"] = float(m.group(1)) * scale

@@ -341,27 +341,100 @@ class _ShapeOnlyMesh:
         self.dim = len(self.node_shape)
 
 
+def _cs_face_index(node_shape, grid_dim: int, face: int):
+    """Slab index (leading n_off axis) for face f = 2·axis + side."""
+    from pde_solver_tpu.ops.linsolve import _CS_SHELL
+    axis, side = divmod(face, 2)
+    t = _CS_SHELL
+    return (slice(None),) + tuple(
+        (slice(0, t) if side == 0
+         else slice(node_shape[a] - t, node_shape[a]))
+        if a == axis else slice(None)
+        for a in range(grid_dim))
+
+
+def _cs_split_np(host_weights64, grid_dim: int):
+    """Constant-interior split of stacked f64 weights (host, numpy):
+    returns (wc64 [n_off(,v,v)], [slab64 per face]) or None when the stencil
+    is not exactly translation-invariant on the strict interior."""
+    from pde_solver_tpu.ops.linsolve import _CS_SHELL
+    t = _CS_SHELL
+    W0 = np.asarray(host_weights64[0])
+    node_shape = W0.shape[:grid_dim]
+    if any(int(s) < 2 * t + 1 for s in node_shape):
+        return None
+    interior = tuple(slice(t, -t) for _ in range(grid_dim))
+    center = tuple(int(s) // 2 for s in node_shape)
+    wcs = []
+    for W in host_weights64:
+        W = np.asarray(W, dtype=np.float64)
+        c = W[center]
+        if not np.all(W[interior + (Ellipsis,)] == c):
+            return None
+        wcs.append(c)
+    stacked = np.stack([np.asarray(W, np.float64) for W in host_weights64])
+    slabs = [stacked[_cs_face_index(node_shape, grid_dim, f)]
+             for f in range(2 * grid_dim)]
+    return np.stack(wcs), slabs
+
+
+def _expand_cs_grid(wc: jnp.ndarray, slabs, node_shape, grid_dim: int
+                    ) -> jnp.ndarray:
+    """Device: broadcast the constant interior weights over the grid and
+    overwrite the six exact boundary face slabs.  Pure data movement —
+    bit-identical to the dense host weights the split came from."""
+    n_off = wc.shape[0]
+    tail = wc.shape[1:]
+    wc_b = wc.reshape((n_off,) + (1,) * len(node_shape) + tail)
+    W = jnp.broadcast_to(wc_b, (n_off,) + tuple(node_shape) + tail)
+    for f, slab in enumerate(slabs):
+        W = W.at[_cs_face_index(node_shape, grid_dim, f)].set(slab)
+    return W
+
+
 def _hierarchy_to_arrays(h: MGHierarchy):
-    """Serialize a hierarchy (host side) → (arrays dict, meta dict, pairs)."""
+    """Serialize a hierarchy (host side) → (arrays dict, meta dict, pairs).
+
+    Translation-invariant levels (uniform coefficients — the common case)
+    store the CONSTANT-INTERIOR split: a few hundred scalars + thickness-2
+    boundary face slabs, ~6× smaller than the dense weights AND expandable
+    on device, so a cached rebuild uploads ~250 MB instead of ~2.3 GB at
+    the 2M-DOF flagship shape.  Non-invariant levels (composite
+    coefficients) fall back to dense (hi, lo) pairs."""
     from pde_solver_tpu.ops import df32
 
     arrays = {}
     omegas = []
     shapes = []
+    cs_flags = []
     all_pairs = []
     scale_kind = "scalar" if h.levels[0].s is not None else "block"
     for i, lv in enumerate(h.levels):
-        if lv.host_pairs is not None:
-            his, los = lv.host_pairs
+        cs = _cs_split_np(lv.host_weights, h.grid_dim)
+        if cs is not None:
+            wc64, slabs64 = cs
+            wc_hi, wc_lo = df32.df_from_f64(wc64)
+            arrays[f"cswchi{i}"] = wc_hi
+            arrays[f"cswclo{i}"] = wc_lo
+            for f, slab in enumerate(slabs64):
+                shi, slo = df32.df_from_f64(slab)
+                arrays[f"csshi{i}_{f}"] = shi
+                arrays[f"csslo{i}_{f}"] = slo
+            cs_flags.append(True)
+            all_pairs.append(None)
         else:
-            his, los = [], []
-            for W in lv.host_weights:
-                hi, lo = df32.df_from_f64(W)
-                his.append(hi)
-                los.append(lo)
-        all_pairs.append((list(his), list(los)))
-        arrays[f"hi{i}"] = np.stack(his)
-        arrays[f"lo{i}"] = np.stack(los)
+            if lv.host_pairs is not None:
+                his, los = lv.host_pairs
+            else:
+                his, los = [], []
+                for W in lv.host_weights:
+                    hi, lo = df32.df_from_f64(W)
+                    his.append(hi)
+                    los.append(lo)
+            all_pairs.append((list(his), list(los)))
+            arrays[f"hi{i}"] = np.stack(his)
+            arrays[f"lo{i}"] = np.stack(los)
+            cs_flags.append(False)
         arrays[f"off{i}"] = np.asarray(lv.offsets, dtype=np.int64)
         arrays[f"free{i}"] = np.asarray(lv.free, dtype=np.float32)
         if scale_kind == "scalar":
@@ -376,15 +449,72 @@ def _hierarchy_to_arrays(h: MGHierarchy):
     meta = {"n_levels": len(h.levels), "grid_dim": h.grid_dim,
             "vdim": h.vdim, "pre": h.pre_smooth, "post": h.post_smooth,
             "coarse_iters": h.coarse_iters, "scale_kind": scale_kind,
-            "omegas": omegas, "node_shapes": shapes}
+            "omegas": omegas, "node_shapes": shapes, "cs": cs_flags}
     return arrays, meta, all_pairs
+
+
+def _level_from_disk_cs(ent, i: int, meta, dtype, use_pallas: bool
+                        ) -> MGLevel:
+    """Rebuild one CS-stored level: upload the tiny constant + slab arrays,
+    expand to the full grid ON DEVICE (no host weight materialization), and
+    pack the Pallas operator with a device-side transpose."""
+    from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
+                                                   pallas_wins)
+    import os as _os
+
+    grid_dim = int(meta["grid_dim"])
+    vdim = int(meta["vdim"])
+    node_shape = tuple(int(s) for s in meta["node_shapes"][i])
+    offsets = tuple(tuple(int(x) for x in row) for row in ent[f"off{i}"])
+    n_off = len(offsets)
+    wc_hi = jnp.asarray(ent[f"cswchi{i}"])
+    wc_lo = jnp.asarray(ent[f"cswclo{i}"])
+    slabs_hi = [jnp.asarray(ent[f"csshi{i}_{f}"])
+                for f in range(2 * grid_dim)]
+    slabs_lo = [jnp.asarray(ent[f"csslo{i}_{f}"])
+                for f in range(2 * grid_dim)]
+    hi_grid = _expand_cs_grid(wc_hi, slabs_hi, node_shape, grid_dim)
+    lo_grid = _expand_cs_grid(wc_lo, slabs_lo, node_shape, grid_dim)
+    free = jnp.asarray(ent[f"free{i}"], dtype=dtype)
+    n_dof = int(np.prod(node_shape)) * vdim
+
+    w_lo = None
+    if use_pallas and dtype == jnp.float32 and pallas_wins(n_dof, vdim):
+        w = FlatStencilOperator.from_device_grid(offsets, hi_grid,
+                                                 node_shape, vdim=vdim)
+        if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
+            w_lo = FlatStencilOperator.from_device_grid(
+                offsets, hi_grid, node_shape, vdim=vdim,
+                weight_dtype=jnp.bfloat16)
+    else:
+        w = tuple(hi_grid[k].astype(dtype) for k in range(n_off))
+    pairs = ([hi_grid[k] for k in range(n_off)],
+             [lo_grid[k] for k in range(n_off)])
+    omega = float(meta["omegas"][i])
+    if meta["scale_kind"] == "scalar":
+        s_np = ent[f"s{i}"]
+        return MGLevel(offsets, w, free, omega,
+                       jnp.asarray(s_np, dtype=dtype), None, None,
+                       host_weights=None, host_scale=(s_np,),
+                       w_lo=w_lo, host_pairs=pairs)
+    C_np, Cinv_np = ent[f"C{i}"], ent[f"Cinv{i}"]
+    return MGLevel(offsets, w, free, omega, None,
+                   jnp.asarray(C_np, dtype=dtype),
+                   jnp.asarray(Cinv_np, dtype=dtype),
+                   host_weights=None, host_scale=(C_np, Cinv_np),
+                   w_lo=w_lo, host_pairs=pairs)
 
 
 def _hierarchy_from_arrays_disk(ent, dtype, use_pallas=True) -> MGHierarchy:
     meta = ent["meta"]
     vdim = int(meta["vdim"])
+    cs_flags = meta.get("cs") or [False] * int(meta["n_levels"])
     levels = []
     for i in range(int(meta["n_levels"])):
+        if cs_flags[i]:
+            levels.append(_level_from_disk_cs(ent, i, meta, dtype,
+                                              use_pallas))
+            continue
         hi, lo = ent[f"hi{i}"], ent[f"lo{i}"]
         n_off = hi.shape[0]
         offsets = tuple(tuple(int(x) for x in row) for row in ent[f"off{i}"])
@@ -412,6 +542,25 @@ def _hierarchy_from_arrays_disk(ent, dtype, use_pallas=True) -> MGHierarchy:
                        int(meta["coarse_iters"]))
 
 
+def load_hierarchy_from_disk(cache_key, vdim: int, dtype=jnp.float32,
+                             use_pallas: bool = True
+                             ) -> Optional[MGHierarchy]:
+    """Rebuild a hierarchy purely from its disk entry (device uploads only —
+    no assembly, prepare, power iterations, or df pack).  None on miss or
+    unusable entry."""
+    from pde_solver_tpu.utils import diskcache
+    from pde_solver_tpu.utils.observability import get_logger
+
+    ent = diskcache.load("mgh", (cache_key, vdim))
+    if ent is None:
+        return None
+    try:
+        return _hierarchy_from_arrays_disk(ent, dtype, use_pallas=use_pallas)
+    except Exception as e:  # corrupt entry → caller rebuilds from scratch
+        get_logger().warning("hierarchy disk entry unusable (%s)", e)
+        return None
+
+
 def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
                            level_builder, vdim: int = 1, dtype=jnp.float32,
                            cache_key=None, use_pallas: bool = True,
@@ -428,16 +577,12 @@ def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
                  and diskcache.enabled())
     if cacheable:
         t0 = _time.perf_counter()
-        ent = diskcache.load("mgh", (cache_key, vdim))
-        if ent is not None:
-            try:
-                h = _hierarchy_from_arrays_disk(ent, dtype,
-                                                use_pallas=use_pallas)
-                get_logger().info("hierarchy disk-cache hit (%.2fs rebuild)",
-                                  _time.perf_counter() - t0)
-                return h
-            except Exception as e:  # corrupt entry → rebuild from scratch
-                get_logger().warning("hierarchy disk entry unusable (%s)", e)
+        h = load_hierarchy_from_disk(cache_key, vdim, dtype,
+                                     use_pallas=use_pallas)
+        if h is not None:
+            get_logger().info("hierarchy disk-cache hit (%.2fs rebuild)",
+                              _time.perf_counter() - t0)
+            return h
     h = build_hierarchy(mesh, fine_system, level_builder, vdim=vdim,
                         dtype=dtype, use_pallas=use_pallas, **kw)
     if h is not None and cacheable:

@@ -237,6 +237,23 @@ class FlatStencilOperator:
                  node_shape: Tuple[int, ...], vdim: int = 1,
                  block: int = 4096, interpret: bool | None = None,
                  weight_dtype=jnp.float32, resident: bool | None = None):
+        self._init_meta(offsets, node_shape, vdim, block, interpret, resident)
+
+        # weights → [n_off*v*v, n_rows, 128], flat node order, zero padded
+        rows = []
+        for W in weights_np:
+            Wf = np.asarray(W, np.float32).reshape(self.N, vdim, vdim) \
+                if vdim > 1 else np.asarray(W, np.float32).reshape(self.N, 1, 1)
+            for a in range(vdim):
+                for b in range(vdim):
+                    rows.append(Wf[:, a, b])
+        Wmat = np.zeros((self.n_off * vdim * vdim, self.n_pad), np.float32)
+        Wmat[:, :self.N] = np.stack(rows)
+        self.Wf = jnp.asarray(Wmat.reshape(-1, self.n_rows, LANE),
+                              dtype=weight_dtype)
+
+    def _init_meta(self, offsets, node_shape, vdim, block=4096,
+                   interpret=None, resident=None):
         # block=4096 (rb=32 rows) measured fastest at the 2M-DOF flagship
         # shape (benchmarks/spmv_bench.py): larger blocks amortize the
         # +1-row/alignment slop of shifted wide loads; 16384 OOMs VMEM.
@@ -269,18 +286,28 @@ class FlatStencilOperator:
                 <= _RESIDENT_X_BYTES
         self.resident = resident
 
-        # weights → [n_off*v*v, n_rows, 128], flat node order, zero padded
-        rows = []
-        for W in weights_np:
-            Wf = np.asarray(W, np.float32).reshape(self.N, vdim, vdim) \
-                if vdim > 1 else np.asarray(W, np.float32).reshape(self.N, 1, 1)
-            for a in range(vdim):
-                for b in range(vdim):
-                    rows.append(Wf[:, a, b])
-        Wmat = np.zeros((self.n_off * vdim * vdim, self.n_pad), np.float32)
-        Wmat[:, :self.N] = np.stack(rows)
-        self.Wf = jnp.asarray(Wmat.reshape(-1, self.n_rows, LANE),
-                              dtype=weight_dtype)
+    @classmethod
+    def from_device_grid(cls, offsets, W_grid: jnp.ndarray,
+                         node_shape: Tuple[int, ...], vdim: int = 1,
+                         weight_dtype=jnp.float32,
+                         block: int = 4096) -> "FlatStencilOperator":
+        """Build from an on-device stacked grid weight array
+        ``[n_off, *node_shape(, v, v)]`` — the packing transpose/reshape runs
+        on device, so no host weight materialization or re-upload happens
+        (the disk-cache CS-expansion path).  Bit-identical layout to the
+        host-packed constructor."""
+        op = cls.__new__(cls)
+        op._init_meta(offsets, node_shape, vdim, block, None, None)
+        n_off = op.n_off
+        if vdim > 1:
+            Wf = W_grid.reshape(n_off, op.N, vdim, vdim)
+            Wf = jnp.transpose(Wf, (0, 2, 3, 1)).reshape(
+                n_off * vdim * vdim, op.N)
+        else:
+            Wf = W_grid.reshape(n_off, op.N)
+        Wf = jnp.pad(Wf, ((0, 0), (0, op.n_pad - op.N)))
+        op.Wf = Wf.reshape(-1, op.n_rows, LANE).astype(weight_dtype)
+        return op
 
     # ------------------------------------------------------------------
     def to_flat(self, x_grid: jnp.ndarray) -> jnp.ndarray:

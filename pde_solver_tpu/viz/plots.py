@@ -212,13 +212,24 @@ def plot_time_series_field(
         }
 
     elif dim == 2:
+        # Use the two coordinate columns that actually vary: axisymmetric
+        # solves embed as (r, 0, z) / (r sinθ, 0, r cosθ) — columns 0 and 2.
+        # The reference feeds columns (0, 1) to griddata unconditionally
+        # (fenics_mcp_server.py:3781), which makes scipy's Delaunay throw a
+        # QhullError ("initial simplex is flat") on every 2D curvilinear
+        # field; picking the spanning columns fixes the whole family.
+        spans = coords_arr.max(axis=0) - coords_arr.min(axis=0)
+        cols = sorted(np.argsort(-spans)[:2].tolist()) \
+            if np.count_nonzero(spans > 0) >= 2 else [0, 1]
+        x2, y2 = coords_arr[:, cols[0]], coords_arr[:, cols[1]]
+        ax_x, ax_y = ("xyz"[cols[0]], "xyz"[cols[1]])
         b = domain_bounds or {}
-        x_min = b.get("x_min", float(x.min())); x_max = b.get("x_max", float(x.max()))
-        y_min = b.get("y_min", float(y.min())); y_max = b.get("y_max", float(y.max()))
-        xi = np.linspace(x_min, x_max, len(np.unique(x)))
-        yi = np.linspace(y_min, y_max, len(np.unique(y)))
+        x_min = b.get("x_min", float(x2.min())); x_max = b.get("x_max", float(x2.max()))
+        y_min = b.get("y_min", float(y2.min())); y_max = b.get("y_max", float(y2.max()))
+        xi = np.linspace(x_min, x_max, len(np.unique(x2)))
+        yi = np.linspace(y_min, y_max, len(np.unique(y2)))
         Xi, Yi = np.meshgrid(xi, yi)
-        resampler = FieldResampler(coords_arr[:, :2])
+        resampler = FieldResampler(np.column_stack([x2, y2]))
         grids = resampler(values_arr, np.column_stack([Xi.flatten(), Yi.flatten()]))
         grids = grids.reshape(Nt, *Xi.shape)
 
@@ -227,7 +238,7 @@ def plot_time_series_field(
                 "type": "surface", "x": Xi, "y": Yi, "z": g, "surfacecolor": g,
                 "colorscale": "Viridis", "cmin": vmin, "cmax": vmax,
                 "colorbar": {"title": f"{field_name} {unit}".strip()},
-                "hovertemplate": ("x = %{x:.3e}, y = %{y:.3e}<br>"
+                "hovertemplate": (f"{ax_x} = %{{x:.3e}}, {ax_y} = %{{y:.3e}}<br>"
                                   + f"{field_name} = %{{z:.3f}} {unit}<extra></extra>"),
             }
 
@@ -240,9 +251,10 @@ def plot_time_series_field(
         aspect = ({"x": x_span / spatial, "y": y_span / spatial, "z": 0.6}
                   if spatial > 0 else {"x": 1, "y": 1, "z": 0.6})
         layout = {
-            "title": f"2D {field_name} surface (x, y → space; z/color → value)",
+            "title": f"2D {field_name} surface ({ax_x}, {ax_y} → space; "
+                     f"z/color → value)",
             "scene": {
-                "xaxis_title": "x (m)", "yaxis_title": "y (m)",
+                "xaxis_title": f"{ax_x} (m)", "yaxis_title": f"{ax_y} (m)",
                 "zaxis_title": f"{field_name} {unit}".strip(),
                 "xaxis": {"range": [x_min, x_max], "showgrid": True, "autorange": False},
                 "yaxis": {"range": [y_min, y_max], "showgrid": True, "autorange": False},

@@ -56,12 +56,17 @@ class FieldResampler:
         self.points = np.asarray(points, dtype=np.float64)
         self.d = self.points.shape[1]
         self._structured = detect_structured_grid(self.points)
+        self._tri = None
+        self._kdtree = None
         if self._structured is None:
-            self._tri = Delaunay(self.points)
+            try:
+                self._tri = Delaunay(self.points)
+            except Exception:
+                # degenerate point sets (collinear/coplanar) have no
+                # triangulation — fall back to nearest-neighbor lookup
+                # instead of crashing the plot with a QhullError
+                self._tri = None
             self._kdtree = cKDTree(self.points)
-        else:
-            self._tri = None
-            self._kdtree = None
 
     def __call__(self, values: np.ndarray, query: np.ndarray) -> np.ndarray:
         """values [Nt, N] (or [N]), query [M, d] → [Nt, M] (or [M])."""
@@ -89,6 +94,9 @@ class FieldResampler:
         else:
             _, nn_idx = self._kdtree.query(query)
             for i in range(vals.shape[0]):
+                if self._tri is None:  # degenerate: nearest-neighbor only
+                    out[i] = vals[i][nn_idx]
+                    continue
                 interp = LinearNDInterpolator(self._tri, vals[i])
                 vi = interp(query)
                 nan = np.isnan(vi)

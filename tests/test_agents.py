@@ -325,3 +325,100 @@ def test_crank_nicolson_opt_in_via_notes():
     assert "error" not in out, out.get("error")
     assert seen["theta"] == 0.5          # CN active during the solve
     assert get_config().theta == 1.0     # restored afterwards
+
+
+# ----------------------------------------------------------------------
+# Parser phrasing coverage (VERDICT r2 item 9: wall-thickness cylinders,
+# mixed-unit sentences, per-face BC lists, reference prompt conventions)
+# ----------------------------------------------------------------------
+
+def test_rule_parse_hollow_cylinder_wall_thickness():
+    p = rule_based_parse(
+        "steady heat in a hollow cylinder with inner radius 5 cm and a "
+        "2 cm wall, inner surface at 100°C, outer surface at 20°C")
+    assert p["geometry_type"] == "cylinder"
+    gp = p["geometry_params"]
+    assert gp["r_inner"] == pytest.approx(0.05)
+    assert gp["r_outer"] == pytest.approx(0.07)
+    assert p["bc_values"] == {"T_inner": 100.0, "T_outer": 20.0}
+    assert p["steady"] is True
+
+
+def test_rule_parse_wall_thickness_from_outer():
+    p = rule_based_parse(
+        "pipe with outer radius 10 cm and wall thickness of 3 cm")
+    gp = p["geometry_params"]
+    assert gp["r_outer"] == pytest.approx(0.10)
+    assert gp["r_inner"] == pytest.approx(0.07)
+
+
+def test_rule_parse_hollow_single_radius_becomes_outer():
+    p = rule_based_parse("hollow cylinder of radius 0.5 m, inner wall at 80")
+    assert p["geometry_params"]["r_outer"] == pytest.approx(0.5)
+    assert "cylinder_radius" not in p["geometry_params"]
+
+
+def test_rule_parse_sphere_diameter():
+    p = rule_based_parse("heat conduction in a sphere with diameter 40 cm")
+    assert p["geometry_type"] == "sphere"
+    assert p["geometry_params"]["sphere_radius"] == pytest.approx(0.2)
+
+
+def test_rule_parse_mixed_units_one_sentence():
+    p = rule_based_parse(
+        "a 50 cm rod with 25 nodes, time step of 0.01, left end 100°C "
+        "and right end 0°C")
+    assert p["domain_size"]["length"] == pytest.approx(0.5)
+    assert p["nx"] == 25
+    assert p["dt"] == pytest.approx(0.01)
+    assert p["bc_values"]["T_left"] == 100.0
+
+
+def test_rule_parse_bare_thickness_is_not_length():
+    """Reference CRITICAL rule (pde_parser_agent.py:424-429): '30nm thick'
+    is a material cross-section, never the domain length."""
+    p = rule_based_parse("heat in a 30 nm thick conductor, 100 steps")
+    assert "length" not in (p.get("domain_size") or {})
+    assert any("Thickness mentioned" in n for n in p.get("notes", []))
+    assert p["num_steps"] == 100
+
+
+def test_rule_parse_both_ends():
+    p = rule_based_parse("a 1 m rod with both ends held at 0°C, "
+                         "initial temperature of 50°C")
+    assert p["bc_values"]["T_left"] == 0.0
+    assert p["bc_values"]["T_right"] == 0.0
+    assert p["initial_value"] == 50.0
+
+
+def test_rule_parse_ends_pairwise():
+    p = rule_based_parse("2 m bar, ends at 100 and 0 degrees")
+    assert p["bc_values"]["T_left"] == 100.0
+    assert p["bc_values"]["T_right"] == 0.0
+
+
+def test_rule_parse_all_faces_boundary():
+    p = rule_based_parse(
+        "3-d cube with all six faces at 25°C, initially 100°C")
+    assert p["dim"] == 3
+    assert p["bc_values"]["T_boundary"] == 25.0
+
+
+def test_rule_parse_modulus_of_elasticity_units():
+    p = rule_based_parse(
+        "stress in a steel plate, modulus of elasticity 200 GPa, "
+        "Poisson's ratio 0.3, plane strain")
+    assert p["young_modulus"] == pytest.approx(200e9)
+    assert p["poisson_ratio"] == pytest.approx(0.3)
+    assert p["material_params"]["plane_stress"] is False
+
+
+def test_rule_parse_e_equals_gpa():
+    p = rule_based_parse("cantilever under gravity with E = 70 GPa")
+    assert p["young_modulus"] == pytest.approx(70e9)
+    assert p["material_params"]["gravity"] is True
+
+
+def test_rule_parse_thermal_conductivity_alias():
+    p = rule_based_parse("rod with thermal conductivity of 0.5")
+    assert p["diffusivity"] == pytest.approx(0.5)

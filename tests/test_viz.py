@@ -127,3 +127,28 @@ def test_plot_elasticity_field_names(tmp_path):
     pr = plot_time_series_field_from_file(res.data_file, output_dir=str(tmp_path / "plots"))
     fig, _ = _read_fig(pr.html_path)
     assert "von_mises_stress" in fig["layout"]["title"]
+
+
+def test_axisymmetric_2d_fields_plot_without_qhull_error(tmp_path):
+    """2D curvilinear fields embed as (r, 0, z) / (r sinθ, 0, r cosθ) —
+    the plotter must pick the SPANNING coordinate columns (the reference
+    feeds columns (0,1) to griddata and dies with a QhullError on every
+    axisymmetric field; fenics_mcp_server.py:3781)."""
+    from pde_solver_tpu import api
+
+    r = api.solve_heat_2D_cylindrical(r_inner=0.05, r_outer=0.07,
+                                      z_length=0.07, nr=8, nz=8, steady=True,
+                                      T_boundary=20.0,
+                                      data_dir=str(tmp_path))
+    p = api.plot_time_series_field_from_file(r.data_file,
+                                             output_dir=str(tmp_path))
+    html = open(p.html_path).read()
+    assert "Plotly.newPlot" in html
+    # axis labels follow the spanning columns (x=r, z)
+    assert '"xaxis_title": "x (m)"' in html and '"yaxis_title": "z (m)"' in html
+
+    r2 = api.solve_heat_2D_spherical(nr=8, ntheta=8, steady=True,
+                                     data_dir=str(tmp_path))
+    p2 = api.plot_time_series_field_from_file(r2.data_file,
+                                              output_dir=str(tmp_path))
+    assert "Plotly.newPlot" in open(p2.html_path).read()
