@@ -70,6 +70,15 @@ class SolverConfig:
                                   # Reference parity: below the budget every
                                   # step is kept, exactly like the reference.
     snapshot_max_frames: int = 0  # >0 → hard cap on kept frames (opt-in)
+    transient_checkpoint_every: int = 0  # >0 → persist the scan carry +
+                                  # accumulated trajectory every N steps
+                                  # (atomic npz); an interrupted transient
+                                  # resumes from the last checkpoint
+                                  # (SURVEY §5 checkpoint/resume row).  The
+                                  # checkpoint key excludes num_steps, so a
+                                  # longer re-run continues where a shorter
+                                  # or killed one stopped.  0 = off.
+    checkpoint_dir: str = "data/checkpoints"
     shard_devices: int = 0        # >1 → domain-decompose CG solves over a
                                   # 1-D jax.sharding.Mesh of that many devices
                                   # (parallel.shard.ShardedScaledCG); 0 = off
@@ -107,6 +116,10 @@ _GLOBAL = SolverConfig(
     precision=os.environ.get("PDE_TPU_PRECISION", "auto"),
     tol=float(os.environ.get("PDE_TPU_TOL", 1e-11)),
     shard_devices=int(os.environ.get("PDE_TPU_SHARD_DEVICES", 0)),
+    transient_checkpoint_every=int(
+        os.environ.get("PDE_TPU_CHECKPOINT_EVERY", 0)),
+    checkpoint_dir=os.environ.get("PDE_TPU_CHECKPOINT_DIR",
+                                  "data/checkpoints"),
     theta={"backward_euler": 1.0, "crank_nicolson": 0.5}.get(
         os.environ.get("PDE_TPU_TIME_SCHEME", "backward_euler"), 1.0),
 )

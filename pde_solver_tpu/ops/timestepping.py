@@ -329,6 +329,17 @@ def run_transient(
         jnp.asarray(u0_np, dtype=state_dtype))
     tail = (maxiter, refine, d, vdim, prec, snap32, h_struct, level_arrays)
 
+    if cfg.transient_checkpoint_every > 0:
+        import hashlib
+        hsh = hashlib.blake2b(digest_size=12)
+        hsh.update(repr((mesh.node_shape, vdim, float(dt), float(theta),
+                         int(cfg.transient_checkpoint_every))).encode())
+        for arr in (u0_np, b_source_np, scaled[0]):
+            hsh.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
+        return _run_transient_checkpointed(
+            scan_args, tail, inner_tol, int(num_steps), cfg, dt, u0_np,
+            state_dtype, setup_s, hsh.hexdigest())
+
     # Snapshot thinning: the stacked [Nt][N] trajectory is the HBM hazard
     # for long transients at multi-M DOF (SURVEY §7 "hard parts").  When
     # the dense trajectory would exceed the budget, keep every k-th frame
@@ -373,6 +384,92 @@ def run_transient(
                            total_cg_iterations=int(iters),
                            max_relative_residual=float(res),
                            setup_seconds=setup_s, scan_seconds=scan_s)
+
+
+# ----------------------------------------------------------------------
+# Checkpoint/resume for long transients (SURVEY §5 checkpoint/resume row)
+# ----------------------------------------------------------------------
+
+_CKPT_TEST_ABORT = 0  # tests: raise after N chunk checkpoints (0 = off)
+
+
+def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
+                                dt, u0_np, state_dtype, setup_s,
+                                key: str) -> TransientResult:
+    """Host-chunked scan with atomic carry+trajectory checkpoints.
+
+    Every ``transient_checkpoint_every`` steps the scan carry and the
+    accumulated snapshots persist to ``checkpoint_dir`` (tmp+rename).  A
+    re-run of the same problem (content-keyed on u0/source/operator — NOT
+    on num_steps, so a longer target continues a shorter/killed run)
+    resumes from the last completed chunk; on completion the checkpoint is
+    removed.  Chunking does not change the per-step arithmetic — the final
+    trajectory is bitwise what the single fused scan produces.
+    """
+    import os
+    import tempfile
+    import time as _time
+
+    t_scan = _time.perf_counter()
+    every = cfg.transient_checkpoint_every
+    path = os.path.join(cfg.checkpoint_dir, f"transient-{key}.npz")
+    frames = [np.asarray(u0_np, dtype=np.float64)[None]]
+    start = 0
+    iters_acc = 0
+    res_acc = 0.0
+    u_cur = scan_args[-1]
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                snaps_prev = z["snaps"]
+                start = int(z["step"])
+                iters_acc = int(z["iters"])
+                res_acc = float(z["res"])
+                u_cur = jnp.asarray(z["carry"], dtype=state_dtype)
+            frames.append(snaps_prev.astype(np.float64))
+            from pde_solver_tpu.utils.observability import get_logger
+            get_logger().info("transient resume: step %d/%d from %s",
+                              start, num_steps, path)
+        except Exception:
+            frames = [np.asarray(u0_np, dtype=np.float64)[None]]
+            start, iters_acc, res_acc = 0, 0, 0.0
+            u_cur = scan_args[-1]
+    chunks_done = 0
+    while start < num_steps:
+        n = min(every, num_steps - start)
+        snaps, k, res = _transient_scan(*scan_args[:-1], u_cur, inner_tol,
+                                        n, *tail)
+        snaps_np = np.asarray(snaps)
+        frames.append(snaps_np.astype(np.float64))
+        u_cur = snaps[-1].astype(state_dtype)
+        iters_acc += int(k)
+        res_acc = max(res_acc, float(res))
+        start += n
+        # atomic checkpoint: carry + every snapshot so far
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cfg.checkpoint_dir, suffix=".tmp.npz")
+        os.close(fd)
+        all_snaps = np.concatenate([f for f in frames[1:]], axis=0)
+        np.savez(tmp, snaps=all_snaps.astype(
+            np.float32 if tail[5] else np.float64),
+            carry=np.asarray(u_cur), step=start, iters=iters_acc,
+            res=res_acc)
+        os.replace(tmp, path)
+        chunks_done += 1
+        if _CKPT_TEST_ABORT and chunks_done >= _CKPT_TEST_ABORT \
+                and start < num_steps:
+            raise RuntimeError("checkpoint test abort")
+    try:
+        os.remove(path)  # run complete — the artifact model takes over
+    except OSError:
+        pass
+    values = np.concatenate(frames, axis=0)
+    times = dt * np.arange(num_steps + 1, dtype=np.float64)
+    return TransientResult(values=values, times=times,
+                           total_cg_iterations=iters_acc,
+                           max_relative_residual=res_acc,
+                           setup_seconds=setup_s,
+                           scan_seconds=_time.perf_counter() - t_scan)
 
 
 # ----------------------------------------------------------------------
