@@ -244,9 +244,8 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
         w = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
                                 vdim=vdim)
         if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
-            w_lo = FlatStencilOperator(sysm.offsets, w_src,
-                                       mesh.node_shape, vdim=vdim,
-                                       weight_dtype=jnp.bfloat16)
+            # device-side cast: no second host pack / 330 MB weight upload
+            w_lo = w.as_weight_dtype(jnp.bfloat16)
     else:
         w = tuple(jnp.asarray(W, dtype=dtype) for W in w_src)
     if omega is None:
@@ -378,20 +377,6 @@ def _cs_split_np(host_weights64, grid_dim: int):
     return np.stack(wcs), slabs
 
 
-def _expand_cs_grid(wc: jnp.ndarray, slabs, node_shape, grid_dim: int
-                    ) -> jnp.ndarray:
-    """Device: broadcast the constant interior weights over the grid and
-    overwrite the six exact boundary face slabs.  Pure data movement —
-    bit-identical to the dense host weights the split came from."""
-    n_off = wc.shape[0]
-    tail = wc.shape[1:]
-    wc_b = wc.reshape((n_off,) + (1,) * len(node_shape) + tail)
-    W = jnp.broadcast_to(wc_b, (n_off,) + tuple(node_shape) + tail)
-    for f, slab in enumerate(slabs):
-        W = W.at[_cs_face_index(node_shape, grid_dim, f)].set(slab)
-    return W
-
-
 def _hierarchy_to_arrays(h: MGHierarchy):
     """Serialize a hierarchy (host side) → (arrays dict, meta dict, pairs).
 
@@ -453,11 +438,26 @@ def _hierarchy_to_arrays(h: MGHierarchy):
     return arrays, meta, all_pairs
 
 
+def _expand_cs_np(wc: np.ndarray, slabs, node_shape, grid_dim: int
+                  ) -> np.ndarray:
+    """Host expansion of a CS split — pure memcpy-grade numpy (broadcast the
+    constant interior, overwrite the exact face slabs).  Bit-identical to
+    the dense weights the split came from."""
+    n_off = wc.shape[0]
+    tail = wc.shape[1:]
+    W = np.empty((n_off,) + tuple(node_shape) + tail, dtype=wc.dtype)
+    W[...] = wc.reshape((n_off,) + (1,) * len(node_shape) + tail)
+    for f, slab in enumerate(slabs):
+        W[_cs_face_index(node_shape, grid_dim, f)] = slab
+    return W
+
+
 def _level_from_disk_cs(ent, i: int, meta, dtype, use_pallas: bool
                         ) -> MGLevel:
-    """Rebuild one CS-stored level: upload the tiny constant + slab arrays,
-    expand to the full grid ON DEVICE (no host weight materialization), and
-    pack the Pallas operator with a device-side transpose."""
+    """Rebuild one CS-stored level: tiny disk reads, host numpy expansion
+    (no per-process remote compiles — a device-side expansion was measured
+    paying ~12 small remote XLA compiles per fresh bench process), then one
+    packed f32 upload; the bf16 smoother variant is a device-side cast."""
     from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
                                                    pallas_wins)
     import os as _os
@@ -467,27 +467,20 @@ def _level_from_disk_cs(ent, i: int, meta, dtype, use_pallas: bool
     node_shape = tuple(int(s) for s in meta["node_shapes"][i])
     offsets = tuple(tuple(int(x) for x in row) for row in ent[f"off{i}"])
     n_off = len(offsets)
-    wc_hi = jnp.asarray(ent[f"cswchi{i}"])
-    wc_lo = jnp.asarray(ent[f"cswclo{i}"])
-    slabs_hi = [jnp.asarray(ent[f"csshi{i}_{f}"])
-                for f in range(2 * grid_dim)]
-    slabs_lo = [jnp.asarray(ent[f"csslo{i}_{f}"])
-                for f in range(2 * grid_dim)]
-    hi_grid = _expand_cs_grid(wc_hi, slabs_hi, node_shape, grid_dim)
-    lo_grid = _expand_cs_grid(wc_lo, slabs_lo, node_shape, grid_dim)
+    slabs_hi = [ent[f"csshi{i}_{f}"] for f in range(2 * grid_dim)]
+    slabs_lo = [ent[f"csslo{i}_{f}"] for f in range(2 * grid_dim)]
+    hi_grid = _expand_cs_np(ent[f"cswchi{i}"], slabs_hi, node_shape, grid_dim)
+    lo_grid = _expand_cs_np(ent[f"cswclo{i}"], slabs_lo, node_shape, grid_dim)
     free = jnp.asarray(ent[f"free{i}"], dtype=dtype)
     n_dof = int(np.prod(node_shape)) * vdim
 
     w_lo = None
     if use_pallas and dtype == jnp.float32 and pallas_wins(n_dof, vdim):
-        w = FlatStencilOperator.from_device_grid(offsets, hi_grid,
-                                                 node_shape, vdim=vdim)
+        w = FlatStencilOperator(offsets, list(hi_grid), node_shape, vdim=vdim)
         if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
-            w_lo = FlatStencilOperator.from_device_grid(
-                offsets, hi_grid, node_shape, vdim=vdim,
-                weight_dtype=jnp.bfloat16)
+            w_lo = w.as_weight_dtype(jnp.bfloat16)
     else:
-        w = tuple(hi_grid[k].astype(dtype) for k in range(n_off))
+        w = tuple(jnp.asarray(hi_grid[k], dtype=dtype) for k in range(n_off))
     pairs = ([hi_grid[k] for k in range(n_off)],
              [lo_grid[k] for k in range(n_off)])
     omega = float(meta["omegas"][i])

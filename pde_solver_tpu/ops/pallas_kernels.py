@@ -74,36 +74,44 @@ def _roll_lanes(A: jnp.ndarray, dc: int, interpret: bool) -> jnp.ndarray:
     return pltpu.roll(A, jnp.asarray(LANE - dc, jnp.int32), axis=1)
 
 
-def _shifted_tile(x_ref, b: int, row0, rows: int, delta: int, lane_iota,
-                  interpret: bool) -> jnp.ndarray:
-    """[rows, 128] tile of x at flat offset ``128·row0 + delta``.
-
-    ``row0`` is a dynamic 8-aligned row index; ``delta`` is a static flat
-    offset.  The row part loads at the 8-aligned floor with a static row
-    sub-slice (Mosaic requires tile-aligned dynamic sublane indices); the
-    lane part is a roll + masked merge of adjacent rows.
-    """
-    dr = delta // LANE          # floor (negatives included)
-    dc = delta - LANE * dr      # static in [0, 128)
-    q8 = (dr // SUB) * SUB
-    rem = dr - q8               # static in [0, 8)
-    span = rows + (1 if dc else 0)
-    wide = x_ref[b, pl.ds(row0 + q8, _round_up(rem + span, SUB)), :]
-    A = wide[rem:rem + span]
-    if dc == 0:
-        return A
-    B = _roll_lanes(A, dc, interpret)
-    return jnp.where(lane_iota < LANE - dc, B[:rows], B[1:])
-
-
 def _spmv_body(n_off, vdim, rb, halo_r, deltas, interpret,
-               w_ref, y_ref, read_tile):
-    """Shared accumulation: y[a] = Σ_{o,b} W[o,a,b] ⊙ shift(x[b], δ_o)."""
+               w_ref, y_ref, read_rows):
+    """Shared accumulation: y[a] = Σ_{o,b} W[o,a,b] ⊙ shift(x[b], δ_o).
+
+    Issue-count optimization (the kernel is VPU-issue-bound, not
+    bandwidth-bound — BENCH_NOTES): offsets are grouped by their ROW shift
+    so each (group, component) does ONE wide load, shared by every lane
+    shift in the group (the 27-point 3D stencil has 9 row groups → 3× fewer
+    loads), and the per-``dc`` lane-boundary masks are hoisted and computed
+    once instead of per (offset, component).  The FMA accumulation runs in
+    the ORIGINAL (o, b, a) order, so results stay bit-identical to the
+    ungrouped kernel.
+    """
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, LANE), 1)
+    # static grouping by row shift
+    groups = {}
+    for o, delta in enumerate(deltas):
+        dr = delta // LANE          # floor (negatives included)
+        dc = delta - LANE * dr      # static in [0, 128)
+        groups.setdefault(dr, []).append((o, dc))
+    masks = {dc: lane_iota < LANE - dc
+             for dc in sorted({dc for g in groups.values() for _, dc in g
+                               if dc != 0})}
+    tiles = [[None] * vdim for _ in range(n_off)]
+    for b in range(vdim):
+        for dr, members in groups.items():
+            span = rb + (1 if any(dc for _, dc in members) else 0)
+            A = read_rows(b, dr, span)
+            for o, dc in members:
+                if dc == 0:
+                    tiles[o][b] = A[:rb]
+                else:
+                    B = _roll_lanes(A, dc, interpret)
+                    tiles[o][b] = jnp.where(masks[dc], B[:rb], B[1:])
     accs = [None] * vdim
     for o in range(n_off):
         for b in range(vdim):
-            xs = read_tile(b, deltas[o], lane_iota)
+            xs = tiles[o][b]
             for a in range(vdim):
                 w = w_ref[(o * vdim + a) * vdim + b].astype(jnp.float32)
                 t = w * xs
@@ -124,11 +132,16 @@ def _resident_kernel(n_off: int, vdim: int, rb: int, halo_r: int,
     i = pl.program_id(0)
     row0 = pl.multiple_of(i * rb, rb) + halo_r
 
-    def read_tile(b, delta, lane_iota):
-        return _shifted_tile(x_ref, b, row0, rb, delta, lane_iota, interpret)
+    def read_rows(b, dr, span):
+        # dynamic row index at the 8-aligned floor + static sub-slice
+        # (Mosaic requires tile-aligned dynamic sublane indices)
+        q8 = (dr // SUB) * SUB
+        rem = dr - q8
+        wide = x_ref[b, pl.ds(row0 + q8, _round_up(rem + span, SUB)), :]
+        return wide[rem:rem + span]
 
     _spmv_body(n_off, vdim, rb, halo_r, deltas, interpret, w_ref, y_ref,
-               read_tile)
+               read_rows)
 
 
 @functools.partial(jax.jit,
@@ -182,12 +195,12 @@ def _windowed_kernel(n_off: int, vdim: int, rb: int, halo_r: int,
     dma.start()
     dma.wait()
 
-    def read_tile(b, delta, lane_iota):
-        return _shifted_tile(x_win, b, halo_r, rb, delta, lane_iota,
-                             interpret)
+    def read_rows(b, dr, span):
+        base = halo_r + dr  # static — the window already holds the halo
+        return x_win[b, base:base + span, :]
 
     _spmv_body(n_off, vdim, rb, halo_r, deltas, interpret, w_ref, y_ref,
-               read_tile)
+               read_rows)
 
 
 @functools.partial(jax.jit,
@@ -286,27 +299,16 @@ class FlatStencilOperator:
                 <= _RESIDENT_X_BYTES
         self.resident = resident
 
-    @classmethod
-    def from_device_grid(cls, offsets, W_grid: jnp.ndarray,
-                         node_shape: Tuple[int, ...], vdim: int = 1,
-                         weight_dtype=jnp.float32,
-                         block: int = 4096) -> "FlatStencilOperator":
-        """Build from an on-device stacked grid weight array
-        ``[n_off, *node_shape(, v, v)]`` — the packing transpose/reshape runs
-        on device, so no host weight materialization or re-upload happens
-        (the disk-cache CS-expansion path).  Bit-identical layout to the
-        host-packed constructor."""
-        op = cls.__new__(cls)
-        op._init_meta(offsets, node_shape, vdim, block, None, None)
-        n_off = op.n_off
-        if vdim > 1:
-            Wf = W_grid.reshape(n_off, op.N, vdim, vdim)
-            Wf = jnp.transpose(Wf, (0, 2, 3, 1)).reshape(
-                n_off * vdim * vdim, op.N)
-        else:
-            Wf = W_grid.reshape(n_off, op.N)
-        Wf = jnp.pad(Wf, ((0, 0), (0, op.n_pad - op.N)))
-        op.Wf = Wf.reshape(-1, op.n_rows, LANE).astype(weight_dtype)
+    def as_weight_dtype(self, weight_dtype) -> "FlatStencilOperator":
+        """Same operator with weights cast ON DEVICE — the bf16
+        smoother/preconditioner variant without a second host pack or a
+        second 330 MB weight upload."""
+        op = FlatStencilOperator.__new__(FlatStencilOperator)
+        aux = self._tree_flatten()[1]
+        (op.node_shape, op.vdim, op.N, op.deltas, op.halo_r, op.block,
+         op.rb, op.n_pad, op.n_rows, op.n_off, op.interpret,
+         op.resident) = aux
+        op.Wf = self.Wf.astype(weight_dtype)
         return op
 
     # ------------------------------------------------------------------
