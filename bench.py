@@ -518,12 +518,37 @@ def bench_flagship():
         return (x_hi, x_lo), iters, relres
 
     def solve_mgf32():
-        """Last-resort fallback: plain f32 MG-PCG (no df refinement —
-        residual floors near f32 precision, ~1e-6 relative)."""
-        xh, k, relres = mg.solve_mg(h, sysm.b_hat.astype(np.float32), None,
-                                    max(bench_tol, 1e-6), 300)
-        z = jnp.zeros_like(xh)
-        return (xh, z), int(k), float(relres)
+        """Last-resort fallback (df2 AND df unusable): f32 MG-PCG inner
+        solves + host float64 residual refinement.  A bare f32 MG-PCG
+        floors near κ·ε32 (measured 7.1e-3 relative on this cantilever);
+        the host-refreshed rounds recover ~1e-7-grade residuals at the cost
+        of a few single-core stencil applies."""
+        from pde_solver_tpu.ops import df32 as _df32
+
+        lv0 = h.levels[0]
+        if lv0.host_weights is not None:
+            lv_host = lv0
+        else:  # CS disk rebuild carries (hi, lo) pairs, not f64 weights
+            w64 = [np.asarray(hi, np.float64) + np.asarray(lo)
+                   for hi, lo in zip(*lv0.host_pairs)]
+            lv_host = lv0._replace(host_weights=w64)
+        b64 = np.asarray(sysm.b_hat, np.float64)
+        bnorm = max(float(np.linalg.norm(b64.reshape(-1))), 1e-300)
+        x64 = np.zeros_like(b64)
+        total = 0
+        relres = 1.0
+        for _round in range(6):
+            r = b64 - mg._host_apply(lv_host, x64, 3, 3)
+            relres = float(np.linalg.norm(r.reshape(-1))) / bnorm
+            if relres <= max(bench_tol, 1e-7):
+                break
+            scale = float(np.max(np.abs(r)))
+            d32, k, _ = mg.solve_mg(h, (r / scale).astype(np.float32), None,
+                                    1e-5, 200)
+            x64 = x64 + scale * np.asarray(d32, np.float64)
+            total += int(k)
+        hi, lo = _df32.df_from_f64(x64)
+        return (jnp.asarray(hi), jnp.asarray(lo)), total, relres
 
     chain = {"df2": [("df2", solve_df2), ("df", solve_df),
                      ("mgf32", solve_mgf32)],
