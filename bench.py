@@ -249,6 +249,7 @@ def bench_heat3d():
     t0 = time.perf_counter()
     _, _, info = device_retry(lambda: heat.solve_heat_problem(p),
                               "heat3d warm-up solve")
+    warmup_scan_s = info.get("scan_seconds") or info["solve_seconds"]
     log(f"[bench] warm-up run (incl. compile): {time.perf_counter() - t0:.1f}s "
         f"iters={info['cg_iterations']} relres={info['relative_residual']:.1e}")
     # best of 2: the tunneled worker shows sporadic slowdown states that
@@ -270,6 +271,13 @@ def bench_heat3d():
             f"setup={info.get('setup_seconds', 0.0):.2f}s "
             f"(CG iters total {info['cg_iterations']}, "
             f"relres {info['relative_residual']:.1e})")
+    if not scans:
+        # both timed reps died on the tunnel — the successful warm-up
+        # measurement (compile-inclusive, so pessimistic) is still a
+        # reportable number; never leave the child without a metric.
+        log("[bench] both timed reps failed — falling back to the "
+            f"warm-up measurement ({warmup_scan_s:.2f}s, incl. compile)")
+        scans = [warmup_scan_s]
     steps_s = num_steps / min(scans)
     log(f"[bench] → {steps_s:.1f} steps/s (best of {len(scans)})")
     emit({

@@ -655,8 +655,7 @@ def solve_stencil_system(
         from pde_solver_tpu.parallel.shard import device_mesh
         from pde_solver_tpu.parallel.shard_mg import shard_hierarchy
         from pde_solver_tpu.utils.observability import get_logger
-        mesh_dev = device_mesh(nshard)
-        sharded_mg = (shard_hierarchy(hierarchy, mesh_dev), mesh_dev)
+        sharded_mg = shard_hierarchy(hierarchy, device_mesh(nshard))
         get_logger().info(
             "sharded MG-PCG: V-cycle + domain decomposition over %d devices",
             nshard)
@@ -669,10 +668,8 @@ def solve_stencil_system(
     if prec == "f64":
         if sharded_mg is not None:
             from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
-            h_sh, mesh_dev = sharded_mg
-            xh, k, relres = solve_mg_sharded(h_sh, sysm.b_hat, x0_hat,
-                                             cfg.tol, cfg.mg_maxiter,
-                                             mesh_dev)
+            xh, k, relres = solve_mg_sharded(sharded_mg, sysm.b_hat, x0_hat,
+                                             cfg.tol, cfg.mg_maxiter)
         elif hierarchy is not None:
             from pde_solver_tpu.ops.multigrid import solve_mg
             xh, k, relres = solve_mg(hierarchy, sysm.b_hat, x0_hat,
@@ -694,10 +691,9 @@ def solve_stencil_system(
         tol_used = max(cfg.inner_tol, 1e-7)
         if sharded_mg is not None:
             from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
-            h_sh, mesh_dev = sharded_mg
             xh, k, relres = solve_mg_sharded(
-                h_sh, sysm.b_hat.astype(np.float32),
-                x0_hat.astype(np.float32), tol_used, cfg.mg_maxiter, mesh_dev)
+                sharded_mg, sysm.b_hat.astype(np.float32),
+                x0_hat.astype(np.float32), tol_used, cfg.mg_maxiter)
         elif sharded is not None:
             xh, k, relres = sharded.solve(x0=x0_hat.astype(np.float32),
                                           tol=tol_used, maxiter=maxiter)
@@ -759,11 +755,10 @@ def solve_stencil_system(
             # refinement loop: sharded V-cycle-preconditioned f32 inner
             # solves, true residuals on host.
             from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
-            h_sh, mesh_dev = sharded_mg
 
             def inner_solve(r32):
-                return solve_mg_sharded(h_sh, r32, None, cfg.mg_inner_tol,
-                                        cfg.mg_maxiter, mesh_dev)
+                return solve_mg_sharded(sharded_mg, r32, None,
+                                        cfg.mg_inner_tol, cfg.mg_maxiter)
         elif sharded is not None:
             def inner_solve(r32):
                 return sharded.solve(b_hat=r32, tol=cfg.inner_tol,

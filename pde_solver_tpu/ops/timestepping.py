@@ -258,6 +258,12 @@ def run_transient(
         sh_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
         get_logger().info("sharded transient scan: %d devices, %d steps",
                           nshard, int(num_steps))
+        if cfg.transient_checkpoint_every > 0:
+            get_logger().warning(
+                "transient_checkpoint_every=%d is not supported on the "
+                "sharded scan path (shard_devices=%d) — running without "
+                "mid-solve checkpoints", cfg.transient_checkpoint_every,
+                nshard)
         scan = ShardedThetaScan(sysm, B_list, free_np, Ag_np,
                                 dt * np.asarray(b_source_np, np.float64),
                                 u0_np.shape, d, vdim, device_mesh(nshard),
@@ -329,17 +335,6 @@ def run_transient(
         jnp.asarray(u0_np, dtype=state_dtype))
     tail = (maxiter, refine, d, vdim, prec, snap32, h_struct, level_arrays)
 
-    if cfg.transient_checkpoint_every > 0:
-        import hashlib
-        hsh = hashlib.blake2b(digest_size=12)
-        hsh.update(repr((mesh.node_shape, vdim, float(dt), float(theta),
-                         int(cfg.transient_checkpoint_every))).encode())
-        for arr in (u0_np, b_source_np, scaled[0]):
-            hsh.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
-        return _run_transient_checkpointed(
-            scan_args, tail, inner_tol, int(num_steps), cfg, dt, u0_np,
-            state_dtype, setup_s, hsh.hexdigest())
-
     # Snapshot thinning: the stacked [Nt][N] trajectory is the HBM hazard
     # for long transients at multi-M DOF (SURVEY §7 "hard parts").  When
     # the dense trajectory would exceed the budget, keep every k-th frame
@@ -351,6 +346,26 @@ def run_transient(
         snap_every = max(1, -(-int(num_steps) // cfg.snapshot_max_frames))
     elif num_steps * snap_bytes > cfg.snapshot_budget_bytes:
         snap_every = -(-(num_steps * snap_bytes) // cfg.snapshot_budget_bytes)
+
+    if cfg.transient_checkpoint_every > 0:
+        # Content key covers EVERYTHING that determines the trajectory:
+        # both operators (A scaled + lift, B), BC data, initial state,
+        # source, and the numerics config (precision/tolerance/refine) —
+        # a checkpoint from a run with different boundary values or a
+        # different precision mode must never be resumed (distinct key).
+        # num_steps is deliberately excluded so a longer target continues
+        # a shorter/killed run.
+        import hashlib
+        hsh = hashlib.blake2b(digest_size=12)
+        hsh.update(repr((mesh.node_shape, vdim, float(dt), float(theta),
+                         prec, float(inner_tol), int(refine), bool(snap32),
+                         int(maxiter))).encode())
+        for arr in ((u0_np, b_source_np, gvals, Ag_np, free_np)
+                    + tuple(scaled) + tuple(B_list)):
+            hsh.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
+        return _run_transient_checkpointed(
+            scan_args, tail, inner_tol, int(num_steps), cfg, dt, u0_np,
+            state_dtype, setup_s, hsh.hexdigest(), snap_every)
 
     if snap_every <= 1:
         snaps, iters, res = _transient_scan(
@@ -394,26 +409,41 @@ _CKPT_TEST_ABORT = 0  # tests: raise after N chunk checkpoints (0 = off)
 
 
 def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
-                                dt, u0_np, state_dtype, setup_s,
-                                key: str) -> TransientResult:
+                                dt, u0_np, state_dtype, setup_s, key: str,
+                                snap_every: int = 1) -> TransientResult:
     """Host-chunked scan with atomic carry+trajectory checkpoints.
 
     Every ``transient_checkpoint_every`` steps the scan carry and the
     accumulated snapshots persist to ``checkpoint_dir`` (tmp+rename).  A
-    re-run of the same problem (content-keyed on u0/source/operator — NOT
-    on num_steps, so a longer target continues a shorter/killed run)
-    resumes from the last completed chunk; on completion the checkpoint is
-    removed.  Chunking does not change the per-step arithmetic — the final
-    trajectory is bitwise what the single fused scan produces.
+    re-run of the same problem (content-keyed on the full operator/BC/
+    state/config content — NOT on num_steps, so a longer target continues
+    a shorter/killed run) resumes from the last completed chunk; on
+    completion the checkpoint is removed.  Chunking does not change the
+    per-step arithmetic — the trajectory is bitwise what the equivalent
+    thinned scan produces.
+
+    Snapshot thinning applies INSIDE the chunks (``snap_every``, computed
+    by run_transient from the same budget as the plain path), so both the
+    host trajectory and the rewritten checkpoint stay bounded by the
+    snapshot budget instead of growing O(num_steps) — each stored frame
+    carries its global step index so resumes with a different thinning
+    cadence (num_steps changed → snap_every changed) stay consistent.
     """
     import os
     import tempfile
     import time as _time
 
+    from pde_solver_tpu.utils.observability import get_logger
+
     t_scan = _time.perf_counter()
-    every = cfg.transient_checkpoint_every
+    snap_every = max(1, int(snap_every))
+    # chunk length: the checkpoint cadence rounded up to a whole number of
+    # snapshot intervals, so every chunk boundary is a stored frame.
+    every = max(int(cfg.transient_checkpoint_every), snap_every)
+    every = -(-every // snap_every) * snap_every
     path = os.path.join(cfg.checkpoint_dir, f"transient-{key}.npz")
     frames = [np.asarray(u0_np, dtype=np.float64)[None]]
+    snap_steps = []          # global step index of each stored frame (no u0)
     start = 0
     iters_acc = 0
     res_acc = 0.0
@@ -422,36 +452,53 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
         try:
             with np.load(path) as z:
                 snaps_prev = z["snaps"]
+                steps_prev = [int(t) for t in z["snap_steps"]]
                 start = int(z["step"])
                 iters_acc = int(z["iters"])
                 res_acc = float(z["res"])
                 u_cur = jnp.asarray(z["carry"], dtype=state_dtype)
-            frames.append(snaps_prev.astype(np.float64))
-            from pde_solver_tpu.utils.observability import get_logger
-            get_logger().info("transient resume: step %d/%d from %s",
-                              start, num_steps, path)
+            if start > num_steps:
+                # The checkpoint is AHEAD of this (shorter) request: the
+                # stored carry can't produce u(num_steps), so recompute
+                # from scratch — resuming would return a trajectory longer
+                # than the times axis (inconsistent result shapes).
+                get_logger().warning(
+                    "transient checkpoint at step %d exceeds requested "
+                    "num_steps=%d — recomputing from step 0", start,
+                    num_steps)
+                start, iters_acc, res_acc = 0, 0, 0.0
+                u_cur = scan_args[-1]
+            else:
+                frames.append(snaps_prev.astype(np.float64))
+                snap_steps.extend(steps_prev)
+                get_logger().info("transient resume: step %d/%d from %s",
+                                  start, num_steps, path)
         except Exception:
             frames = [np.asarray(u0_np, dtype=np.float64)[None]]
+            snap_steps = []
             start, iters_acc, res_acc = 0, 0, 0.0
             u_cur = scan_args[-1]
     chunks_done = 0
-    while start < num_steps:
-        n = min(every, num_steps - start)
-        snaps, k, res = _transient_scan(*scan_args[:-1], u_cur, inner_tol,
-                                        n, *tail)
-        snaps_np = np.asarray(snaps)
-        frames.append(snaps_np.astype(np.float64))
-        u_cur = snaps[-1].astype(state_dtype)
+    main = start + ((num_steps - start) // snap_every) * snap_every
+    while start < main:
+        n = min(every, main - start)
+        snaps, u_f, k, res = _transient_scan_thinned(
+            *scan_args[:-1], u_cur, inner_tol, n, *tail, snap_every)
+        frames.append(np.asarray(snaps, dtype=np.float64))
+        snap_steps.extend(start + snap_every * (j + 1)
+                          for j in range(n // snap_every))
+        u_cur = u_f.astype(state_dtype)
         iters_acc += int(k)
         res_acc = max(res_acc, float(res))
         start += n
-        # atomic checkpoint: carry + every snapshot so far
+        # atomic checkpoint: carry + the (thinned, budget-bounded) frames
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cfg.checkpoint_dir, suffix=".tmp.npz")
         os.close(fd)
         all_snaps = np.concatenate([f for f in frames[1:]], axis=0)
         np.savez(tmp, snaps=all_snaps.astype(
             np.float32 if tail[5] else np.float64),
+            snap_steps=np.asarray(snap_steps, np.int64),
             carry=np.asarray(u_cur), step=start, iters=iters_acc,
             res=res_acc)
         os.replace(tmp, path)
@@ -459,12 +506,22 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
         if _CKPT_TEST_ABORT and chunks_done >= _CKPT_TEST_ABORT \
                 and start < num_steps:
             raise RuntimeError("checkpoint test abort")
+    rem = num_steps - start
+    if rem > 0:
+        # final sub-interval (num_steps not divisible by snap_every): step
+        # to the end and keep only the final state, like the plain path.
+        snaps2, k2, res2 = _transient_scan(*scan_args[:-1],
+                                           u_cur, inner_tol, rem, *tail)
+        frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
+        snap_steps.append(num_steps)
+        iters_acc += int(k2)
+        res_acc = max(res_acc, float(res2))
     try:
         os.remove(path)  # run complete — the artifact model takes over
     except OSError:
         pass
     values = np.concatenate(frames, axis=0)
-    times = dt * np.arange(num_steps + 1, dtype=np.float64)
+    times = dt * np.asarray([0] + snap_steps, dtype=np.float64)
     return TransientResult(values=values, times=times,
                            total_cg_iterations=iters_acc,
                            max_relative_residual=res_acc,

@@ -278,5 +278,7 @@ def shard_hierarchy(h: mg.MGHierarchy, mesh_dev: Mesh) -> ShardedMGSolver:
 
 
 def solve_mg_sharded(solver: ShardedMGSolver, b_hat, x0_hat, tol: float,
-                     maxiter: int, mesh_dev: Mesh = None):
+                     maxiter: int):
+    """The solver is bound to its device mesh at construction
+    (ShardedMGSolver.__init__) — there is no per-call mesh override."""
     return solver.solve(np.asarray(b_hat), x0_hat, tol=tol, maxiter=maxiter)

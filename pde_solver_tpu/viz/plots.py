@@ -39,6 +39,14 @@ def _frame_indices(nt: int, cap: int = _MAX_3D_FRAMES) -> np.ndarray:
     return np.arange(nt)
 
 
+def _axis_res(coord: np.ndarray, cap: int = 200) -> int:
+    """Resampling-grid points along one axis: the distinct-coordinate
+    count (exact on tensor grids), capped so curvilinear embeddings —
+    where a spanning coordinate is a product with ~N distinct values
+    (spherical x = r·sinθ) — get a plot-sized grid, not an ~N×N one."""
+    return int(min(max(len(np.unique(coord)), 2), cap))
+
+
 def _volume_trace(Xi, Yi, Zi, value, vmin, vmax, field_name, unit,
                   opacity=0.3, surface_count=7) -> Dict[str, Any]:
     return {
@@ -226,8 +234,13 @@ def plot_time_series_field(
         b = domain_bounds or {}
         x_min = b.get("x_min", float(x2.min())); x_max = b.get("x_max", float(x2.max()))
         y_min = b.get("y_min", float(y2.min())); y_max = b.get("y_max", float(y2.max()))
-        xi = np.linspace(x_min, x_max, len(np.unique(x2)))
-        yi = np.linspace(y_min, y_max, len(np.unique(y2)))
+        # Resolution: the count of distinct coordinates reproduces tensor
+        # grids exactly, but curvilinear embeddings make the spanning
+        # coordinate a PRODUCT (spherical x = r·sinθ has ~N distinct
+        # values) — cap the axis resolution so the interpolation grid
+        # stays ~plot-sized instead of ~N×N.
+        xi = np.linspace(x_min, x_max, _axis_res(x2))
+        yi = np.linspace(y_min, y_max, _axis_res(y2))
         Xi, Yi = np.meshgrid(xi, yi)
         resampler = FieldResampler(np.column_stack([x2, y2]))
         grids = resampler(values_arr, np.column_stack([Xi.flatten(), Yi.flatten()]))
@@ -266,9 +279,9 @@ def plot_time_series_field(
         }
 
     else:  # dim == 3 box
-        xi = np.linspace(float(x.min()), float(x.max()), len(np.unique(x)))
-        yi = np.linspace(float(y.min()), float(y.max()), len(np.unique(y)))
-        zi = np.linspace(float(z.min()), float(z.max()), len(np.unique(z)))
+        xi = np.linspace(float(x.min()), float(x.max()), _axis_res(x, 40))
+        yi = np.linspace(float(y.min()), float(y.max()), _axis_res(y, 40))
+        zi = np.linspace(float(z.min()), float(z.max()), _axis_res(z, 40))
         Xi, Yi, Zi = np.meshgrid(xi, yi, zi, indexing="ij")
         resampler = FieldResampler(coords_arr)
         query = np.column_stack([Xi.flatten(), Yi.flatten(), Zi.flatten()])
