@@ -536,9 +536,17 @@ def bench_flagship():
         lv0 = h.levels[0]
         if lv0.host_weights is not None:
             lv_host = lv0
-        else:  # CS disk rebuild carries (hi, lo) pairs, not f64 weights
+        elif lv0.host_pairs is not None:
             w64 = [np.asarray(hi, np.float64) + np.asarray(lo)
                    for hi, lo in zip(*lv0.host_pairs)]
+            lv_host = lv0._replace(host_weights=w64)
+        else:  # CS disk rebuild carries the compact split, not f64 weights
+            wc_hi, wc_lo, shi, slo = lv0.host_cs
+            ns = tuple(int(s) for s in lv0.free.shape[:3])
+            hi = mg._expand_cs_np(wc_hi, shi, ns, 3)
+            lo = mg._expand_cs_np(wc_lo, slo, ns, 3)
+            w64 = [hi[k].astype(np.float64) + lo[k]
+                   for k in range(hi.shape[0])]
             lv_host = lv0._replace(host_weights=w64)
         b64 = np.asarray(sysm.b_hat, np.float64)
         bnorm = max(float(np.linalg.norm(b64.reshape(-1))), 1e-300)

@@ -146,6 +146,16 @@ class MGLevel(NamedTuple):
     # rebuild path so build_df_ladder skips the df split (the pair IS what
     # the ladder uploads; splitting hi+lo again reproduces it bit-exactly).
     host_pairs: Optional[tuple] = None
+    # Constant-interior split of the (hi, lo) pair, numpy:
+    # (wc_hi, wc_lo, [slab_hi per face], [slab_lo per face]).  Populated for
+    # translation-invariant levels; build_df_ladder uploads THIS (a few
+    # hundred scalars + thickness-2 face slabs) instead of dense pairs —
+    # ~650 MB less tunnel traffic at the 2M-DOF flagship fine level.
+    host_cs: Optional[tuple] = None
+    # Dense per-offset DEVICE (Whi, Wlo) tuples produced by the fused CS
+    # expansion program (`_flat_op_from_cs_dev`) — build_df_ladder consumes
+    # these directly so the pair is expanded ONCE per process.
+    dev_pairs: Optional[tuple] = None
 
     @property
     def w_smooth(self):
@@ -393,6 +403,7 @@ def _hierarchy_to_arrays(h: MGHierarchy):
     shapes = []
     cs_flags = []
     all_pairs = []
+    all_cs = []
     scale_kind = "scalar" if h.levels[0].s is not None else "block"
     for i, lv in enumerate(h.levels):
         cs = _cs_split_np(lv.host_weights, h.grid_dim)
@@ -401,12 +412,16 @@ def _hierarchy_to_arrays(h: MGHierarchy):
             wc_hi, wc_lo = df32.df_from_f64(wc64)
             arrays[f"cswchi{i}"] = wc_hi
             arrays[f"cswclo{i}"] = wc_lo
+            shi_l, slo_l = [], []
             for f, slab in enumerate(slabs64):
                 shi, slo = df32.df_from_f64(slab)
                 arrays[f"csshi{i}_{f}"] = shi
                 arrays[f"csslo{i}_{f}"] = slo
+                shi_l.append(shi)
+                slo_l.append(slo)
             cs_flags.append(True)
             all_pairs.append(None)
+            all_cs.append((wc_hi, wc_lo, shi_l, slo_l))
         else:
             if lv.host_pairs is not None:
                 his, los = lv.host_pairs
@@ -417,6 +432,7 @@ def _hierarchy_to_arrays(h: MGHierarchy):
                     his.append(hi)
                     los.append(lo)
             all_pairs.append((list(his), list(los)))
+            all_cs.append(None)
             arrays[f"hi{i}"] = np.stack(his)
             arrays[f"lo{i}"] = np.stack(los)
             cs_flags.append(False)
@@ -435,7 +451,7 @@ def _hierarchy_to_arrays(h: MGHierarchy):
             "vdim": h.vdim, "pre": h.pre_smooth, "post": h.post_smooth,
             "coarse_iters": h.coarse_iters, "scale_kind": scale_kind,
             "omegas": omegas, "node_shapes": shapes, "cs": cs_flags}
-    return arrays, meta, all_pairs
+    return arrays, meta, all_pairs, all_cs
 
 
 def _expand_cs_np(wc: np.ndarray, slabs, node_shape, grid_dim: int
@@ -452,12 +468,86 @@ def _expand_cs_np(wc: np.ndarray, slabs, node_shape, grid_dim: int
     return W
 
 
+def _expand_cs_traced(wc, slabs, node_shape, grid_dim):
+    """Trace-time CS→dense expansion (shared by the fused device programs):
+    broadcast the constant interior, overwrite the exact face slabs
+    (contiguous-slice scatters only).  Bit-identical to `_expand_cs_np`."""
+    n_off = wc.shape[0]
+    tail = wc.shape[1:]
+    W = jnp.broadcast_to(
+        wc.reshape((n_off,) + (1,) * grid_dim + tuple(tail)),
+        (n_off,) + tuple(node_shape) + tuple(tail))
+    for f, slab in enumerate(slabs):
+        W = W.at[_cs_face_index(node_shape, grid_dim, f)].set(slab)
+    return W
+
+
+@partial(jax.jit, static_argnames=("node_shape", "grid_dim", "n_pad",
+                                   "n_rows", "want_bf16"))
+def _jit_cs_level_arrays(wc_hi, wc_lo, slabs_hi, slabs_lo, node_shape,
+                         grid_dim, n_pad, n_rows, want_bf16):
+    """ONE fused device program per big CS level: expand the (hi, lo) pair,
+    flat-pack the hi part into the Pallas ``[n_off·v², n_rows, 128]``
+    weight layout (+ optional bf16 smoother copy), and split both parts
+    into the per-offset dense tuples the df ladder consumes.  Pure data
+    movement — every output is bit-identical to the host expand/pack —
+    but one remote XLA compile instead of four, and ~75 MB of slab upload
+    instead of ~740 MB of dense grids at the flagship fine level."""
+    Whi = _expand_cs_traced(wc_hi, slabs_hi, node_shape, grid_dim)
+    Wlo = _expand_cs_traced(wc_lo, slabs_lo, node_shape, grid_dim)
+    n_off = wc_hi.shape[0]
+    tail = wc_hi.shape[1:]
+    N = int(np.prod(node_shape))
+    if tail:
+        v = int(tail[0])
+        Wm = Whi.reshape(n_off, N, v, v).transpose(0, 2, 3, 1) \
+                .reshape(n_off * v * v, N)
+    else:
+        Wm = Whi.reshape(n_off, N)
+    Wm = jnp.pad(Wm, ((0, 0), (0, n_pad - N)))
+    Wf = Wm.reshape(-1, n_rows, 128)
+    Wf_lo = Wf.astype(jnp.bfloat16) if want_bf16 else None
+    return (Wf, Wf_lo, tuple(Whi[k] for k in range(n_off)),
+            tuple(Wlo[k] for k in range(n_off)))
+
+
+def _flat_op_from_cs_dev(offsets, cs_np, node_shape, grid_dim, vdim,
+                         want_bf16=False):
+    """FlatStencilOperator (+ bf16 variant + dense device (hi, lo) pair
+    tuples for the df ladder) produced ON DEVICE from the CS split — the
+    host never materializes the dense weights."""
+    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+
+    wc_hi, wc_lo, slabs_hi, slabs_lo = cs_np
+    op = FlatStencilOperator.__new__(FlatStencilOperator)
+    op._init_meta(offsets, node_shape, vdim)
+    Wf, Wf_lo, Whi, Wlo = _jit_cs_level_arrays(
+        jnp.asarray(wc_hi), jnp.asarray(wc_lo),
+        tuple(jnp.asarray(s) for s in slabs_hi),
+        tuple(jnp.asarray(s) for s in slabs_lo),
+        tuple(node_shape), grid_dim, op.n_pad, op.n_rows, bool(want_bf16))
+    op.Wf = Wf
+    w_lo = None
+    if Wf_lo is not None:
+        # same meta, the fused program's bf16 copy as weights (avoids the
+        # separate device cast as_weight_dtype would dispatch)
+        w_lo = FlatStencilOperator.__new__(FlatStencilOperator)
+        w_lo._init_meta(offsets, node_shape, vdim)
+        w_lo.Wf = Wf_lo
+    return op, w_lo, (Whi, Wlo)
+
+
 def _level_from_disk_cs(ent, i: int, meta, dtype, use_pallas: bool
                         ) -> MGLevel:
-    """Rebuild one CS-stored level: tiny disk reads, host numpy expansion
-    (no per-process remote compiles — a device-side expansion was measured
-    paying ~12 small remote XLA compiles per fresh bench process), then one
-    packed f32 upload; the bf16 smoother variant is a device-side cast."""
+    """Rebuild one CS-stored level: tiny disk reads, then either (big
+    levels) ONE fused device program that expands the (hi, lo) pair,
+    flat-packs the Pallas weights (+ bf16 copy) and hands the dense pair
+    to the df ladder via ``dev_pairs`` — a few MB of slab upload instead
+    of hundreds of MB dense — or (small levels) host numpy expansion of
+    the hi part with a packed f32 upload, the lo part riding along in CS
+    form (``host_cs``) for the ladder.  One remote compile per big level
+    per process; at the flagship shape that trade wins ~10 s of tunnel
+    upload per ~1 compile."""
     from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
                                                    pallas_wins)
     import os as _os
@@ -469,33 +559,51 @@ def _level_from_disk_cs(ent, i: int, meta, dtype, use_pallas: bool
     n_off = len(offsets)
     slabs_hi = [ent[f"csshi{i}_{f}"] for f in range(2 * grid_dim)]
     slabs_lo = [ent[f"csslo{i}_{f}"] for f in range(2 * grid_dim)]
-    hi_grid = _expand_cs_np(ent[f"cswchi{i}"], slabs_hi, node_shape, grid_dim)
-    lo_grid = _expand_cs_np(ent[f"cswclo{i}"], slabs_lo, node_shape, grid_dim)
+    # the (hi, lo) parts stay in CS form (host_cs) — the df ladder expands
+    # them on device, so no 370 MB host expansion / dense pair upload.
+    cs_np = (ent[f"cswchi{i}"], ent[f"cswclo{i}"], slabs_hi, slabs_lo)
     free = jnp.asarray(ent[f"free{i}"], dtype=dtype)
     n_dof = int(np.prod(node_shape)) * vdim
+    dense_bytes = 4 * n_off * int(np.prod(node_shape)) * vdim * vdim
 
     w_lo = None
+    dev_pairs = None
+    want_bf16 = _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") \
+        not in ("0", "off")
     if use_pallas and dtype == jnp.float32 and pallas_wins(n_dof, vdim):
-        w = FlatStencilOperator(offsets, list(hi_grid), node_shape, vdim=vdim)
-        if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
-            w_lo = w.as_weight_dtype(jnp.bfloat16)
+        if 2 * dense_bytes >= _CS_LADDER_MIN_BYTES:
+            # big level: ONE fused program expands the (hi, lo) pair on
+            # device, flat-packs the hi part (+ bf16 smoother copy) and
+            # hands the dense pair to the df ladder — ~50 MB of slab
+            # upload instead of ~370 MB dense
+            w, w_lo, dev_pairs = _flat_op_from_cs_dev(
+                offsets, cs_np, node_shape, grid_dim, vdim,
+                want_bf16=want_bf16)
+        else:
+            hi_grid = _expand_cs_np(cs_np[0], slabs_hi, node_shape,
+                                    grid_dim)
+            w = FlatStencilOperator(offsets, list(hi_grid), node_shape,
+                                    vdim=vdim)
+            if want_bf16:
+                w_lo = w.as_weight_dtype(jnp.bfloat16)
     else:
+        hi_grid = _expand_cs_np(cs_np[0], slabs_hi, node_shape, grid_dim)
         w = tuple(jnp.asarray(hi_grid[k], dtype=dtype) for k in range(n_off))
-    pairs = ([hi_grid[k] for k in range(n_off)],
-             [lo_grid[k] for k in range(n_off)])
     omega = float(meta["omegas"][i])
     if meta["scale_kind"] == "scalar":
         s_np = ent[f"s{i}"]
         return MGLevel(offsets, w, free, omega,
                        jnp.asarray(s_np, dtype=dtype), None, None,
                        host_weights=None, host_scale=(s_np,),
-                       w_lo=w_lo, host_pairs=pairs)
+                       w_lo=w_lo, host_pairs=None, host_cs=cs_np,
+                       dev_pairs=dev_pairs)
     C_np, Cinv_np = ent[f"C{i}"], ent[f"Cinv{i}"]
     return MGLevel(offsets, w, free, omega, None,
                    jnp.asarray(C_np, dtype=dtype),
                    jnp.asarray(Cinv_np, dtype=dtype),
                    host_weights=None, host_scale=(C_np, Cinv_np),
-                   w_lo=w_lo, host_pairs=pairs)
+                   w_lo=w_lo, host_pairs=None, host_cs=cs_np,
+                   dev_pairs=dev_pairs)
 
 
 def _hierarchy_from_arrays_disk(ent, dtype, use_pallas=True) -> MGHierarchy:
@@ -580,11 +688,12 @@ def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
                         dtype=dtype, use_pallas=use_pallas, **kw)
     if h is not None and cacheable:
         t0 = _time.perf_counter()
-        arrays, meta, all_pairs = _hierarchy_to_arrays(h)
-        # attach the freshly-split pairs so build_df_ladder in THIS process
-        # skips its own df split too
+        arrays, meta, all_pairs, all_cs = _hierarchy_to_arrays(h)
+        # attach the freshly-split pairs/CS forms so build_df_ladder in THIS
+        # process skips its own df split too
         h = h._replace(levels=tuple(
-            lv._replace(host_pairs=p) for lv, p in zip(h.levels, all_pairs)))
+            lv._replace(host_pairs=p, host_cs=c)
+            for lv, p, c in zip(h.levels, all_pairs, all_cs)))
         diskcache.store("mgh", (cache_key, vdim), arrays, meta)
         get_logger().info("hierarchy disk-cache store (%.2fs)",
                           _time.perf_counter() - t0)
@@ -1118,17 +1227,79 @@ class DFLadder(NamedTuple):
     free32: Tuple[jnp.ndarray, ...]
 
 
+# Dense-pair size above which a translation-invariant level uploads its
+# constant-interior split (a few hundred scalars + thickness-2 face slabs)
+# and expands to the dense (hi, lo) pair ON DEVICE: at the 2M-DOF flagship
+# fine level that is ~100 MB over a ~85 MB/s tunnel instead of ~740 MB.
+# The solve programs see exactly the dense pair either way — the CS form
+# never enters them (a CS defect inside the fused F-cycle round was
+# measured inflating its XLA compile by ~10×, same as the CSOp smoother
+# experiment in BENCH_NOTES).  Below the threshold the direct dense upload
+# costs less than an extra compile.
+_CS_LADDER_MIN_BYTES = 32 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("node_shape", "grid_dim"))
+def _expand_cs_pair_dev(wc_hi, wc_lo, slabs_hi, slabs_lo, node_shape,
+                        grid_dim):
+    """Device CS→dense expansion of an (hi, lo) weight pair: broadcast the
+    constant interior, overwrite the exact face slabs (contiguous-slice
+    scatters only), split per offset.  Bit-identical to the host expansion
+    `_expand_cs_np` — pure data movement, no arithmetic."""
+    def expand(wc, slabs):
+        n_off = wc.shape[0]
+        tail = wc.shape[1:]
+        W = jnp.broadcast_to(
+            wc.reshape((n_off,) + (1,) * grid_dim + tail),
+            (n_off,) + tuple(node_shape) + tuple(tail))
+        for f, slab in enumerate(slabs):
+            W = W.at[_cs_face_index(node_shape, grid_dim, f)].set(slab)
+        return tuple(W[k] for k in range(n_off))
+
+    return expand(wc_hi, slabs_hi), expand(wc_lo, slabs_lo)
+
+
 def build_df_ladder(h: MGHierarchy, sysm, b_hat: np.ndarray) -> DFLadder:
     from pde_solver_tpu.ops import df32
 
     Whis, Wlos, scales, frees = [], [], [], []
     for lv in h.levels:
-        if lv.host_pairs is not None:
+        node_shape = tuple(int(s) for s in lv.free.shape[:h.grid_dim])
+        dense_bytes = (2 * 4 * len(lv.offsets) * int(np.prod(node_shape))
+                       * h.vdim * h.vdim)
+        cs_np = lv.host_cs
+        if cs_np is None and dense_bytes >= _CS_LADDER_MIN_BYTES \
+                and lv.host_weights is not None and lv.host_pairs is None:
+            cs = _cs_split_np(lv.host_weights, h.grid_dim)
+            if cs is not None:
+                wc64, slabs64 = cs
+                cs_np = (df32.df_from_f64(wc64)
+                         + tuple(zip(*(df32.df_from_f64(s)
+                                       for s in slabs64))))
+        if lv.dev_pairs is not None:
+            # the fused CS level program already expanded the pair on device
+            Whi, Wlo = lv.dev_pairs
+        elif cs_np is not None and dense_bytes >= _CS_LADDER_MIN_BYTES:
+            wc_hi, wc_lo, slabs_hi, slabs_lo = cs_np
+            Whi, Wlo = _expand_cs_pair_dev(
+                jnp.asarray(wc_hi), jnp.asarray(wc_lo),
+                tuple(jnp.asarray(s) for s in slabs_hi),
+                tuple(jnp.asarray(s) for s in slabs_lo),
+                node_shape, h.grid_dim)
+        elif lv.host_pairs is not None:
             # disk-cache path: the (hi, lo) split is already on hand
             Whi = tuple(jnp.asarray(a) for a in lv.host_pairs[0])
             Wlo = tuple(jnp.asarray(a) for a in lv.host_pairs[1])
-        else:
+        elif lv.host_weights is not None:
             Whi, Wlo = df32.pack_df_weights(lv.host_weights)
+        else:
+            # CS-only level below the threshold: host-expand the pair
+            # (small arrays — the threshold keeps this cheap)
+            wc_hi, wc_lo, slabs_hi, slabs_lo = cs_np
+            hi = _expand_cs_np(wc_hi, slabs_hi, node_shape, h.grid_dim)
+            lo = _expand_cs_np(wc_lo, slabs_lo, node_shape, h.grid_dim)
+            Whi = tuple(jnp.asarray(a) for a in hi)
+            Wlo = tuple(jnp.asarray(a) for a in lo)
         Whis.append(Whi)
         Wlos.append(Wlo)
         scales.append(tuple(jnp.asarray(S, dtype=jnp.float32)
