@@ -58,24 +58,83 @@ def _element_gradients(mesh: StructuredMesh, u_grid: np.ndarray) -> np.ndarray:
     return out
 
 
+def _vm_from_gradients(G, xp, d: int, lam: float, mu: float):
+    """von Mises (stress, strain) from per-element gradients; ``xp`` is
+    numpy or jax.numpy — the formulas are shared by the host and device
+    paths so they can't drift apart."""
+    eps = 0.5 * (G + xp.swapaxes(G, -1, -2))
+    tr = xp.trace(eps, axis1=-2, axis2=-1)
+    eye = xp.eye(d, dtype=G.dtype)
+    sig = lam * tr[..., None, None] * eye + 2.0 * mu * eps
+    eps_dev = eps - (tr / 3.0)[..., None, None] * eye
+    sig_tr = xp.trace(sig, axis1=-2, axis2=-1)
+    sig_dev = sig - (sig_tr / 3.0)[..., None, None] * eye
+    vm_stress = xp.sqrt(1.5 * xp.sum(sig_dev * sig_dev, axis=(-2, -1)))
+    vm_strain = xp.sqrt((2.0 / 3.0) * xp.sum(eps_dev * eps_dev,
+                                             axis=(-2, -1)))
+    return vm_stress, vm_strain
+
+
+def _von_mises_device(mesh: StructuredMesh, u_grid: np.ndarray, lam: float,
+                      mu: float) -> Tuple[np.ndarray, np.ndarray]:
+    """f32 device evaluation of the von Mises fields: the element-gradient
+    stencil is shifted slices + outer products (VPU work, no MXU
+    contraction → no bf16-pass hazard), one jitted program.  Used for big
+    TPU solves where the host numpy path pushes GBs of temporaries through
+    one core (measured 11-18 s at 2M DOF vs ~1 s here)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    d = mesh.dim
+    deltas = tuple(tuple(tuple(int(x) for x in delta) for delta in sub)
+                   for sub in mesh.subelems)
+    grads = np.stack([subelem_geometry(mesh, t, 0).grads
+                      for t in range(len(mesh.subelems))]).astype(np.float32)
+
+    @partial(jax.jit, static_argnames=("cell_shape", "dd", "deltas"))
+    def vm_prog(u, g, lam32, mu32, cell_shape, dd, deltas):
+        parts = []
+        for t, sub in enumerate(deltas):
+            Gt = jnp.zeros(cell_shape + (dd, dd), jnp.float32)
+            for a, delta in enumerate(sub):
+                region = tuple(slice(x, x + n)
+                               for x, n in zip(delta, cell_shape))
+                Gt = Gt + u[region][..., :, None] * g[t, a][None, :]
+            parts.append(Gt)
+        G = jnp.stack(parts)
+        return _vm_from_gradients(G, jnp, dd, lam32, mu32)
+
+    vm_s, vm_e = vm_prog(jnp.asarray(u_grid, jnp.float32),
+                         jnp.asarray(grads), np.float32(lam),
+                         np.float32(mu), tuple(mesh.cell_shape), d, deltas)
+    return np.asarray(vm_s), np.asarray(vm_e)
+
+
+# DOF count above which the von Mises evaluation runs on the TPU in f32
+# (below it, or on CPU, the f64 host path keeps reference-grade parity).
+_VM_DEVICE_MIN_SIZE = 1_000_000
+
+
 def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: float
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-sub-element von Mises (stress, strain) using the J2 deviator with
     a 1/3·tr convention on the d×d tensors — exactly the reference formulas
     (fenics_mcp_server.py:1694-1711, :1848-1859, including using the in-plane
-    2×2 tensor with the 3D 1/3 factor in 2D)."""
+    2×2 tensor with the 3D 1/3 factor in 2D).
+
+    Host f64 numpy by default; very large TPU solves evaluate on device in
+    f32 (visualization/summary-grade — relative error ~1e-7)."""
+    if u_grid.size >= _VM_DEVICE_MIN_SIZE:
+        import jax
+        if jax.default_backend() == "tpu":
+            try:
+                return _von_mises_device(mesh, u_grid, lam, mu)
+            except Exception as e:  # fall back to the exact host path
+                get_logger().warning("device von Mises failed (%s)", e)
     d = mesh.dim
     G = _element_gradients(mesh, u_grid)               # [n_sub, *cells, d, d]
-    eps = 0.5 * (G + np.swapaxes(G, -1, -2))
-    tr = np.trace(eps, axis1=-2, axis2=-1)
-    eye = np.eye(d)
-    sig = lam * tr[..., None, None] * eye + 2.0 * mu * eps
-    eps_dev = eps - (tr / 3.0)[..., None, None] * eye
-    sig_tr = np.trace(sig, axis1=-2, axis2=-1)
-    sig_dev = sig - (sig_tr / 3.0)[..., None, None] * eye
-    vm_stress = np.sqrt(1.5 * np.sum(sig_dev * sig_dev, axis=(-2, -1)))
-    vm_strain = np.sqrt((2.0 / 3.0) * np.sum(eps_dev * eps_dev, axis=(-2, -1)))
-    return vm_stress, vm_strain
+    return _vm_from_gradients(G, np, d, lam, mu)
 
 
 # ----------------------------------------------------------------------

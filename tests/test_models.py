@@ -375,3 +375,22 @@ def test_composite_core_multigrid_matches_plain_cg():
     assert np.abs(v_mg - v_cg).max() < 1e-7 * scale
     # MG must actually help: far fewer iterations than plain CG
     assert info_mg["cg_iterations"] < info_cg["cg_iterations"]
+
+
+def test_device_von_mises_matches_host():
+    """The f32 device von Mises path (used for big TPU solves) must match
+    the exact f64 host path to f32 accuracy, 2D and 3D."""
+    from pde_solver_tpu.models import elasticity as el
+
+    rng = np.random.default_rng(3)
+    for mesh, d in ((rectangle_mesh(9, 7, (0, 0), (1.0, 0.7)), 2),
+                    (box_mesh(6, 5, 4, (0, 0, 0), (1.0, 0.8, 0.6)), 3)):
+        u = 1e-3 * rng.standard_normal(mesh.node_shape + (d,))
+        lam, mu = lame_parameters(210e9, 0.3, "3d" if d == 3 else "plane_strain")
+        s_h, e_h = el._vm_from_gradients(
+            el._element_gradients(mesh, u), np, d, lam, mu)
+        s_d, e_d = el._von_mises_device(mesh, u, lam, mu)
+        np.testing.assert_allclose(s_d, s_h, rtol=2e-6,
+                                   atol=2e-6 * float(np.max(s_h)))
+        np.testing.assert_allclose(e_d, e_h, rtol=2e-6,
+                                   atol=2e-6 * float(np.max(e_h)))
