@@ -162,6 +162,46 @@ def warm_channel(attempts=5):
     raise RuntimeError("device channel never came up")
 
 
+def warm_channel_async():
+    """Start the first device→host pull on a BACKGROUND thread.
+
+    Remote compiles and host→device uploads proceed while that first pull
+    is blocked (probed on the live tunnel: a fresh jit compile finished in
+    0.8 s while the warmup transfer was still waiting), so the flagship's
+    setup uploads and the ~160 s fused-round compile overlap the 40-993 s
+    channel warmup instead of following it.  Returns join(timeout) — call
+    it once a pull has to succeed; it logs the overlapped warmup time."""
+    import threading
+    state = {}
+    t0 = time.perf_counter()
+
+    def _run():
+        try:
+            warm_channel()
+            state["dt"] = time.perf_counter() - t0
+        except Exception as e:
+            state["err"] = e
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+
+    def join(timeout=None):
+        th.join(timeout)
+        if th.is_alive():
+            log("[bench] channel warmup still blocked — first real pull "
+                "will synchronize")
+            return False
+        if "err" in state:
+            log(f"[bench] background channel warmup failed: {state['err']} "
+                f"(solve-path retries will re-warm)")
+            return False
+        log(f"[bench] transfer-channel warmup: {state['dt']:.1f}s "
+            f"(overlapped with setup/compile)")
+        return True
+
+    return join
+
+
 def device_retry(fn, what, attempts=3):
     """Run fn(); on transient device/tunnel errors re-warm and retry."""
     for k in range(attempts):
@@ -426,9 +466,7 @@ def bench_flagship():
              "full": (160, 64, 64), "xl": (160, 64, 64)}[scale]
     log(f"[bench] backend={backend} scale={scale} cells={cells}")
 
-    t0 = time.perf_counter()
-    warm_channel()
-    log(f"[bench] transfer-channel warmup: {time.perf_counter() - t0:.1f}s")
+    warm_join = warm_channel_async()
 
     E, nu = 210e9, 0.3
     lam, mu = lame_parameters(E, nu, "3d")
@@ -514,15 +552,22 @@ def bench_flagship():
     log(f"[bench] total pre-solve setup: {setup_s:.1f}s")
 
     bench_tol = float(os.environ.get("PDE_BENCH_TOL", 1e-7))
+    # ‖b̂‖ from the HOST copy: the solver then dispatches its fused round
+    # program without any device→host pull first, so the big compile can
+    # run while the background channel warmup is still blocked.
+    bnorm_host = max(float(np.linalg.norm(
+        np.asarray(sysm.b_hat, np.float64).reshape(-1))), 1e-300)
 
     def solve_df2():
         x_hi, x_lo, iters, relres = mg.solve_fcycle_df2(
-            h, ladder, bench_tol, inner_iters=14, max_rounds=12)
+            h, ladder, bench_tol, inner_iters=14, max_rounds=12,
+            bnorm=bnorm_host)
         return (x_hi, x_lo), iters, relres
 
     def solve_df():
         x_hi, x_lo, iters, relres = mg.solve_fcycle_df(
-            h, ladder, bench_tol, inner_iters=14, max_rounds=12)
+            h, ladder, bench_tol, inner_iters=14, max_rounds=12,
+            bnorm=bnorm_host)
         return (x_hi, x_lo), iters, relres
 
     def solve_mgf32():
@@ -572,8 +617,6 @@ def bench_flagship():
              "mgf32": [("mgf32", solve_mgf32)]}[
         os.environ.get("PDE_BENCH_SOLVER", "df2")]
 
-    worker_health_probe()
-
     from pde_solver_tpu.utils.observability import device_trace
 
     solver_used = None
@@ -587,7 +630,8 @@ def bench_flagship():
             t0 = time.perf_counter()
             x_hat, iters, relres = device_retry(
                 solver, f"{kind} warm-up solve", attempts=3)
-            log(f"[bench] {kind} warm-up solve (incl. jit compile): "
+            log(f"[bench] {kind} warm-up solve (incl. jit compile, "
+                f"overlapping any remaining channel warmup): "
                 f"{time.perf_counter() - t0:.1f}s  iters={iters} "
                 f"relres={relres:.2e}")
         except Exception as e:
@@ -595,6 +639,10 @@ def bench_flagship():
                 f"falling back")
             rewarm_channel()
             continue
+        # warm-up solve pulled scalars → channel is up; collect its timing
+        # line, then gate the TIMED reps on a healthy worker.
+        warm_join(timeout=5)
+        worker_health_probe()
         # timed runs: best of 2 (worker slowdown insurance); keep any
         # successful rep even if the other crashes
         ok = 0

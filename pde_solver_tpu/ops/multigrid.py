@@ -1372,10 +1372,12 @@ def _jit_ascend_df(h_struct, level_arrays, Whi_m, Wlo_m, scale_m, scale_c,
 
 
 def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
-                    inner_iters: int = 14, max_rounds: int = 10):
+                    inner_iters: int = 14, max_rounds: int = 10,
+                    bnorm: Optional[float] = None):
     """Double-float32 F-cycle rounds; float32-only on device.
 
-    Returns (x_hi, x_lo, iters, relres); convert with ``df32.df_to_f64``."""
+    Returns (x_hi, x_lo, iters, relres); convert with ``df32.df_to_f64``.
+    ``bnorm``: see :func:`solve_fcycle_df2`."""
     from pde_solver_tpu.ops.df32 import jit_df_residual, jit_df_update
 
     d, vdim = h.grid_dim, h.vdim
@@ -1391,8 +1393,9 @@ def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
         return tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
                       lv.w_lo) for lv in h.levels[m:])
 
-    bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
-                                         ladder.bhi0.reshape(-1)))))
+    if bnorm is None:
+        bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
+                                             ladder.bhi0.reshape(-1)))))
     if bnorm == 0.0:
         z = jnp.zeros_like(ladder.bhi0)
         return z, z, 0, 0.0
@@ -1495,9 +1498,15 @@ def _jit_round_df(h_struct, level_arrays, Whi, Wlo, scale32, free32,
 
 
 def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
-                     inner_iters: int = 14, max_rounds: int = 12):
+                     inner_iters: int = 14, max_rounds: int = 12,
+                     bnorm: Optional[float] = None):
     """Per-round-fused float32 F-cycle: one dispatch + one scalar pull per
-    round.  Returns (x_hi, x_lo, iters, relres)."""
+    round.  Returns (x_hi, x_lo, iters, relres).
+
+    ``bnorm`` (‖b̂‖, host-computed) lets the caller avoid the entry-point
+    device→host pull — with it, nothing synchronizes before the fused
+    round program is dispatched, so its (large) compile can overlap a
+    still-blocked transfer-channel warmup (see bench.py)."""
     d, vdim = h.grid_dim, h.vdim
     h_struct = (tuple(lv.offsets for lv in h.levels),
                 tuple(lv.omega for lv in h.levels),
@@ -1505,8 +1514,9 @@ def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
     level_arrays = tuple((lv.weights, lv.free, lv.s, lv.C, lv.Cinv, lv.Ainv,
                           lv.w_lo) for lv in h.levels)
     Ainv32 = jnp.asarray(h.levels[-1].host_Ainv, dtype=jnp.float32)
-    bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
-                                         ladder.bhi0.reshape(-1)))))
+    if bnorm is None:
+        bnorm = float(np.sqrt(float(jnp.vdot(ladder.bhi0.reshape(-1),
+                                             ladder.bhi0.reshape(-1)))))
     if bnorm == 0.0:
         z = jnp.zeros_like(ladder.bhi0)
         return z, z, 0, 0.0
