@@ -1,0 +1,150 @@
+"""Unit tests for the bench.py fault-tolerance harness.
+
+The parent/child retry + solver-fallback chain is the round deliverable
+(VERDICT r2 item 1: one transient tunnel error must not leave the driver
+without a JSON metric line).  These tests exercise the parent's process
+plumbing with a fake ``subprocess.Popen`` — no TPU, no real children.
+"""
+
+import json
+import subprocess
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+METRIC = json.dumps({"metric": "m", "value": 1.0, "unit": "s",
+                     "vs_baseline": 2.0})
+
+
+class FakeProc:
+    """Stands in for subprocess.Popen: scripted stdout / rc / timeout."""
+
+    def __init__(self, stdout="", rc=0, hang=False):
+        self._stdout = stdout
+        self.returncode = rc
+        self._hang = hang
+        self.killed = False
+        self.pid = 12345
+
+    def communicate(self, timeout=None):
+        if self._hang and not self.killed:
+            raise subprocess.TimeoutExpired(cmd="fake", timeout=timeout)
+        return self._stdout, None
+
+    def kill(self):
+        self.killed = True
+        self.returncode = -9
+
+
+def _patch_popen(monkeypatch, procs, envs_seen):
+    it = iter(procs)
+
+    def fake_popen(cmd, stdout=None, stderr=None, text=None, env=None,
+                   cwd=None):
+        envs_seen.append(env)
+        return next(it)
+
+    monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+
+def test_attempt_plan_flagship_fallback_chain():
+    plan = bench._attempt_plan("elasticity3d")
+    solvers = [env.get("PDE_BENCH_SOLVER") for env, _ in plan]
+    assert solvers == ["df2", "df", "mgf32"]
+    assert all(t > 0 for _, t in plan)
+
+
+def test_attempt_plan_bar1d_runs_on_cpu_backend():
+    plan = bench._attempt_plan("bar1d")
+    for env, _ in plan:
+        assert env.get("JAX_PLATFORMS") == "cpu"
+        assert env.get("JAX_PLATFORM_NAME") == "cpu"
+
+
+def test_parent_first_attempt_success(monkeypatch, capsys):
+    envs = []
+    _patch_popen(monkeypatch, [
+        FakeProc(stdout="noise line\n" + METRIC + "\n", rc=0),
+    ], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 0
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert out_lines == [METRIC]
+    assert envs[0]["PDE_BENCH_CHILD"] == "1"
+    assert envs[0]["PDE_BENCH_SOLVER"] == "df2"
+
+
+def test_parent_crash_then_fallback_solver(monkeypatch, capsys):
+    envs = []
+    _patch_popen(monkeypatch, [
+        FakeProc(stdout="Traceback ...\n", rc=1),         # df2 child dies
+        FakeProc(stdout=METRIC + "\n", rc=0),             # df child succeeds
+    ], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 0
+    assert capsys.readouterr().out.strip() == METRIC
+    assert [e["PDE_BENCH_SOLVER"] for e in envs] == ["df2", "df"]
+
+
+def test_parent_timeout_kills_child_and_falls_back(monkeypatch, capsys):
+    hung = FakeProc(stdout="", hang=True)
+    envs = []
+    _patch_popen(monkeypatch, [hung, FakeProc(stdout=METRIC + "\n")], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 0
+    assert hung.killed
+    assert capsys.readouterr().out.strip() == METRIC
+
+
+def test_parent_all_attempts_fail_rc1_no_json(monkeypatch, capsys):
+    envs = []
+    _patch_popen(monkeypatch, [FakeProc(rc=1) for _ in range(3)], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 1
+    assert capsys.readouterr().out.strip() == ""
+    assert len(envs) == 3  # walked the whole chain
+
+
+def test_parent_ignores_non_metric_json(monkeypatch, capsys):
+    decoy = json.dumps({"status": "warming"})
+    envs = []
+    _patch_popen(monkeypatch, [
+        FakeProc(stdout=decoy + "\n", rc=0),
+        FakeProc(stdout=decoy + "\n" + METRIC + "\n", rc=0),
+    ], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 0
+    assert capsys.readouterr().out.strip() == METRIC
+
+
+def test_device_retry_recovers_from_transient_errors(monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("remote_compile: response body closed")
+        return "ok"
+
+    assert bench.device_retry(flaky, "phase", attempts=3) == "ok"
+    assert calls["n"] == 3
+
+
+def test_device_retry_raises_after_max_attempts(monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    def always_fails():
+        raise RuntimeError("worker down")
+
+    try:
+        bench.device_retry(always_fails, "phase", attempts=2)
+    except RuntimeError as e:
+        assert "worker down" in str(e)
+    else:
+        raise AssertionError("expected RuntimeError")
