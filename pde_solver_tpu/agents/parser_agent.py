@@ -152,11 +152,22 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
                  r"|beam bend|vibrat|oscillat", t):
         out["pde_type"] = "elasticity"
+    elif re.search(r"\bwave\b(?!\s*number)", t):
+        # the reference parser emits pde_type="wave" (pde_parser_agent.py:205
+        # type list); the dispatcher answers with the unsupported-type error
+        # envelope, same as the reference's routing
+        out["pde_type"] = "wave"
     else:
         out["pde_type"] = "heat"
+    m = re.search(r"wave\s+speed\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    if m:
+        out["wave_speed"] = float(m.group(1))
 
     # --- geometry ---
-    if re.search(r"\bcylind|\bpipe\b|\btube\b|\bcolumn\b|\bannul", t):
+    # "circular"/"tunnel" → cylinder per the reference's CRITICAL keyword
+    # list (pde_parser_agent.py:239 "circular, cylindrical, column, tube")
+    if re.search(r"\bcylind|\bpipe\b|\btube\b|\bcolumn\b|\bannul"
+                 r"|\bcircular\b|\btunnel\b", t):
         out["geometry_type"] = "cylinder"
     elif re.search(r"\bspher|\bball\b|\bshell\b", t):
         out["geometry_type"] = "sphere"
@@ -183,8 +194,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["dim"] = 1  # radial by default
 
     # --- sizes: "A x B (x C)" with optional units ---
-    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?)?\s*[x×]\s*" + _NUM
-                  + r"\s*(m|cm|mm|meter(?:s)?)?(?:\s*[x×]\s*" + _NUM
+    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?)?\s*[x×*]\s*" + _NUM
+                  + r"\s*(m|cm|mm|meter(?:s)?)?(?:\s*[x×*]\s*" + _NUM
                   + r"\s*(m|cm|mm|meter(?:s)?)?)?", t)
     if m:
         a = float(m.group(1)) * _unit_scale(m.group(2))
@@ -192,7 +203,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         if m.group(5):
             c = float(m.group(5)) * _unit_scale(m.group(6))
             domain.update({"Lx": a, "Ly": b, "Lz": c})
-            out.setdefault("dim", 3)
+            # three explicit dimensions trump a shape word ("plate
+            # 1m*0.2m*0.2" is 3D — reference CRITICAL FOR 3D CARTESIAN,
+            # pde_parser_agent.py:246)
+            out["dim"] = 3
         else:
             domain.update({"Lx": a, "Ly": b})
             out.setdefault("dim", 2)
@@ -200,11 +214,21 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # --- single length: "2 meter rod", "length (of) 2 m" ---
     m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)[- ]*(?:long )?(rod|bar|wire|domain|rod,|bar,)", t)
     if not m:
+        # trailing-adjective phrasing: "2 m long", "3 m in length"
+        m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)"
+                      r"\s*[- ]*(?:long\b|in\s+length)", t)
+    if not m:
         m = re.search(r"(?:length|long)\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm|meter(?:s)?)?", t)
         if m:
             domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
     else:
         domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
+    # "3 m tall/high" → cylinder height (reference CRITICAL FOR CYLINDRICAL
+    # 3D: radius + height, pde_parser_agent.py:247-254)
+    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)"
+                  r"\s*[- ]*(?:tall\b|high\b|in\s+height)", t)
+    if m:
+        domain.setdefault("h", float(m.group(1)) * _unit_scale(m.group(2)))
 
     # --- radii / height ---
     m = re.search(r"inner\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
@@ -214,6 +238,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if m:
         geometry_params["r_outer"] = float(m.group(1)) * _unit_scale(m.group(2))
     m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m is None and not geometry_params:
+        # value-first phrasing: "0.2 m radius" (reference cylindrical
+        # examples, pde_parser_agent.py:247-254)
+        m = re.search(_NUM + r"\s*(m|cm|mm)?\s*(?:in\s+)?radius\b", t)
     if m and "r_outer" not in geometry_params:
         r = float(m.group(1)) * _unit_scale(m.group(2))
         if out.get("geometry_type") == "sphere":
@@ -306,10 +334,16 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if m:
         out["initial_value"] = float(m.group(1))
         out["initial_type"] = "constant"
+    # reference parse order (pde_parser_agent.py:335-348, FIRST match wins):
+    # cosine > sine > zero > constant
     if re.search(r"\bcosine\b|cos\(", t):
         out["initial_type"] = "cosine"
     elif re.search(r"initial.*\bsine\b|\bsine\b.*initial|sin\(", t):
         out["initial_type"] = "sine"
+    elif re.search(r"zero\s+initial|initial\s+(?:condition|temperature|value)?"
+                   r"\s*(?:of|=|:|is)?\s*zero\b", t):
+        out["initial_type"] = "zero"
+        out["initial_value"] = 0.0
     m = re.search(r"amplitude\s*(?:of|=|:)?\s*" + _NUM, t)
     if m:
         out["initial_amplitude"] = float(m.group(1))
@@ -361,11 +395,20 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(r"core\s+(?:diffusivity|conductivity)\s*(?:of|=|:)?\s*" + _NUM, t)
     if m:
         out["core_diffusivity"] = float(m.group(1))
-    elif re.search(r"(?:high[- ]conductivity|conductive|copper|metal)\s+core", t):
-        out["core_diffusivity"] = 10.0
+    # keyword-only mentions (conductor/insulator/core) get context-sensitive
+    # defaults in PDEParserAgent._composite_postprocess, applied to the LLM
+    # path too — no flat default here
 
     # --- source / steady / stepping ---
+    # phrase list from the reference's source rules (pde_parser_agent.py:
+    # 350-358): "heat source of X", "internal heat generation of X",
+    # "heating of X", "with a source X"
     m = re.search(r"(?:heat\s+)?source\s*(?:of|=|:|value)?\s*" + _NUM, t)
+    if not m:
+        m = re.search(r"(?:internal\s+)?heat\s+generation\s*(?:of|=|:|rate(?:\s+of)?)?\s*"
+                      + _NUM, t)
+    if not m:
+        m = re.search(r"\bheating\s+of\s+" + _NUM, t)
     if m:
         out["source_type"] = "constant"
         out["source_value"] = float(m.group(1))
@@ -464,12 +507,47 @@ class PDEParserAgent:
         pde_parser_agent.py:926-996): a mentioned conductive core implies
         core parameters even if the LLM omitted them."""
         t = description.lower()
-        mentions_core = bool(re.search(r"(?:high[- ]conductivity|conductive|copper|metal)\s+core|core\s+(?:of|with|diffusivity)", t))
-        if mentions_core and params.get("core_diffusivity") is None:
-            params["core_diffusivity"] = 10.0
+        mentions_core = bool(re.search(
+            r"(?:high[- ]conductivity|conductive|copper|metal)\s+core"
+            r"|core\s+(?:of|with|diffusivity)"
+            # the reference's MANDATORY DETECTION keyword list
+            # (pde_parser_agent.py:275-280): "heat conductor", "conductor
+            # in the middle/center", "insulator", "composite material"
+            r"|heat\s+conductor"
+            r"|(?:conductor|insulator|core)\s+(?:in|at)\s+the\s+(?:middle|center|centre)"
+            r"|composite\s+material"
+            r"|with\s+an?\s+(?:conductor|insulator)\b", t))
+        # composite cores exist for curvilinear heat solvers and for the 3D
+        # Cartesian box (solve_heat_3D's cylinder-in-box core) — not for a
+        # bare 1D/2D Cartesian mention like "a thick conductor"
+        is_composite_geom = (params.get("geometry_type") in ("cylinder", "sphere")
+                             or params.get("coordinate_system")
+                             in ("cylindrical", "spherical")
+                             or params.get("dim") == 3)
+        if (mentions_core and is_composite_geom
+                and params.get("pde_type", "heat") == "heat"
+                and params.get("core_diffusivity") is None):
+            # context defaults (pde_parser_agent.py:288-296): high → 100,
+            # insulator/low → 0.01, neutral mention → 10
+            if re.search(r"high\s+(?:conductivity|diffusivity)|copper|aluminum"
+                         r"|aluminium|\bmetal\b", t):
+                params["core_diffusivity"] = 100.0
+            elif re.search(r"\binsulator\b|low\s+(?:conductivity|diffusivity)"
+                           r"|\bwood\b|\bplastic\b", t):
+                params["core_diffusivity"] = 0.01
+            else:
+                params["core_diffusivity"] = 10.0
         if params.get("core_diffusivity") is not None and params.get("core_radius") is None:
             gp = params.get("geometry_params") or {}
             r_in = gp.get("r_inner")
+            r_out = gp.get("r_outer") or gp.get("cylinder_radius") \
+                or gp.get("sphere_radius")
             if r_in:
+                # hollow geometry: core fills the bore (reference example,
+                # pde_parser_agent.py:302-305)
                 params["core_radius"] = float(r_in)
+            elif r_out:
+                params["core_radius"] = 0.3 * float(r_out)
+            elif mentions_core:
+                params["core_radius"] = 0.1  # reference default :311
         return params

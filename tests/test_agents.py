@@ -422,3 +422,111 @@ def test_rule_parse_e_equals_gpa():
 def test_rule_parse_thermal_conductivity_alias():
     p = rule_based_parse("rod with thermal conductivity of 0.5")
     assert p["diffusivity"] == pytest.approx(0.5)
+
+
+# ----------------------------------------------------------------------
+# Parser phrasing coverage, round 3 additions (reference prompt rules:
+# composite-core defaults :273-311, IC parse order :335-348, source
+# phrases :350-358, 3D dims :246, cylinder keywords :239)
+# ----------------------------------------------------------------------
+
+def test_rule_parse_zero_initial_condition():
+    p = rule_based_parse("rod with zero initial condition, left end 100°C")
+    assert p["initial_type"] == "zero"
+    assert p["initial_value"] == 0.0
+
+
+def test_rule_parse_cosine_beats_constant_and_wave_number():
+    """Reference parse order: 'cosine' anywhere wins, even alongside
+    'initial temperature'; 'wave number' must not flip pde_type to wave."""
+    p = rule_based_parse("initial temperature is a cosine function with an "
+                         "amplitude of 10 and wave number 2")
+    assert p["pde_type"] == "heat"
+    assert p["initial_type"] == "cosine"
+    assert p["initial_amplitude"] == 10.0
+    assert p["initial_wavenumber"] == 2.0
+
+
+def test_rule_parse_internal_heat_generation():
+    p = rule_based_parse("rod with internal heat generation of 50")
+    assert p["source_type"] == "constant"
+    assert p["source_value"] == 50.0
+
+
+def test_rule_parse_heating_of():
+    p = rule_based_parse("plate with heating of 25 applied")
+    assert p["source_type"] == "constant"
+    assert p["source_value"] == 25.0
+
+
+def test_rule_parse_star_separated_three_dims():
+    """'1m*0.2m*0.2' → all three extracted AND dim forced to 3 even though
+    'plate' alone would have implied 2D (reference CRITICAL FOR 3D)."""
+    p = rule_based_parse("elasticity of a plate 1m*0.2m*0.2 under gravity")
+    assert p["dim"] == 3
+    assert p["domain_size"] == {"Lx": 1.0, "Ly": pytest.approx(0.2),
+                                "Lz": pytest.approx(0.2)}
+
+
+def test_rule_parse_trailing_long_and_tall():
+    p = rule_based_parse("a 2 m long steel bar under heat")
+    assert p["domain_size"]["length"] == pytest.approx(2.0)
+    p = rule_based_parse("a steel column 3 m tall and 0.2 m radius under heat")
+    assert p["geometry_type"] == "cylinder"
+    assert p["domain_size"]["h"] == pytest.approx(3.0)
+    assert p["geometry_params"]["cylinder_radius"] == pytest.approx(0.2)
+
+
+def test_rule_parse_wave_type_routes_to_error_envelope():
+    """The reference parser emits pde_type='wave'; the dispatcher answers
+    with the unsupported-type envelope (no wave solver in the 13 tools)."""
+    p = rule_based_parse("wave in a string with wave speed 2")
+    assert p["pde_type"] == "wave"
+    assert p["wave_speed"] == 2.0
+    d = DispatcherAgent()
+    res = run(d.dispatch(PDEParameters.from_dict(normalize_params_dict(p))))
+    assert "error" in res and "wave" in res["error"]
+
+
+def test_composite_circular_tunnel_high_conductivity():
+    a = PDEParserAgent(llm=None)
+    p = a.parse("heat in a circular tunnel with a heat conductor with "
+                "high conductivity in the middle")
+    assert p.geometry_type == "cylinder"
+    assert p.core_diffusivity == pytest.approx(100.0)
+    assert p.core_radius == pytest.approx(0.1)
+
+
+def test_composite_insulator_low_default():
+    a = PDEParserAgent(llm=None)
+    p = a.parse("heat in a circular tunnel with an insulator in the middle")
+    assert p.core_diffusivity == pytest.approx(0.01)
+
+
+def test_composite_neutral_conductor_default():
+    a = PDEParserAgent(llm=None)
+    p = a.parse("cylindrical pipe with a conductor in the middle")
+    assert p.core_diffusivity == pytest.approx(10.0)
+
+
+def test_composite_core_radius_from_inner_bore():
+    """Hollow cylinder + core: core fills the bore (core_radius = r1)."""
+    a = PDEParserAgent(llm=None)
+    p = a.parse("heat in a tube with inner radius 0.2 m and outer radius "
+                "0.5 m, with a conductor in the middle")
+    assert p.core_radius == pytest.approx(0.2)
+
+
+def test_composite_core_radius_fraction_of_outer():
+    a = PDEParserAgent(llm=None)
+    p = a.parse("solid cylinder of radius 1 m with a conductor in the middle")
+    assert p.core_radius == pytest.approx(0.3)
+
+
+def test_composite_not_triggered_without_curvilinear_geometry():
+    """'30 nm thick conductor' (a conductor as the object, Cartesian) must
+    NOT sprout composite-core parameters."""
+    a = PDEParserAgent(llm=None)
+    p = a.parse("heat in a 30 nm thick conductor, 100 steps")
+    assert p.core_diffusivity is None
+    assert p.core_radius is None
