@@ -309,6 +309,7 @@ def bench_heat3d():
         scans.append(scan_s)
         log(f"[bench] timed[{rep}]: total={total:.2f}s scan={scan_s:.2f}s "
             f"setup={info.get('setup_seconds', 0.0):.2f}s "
+            f"fetch={info.get('fetch_seconds', 0.0):.2f}s "
             f"(CG iters total {info['cg_iterations']}, "
             f"relres {info['relative_residual']:.1e})")
     if not scans:

@@ -183,9 +183,13 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
             "converged": bool(res.max_relative_residual <= step_target),
             "convergence_target": step_target,
             # stepping throughput = num_steps/scan_seconds; setup_seconds is
-            # the one-time host prep (system + MG hierarchy build/upload)
+            # the one-time host prep (system + MG hierarchy build/upload);
+            # fetch_seconds is the trajectory device→host retrieval (on the
+            # tunneled chip the bulk pull runs at 20-40 MB/s and is a link
+            # cost, not stepping cost)
             "scan_seconds": float(res.scan_seconds),
             "setup_seconds": float(res.setup_seconds),
+            "fetch_seconds": float(res.fetch_seconds),
         }
     info.update({"num_dofs": mesh.num_nodes, **phases})
     get_logger().info(

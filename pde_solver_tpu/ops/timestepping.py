@@ -46,6 +46,16 @@ class TransientResult(NamedTuple):
     setup_seconds: float = 0.0  # host system prep + MG hierarchy build/upload
     scan_seconds: float = 0.0   # the jitted stepping scan itself (post-compile
                                 # stepping throughput = num_steps/scan_seconds)
+    fetch_seconds: float = 0.0  # trajectory device→host retrieval.  Kept out
+                                # of scan_seconds: on the tunneled chip the
+                                # bulk pull runs at 20-40 MB/s and dominated
+                                # the old combined number 5-30× at ≥64³
+                                # (measured: 128³ scan 0.1 s vs 5-9 s fetch —
+                                # benchmarks/transient_bisect.py), which is a
+                                # link artifact, not stepping cost.  The
+                                # checkpointed path interleaves per-chunk
+                                # pulls with compute and reports them here
+                                # in aggregate.
 
 
 def _combine(K: Dict, M: Dict, alpha: float, beta: float) -> Dict:
@@ -272,14 +282,18 @@ def run_transient(
         setup_s = _time.perf_counter() - t_setup
         t_scan = _time.perf_counter()
         snaps, iters, res = scan.run(u0_np, int(num_steps))
+        iters, res = int(iters), float(res)  # scalar pulls: scan complete
+        scan_s = _time.perf_counter() - t_scan
+        t_fetch = _time.perf_counter()
         values = np.concatenate([np.asarray(u0_np, np.float64)[None],
                                  np.asarray(snaps, np.float64)], axis=0)
         times = dt * np.arange(num_steps + 1, dtype=np.float64)
         return TransientResult(values=values, times=times,
-                               total_cg_iterations=int(iters),
-                               max_relative_residual=float(res),
-                               setup_seconds=setup_s,
-                               scan_seconds=_time.perf_counter() - t_scan)
+                               total_cg_iterations=iters,
+                               max_relative_residual=res,
+                               setup_seconds=setup_s, scan_seconds=scan_s,
+                               fetch_seconds=(_time.perf_counter()
+                                              - t_fetch))
 
     state_dtype = jnp.float64 if prec in ("f64", "mixed") else jnp.float32
     A64 = tuple(jnp.asarray(W, dtype=jnp.float64) for W in scaled) \
@@ -370,35 +384,43 @@ def run_transient(
     if snap_every <= 1:
         snaps, iters, res = _transient_scan(
             *scan_args, inner_tol, int(num_steps), *tail)
+        iters, res = int(iters), float(res)  # scalar pulls: scan complete
+        scan_s = _time.perf_counter() - t_scan
+        t_fetch = _time.perf_counter()
         values = np.concatenate(
             [np.asarray(u0_np, dtype=np.float64)[None],
-             np.asarray(snaps, dtype=np.float64)], axis=0)  # device sync
+             np.asarray(snaps, dtype=np.float64)], axis=0)  # bulk pull
         times = dt * np.arange(num_steps + 1, dtype=np.float64)
     else:
         main = (int(num_steps) // snap_every) * snap_every
         snaps, u_f, iters, res = _transient_scan_thinned(
             *scan_args[:-1], scan_args[-1], inner_tol, main, *tail,
             snap_every)
-        frames = [np.asarray(u0_np, dtype=np.float64)[None],
-                  np.asarray(snaps, dtype=np.float64)]
         t_list = [0.0] + [dt * snap_every * (j + 1)
                           for j in range(main // snap_every)]
         rem = int(num_steps) - main
+        snaps2 = None
         if rem > 0:
             snaps2, iters2, res2 = _transient_scan(
                 scan_args[0], *scan_args[1:-1], u_f.astype(state_dtype),
                 inner_tol, rem, *tail)
-            frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
             t_list.append(dt * num_steps)
             iters = iters + iters2
             res = jnp.maximum(res, res2)
+        iters, res = int(iters), float(res)  # scalar pulls: scans complete
+        scan_s = _time.perf_counter() - t_scan
+        t_fetch = _time.perf_counter()
+        frames = [np.asarray(u0_np, dtype=np.float64)[None],
+                  np.asarray(snaps, dtype=np.float64)]  # bulk pull
+        if snaps2 is not None:
+            frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
         values = np.concatenate(frames, axis=0)
         times = np.asarray(t_list, dtype=np.float64)
-    scan_s = _time.perf_counter() - t_scan
     return TransientResult(values=values, times=times,
-                           total_cg_iterations=int(iters),
-                           max_relative_residual=float(res),
-                           setup_seconds=setup_s, scan_seconds=scan_s)
+                           total_cg_iterations=iters,
+                           max_relative_residual=res,
+                           setup_seconds=setup_s, scan_seconds=scan_s,
+                           fetch_seconds=_time.perf_counter() - t_fetch)
 
 
 # ----------------------------------------------------------------------
@@ -479,17 +501,20 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
             start, iters_acc, res_acc = 0, 0, 0.0
             u_cur = scan_args[-1]
     chunks_done = 0
+    fetch_acc = 0.0
     main = start + ((num_steps - start) // snap_every) * snap_every
     while start < main:
         n = min(every, main - start)
         snaps, u_f, k, res = _transient_scan_thinned(
             *scan_args[:-1], u_cur, inner_tol, n, *tail, snap_every)
-        frames.append(np.asarray(snaps, dtype=np.float64))
+        iters_acc += int(k)  # scalar pull: chunk scan complete
+        res_acc = max(res_acc, float(res))
+        t_f = _time.perf_counter()
+        frames.append(np.asarray(snaps, dtype=np.float64))  # bulk pull
+        fetch_acc += _time.perf_counter() - t_f
         snap_steps.extend(start + snap_every * (j + 1)
                           for j in range(n // snap_every))
         u_cur = u_f.astype(state_dtype)
-        iters_acc += int(k)
-        res_acc = max(res_acc, float(res))
         start += n
         # atomic checkpoint: carry + the (thinned, budget-bounded) frames
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
@@ -512,10 +537,12 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
         # to the end and keep only the final state, like the plain path.
         snaps2, k2, res2 = _transient_scan(*scan_args[:-1],
                                            u_cur, inner_tol, rem, *tail)
-        frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
-        snap_steps.append(num_steps)
-        iters_acc += int(k2)
+        iters_acc += int(k2)  # scalar pull: scan complete
         res_acc = max(res_acc, float(res2))
+        t_f = _time.perf_counter()
+        frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
+        fetch_acc += _time.perf_counter() - t_f
+        snap_steps.append(num_steps)
     try:
         os.remove(path)  # run complete — the artifact model takes over
     except OSError:
@@ -526,7 +553,9 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
                            total_cg_iterations=iters_acc,
                            max_relative_residual=res_acc,
                            setup_seconds=setup_s,
-                           scan_seconds=_time.perf_counter() - t_scan)
+                           scan_seconds=(_time.perf_counter() - t_scan
+                                         - fetch_acc),
+                           fetch_seconds=fetch_acc)
 
 
 # ----------------------------------------------------------------------
