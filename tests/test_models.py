@@ -394,3 +394,18 @@ def test_device_von_mises_matches_host():
                                    atol=2e-6 * float(np.max(s_h)))
         np.testing.assert_allclose(e_d, e_h, rtol=2e-6,
                                    atol=2e-6 * float(np.max(e_h)))
+
+
+def test_transient_info_timing_contract():
+    """scan_seconds measures stepping only; the trajectory device->host
+    retrieval is reported separately as fetch_seconds (the tunneled-TPU
+    bulk pull dominated the old combined number 5-30x at >=64^3 — see
+    BENCH_NOTES 'xl transient anatomy')."""
+    mesh = rectangle_mesh(8, 8, (0.0, 0.0), (1.0, 1.0))
+    p = heat.HeatProblem(mesh=mesh, diffusivity=1.0,
+                         bc_pairs=[(mesh.boundary_mask(), 0.0)],
+                         T_initial=20.0, dt=0.01, num_steps=4)
+    _, values, info = heat.solve_heat_problem(p)
+    assert values.shape[0] == 5
+    for key in ("scan_seconds", "setup_seconds", "fetch_seconds"):
+        assert key in info and info[key] >= 0.0
