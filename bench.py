@@ -11,11 +11,18 @@ Fault tolerance (round-2 lesson: one transient tunnel error aborted the
 bench with no JSON on record):
 
 * the default entry point is a PARENT that runs the real bench as a child
-  process and retries on crash/timeout, walking a solver fallback chain
-  (df2 fused F-cycle → host-driven df F-cycle → plain f32 MG-PCG);
+  process under a TOTAL wall budget (PDE_BENCH_DEADLINE, default 1380 s —
+  the driver kills bench.py at ~25-26 min): the first child gets nearly the
+  whole budget, crash retries walk a solver fallback chain (df2 fused
+  F-cycle → host-driven df F-cycle → plain f32 MG-PCG) with the remainder;
 * the CHILD wraps every device phase in retry-with-rewarm (transient
   ``JaxRuntimeError``s from the tunnel get ~3 attempts with channel
-  re-warms in between) and falls back across solvers in-process too;
+  re-warms in between) and falls back across solvers in-process too —
+  preferred over respawning, which risks a fresh 9-17 min channel warmup;
+* the child BANKS metric lines progressively (a provisional compile-
+  inclusive line after the warm-up solve, upgraded after every timed rep);
+  the parent keeps a killed child's last banked line, so a driver-side kill
+  mid-run still leaves a parsed metric on the record;
 * a worker-health probe (bf16 matmul TFLOP/s) runs before timed windows —
   the tunneled v5e has degraded states 5-10× off peak (see CLAUDE.md);
 * whichever path produces a timed solve, the JSON line IS printed.
@@ -71,29 +78,56 @@ def emit(obj):
 # ======================================================================
 
 def _attempt_plan(cfg_name):
-    """[(extra_env, timeout_s), ...] — one child process per attempt."""
+    """[(extra_env, timeout_cap_s), ...] — fallback env chain.  The caps are
+    UPPER bounds; :func:`run_parent` shrinks each attempt to the wall budget
+    actually left under PDE_BENCH_DEADLINE."""
     if cfg_name == "elasticity3d":
         return [({"PDE_BENCH_SOLVER": os.environ.get("PDE_BENCH_SOLVER",
-                                                     "df2")}, 1500),
-                ({"PDE_BENCH_SOLVER": "df"}, 1200),
-                ({"PDE_BENCH_SOLVER": "mgf32"}, 900)]
+                                                     "df2")}, 1320),
+                ({"PDE_BENCH_SOLVER": "df"}, 600),
+                ({"PDE_BENCH_SOLVER": "mgf32"}, 420)]
     if cfg_name == "bar1d":
         # pure-host path: no TPU client in the child → no thread contention
         # on the single host core (VERDICT r2 item 10)
         env = {"JAX_PLATFORMS": "cpu", "JAX_PLATFORM_NAME": "cpu"}
         return [(env, 600), (env, 600)]
-    return [({}, 1500), ({}, 1200)]
+    return [({}, 1320), ({}, 600)]
 
 
 def run_parent():
+    """Deadline-aware attempt loop (round-4 rework, VERDICT r3 item 1).
+
+    The driver kills bench.py ~25-26 min in (BENCH_r03: rc=124 with the old
+    1500+1200+900 s plan).  The parent therefore treats PDE_BENCH_DEADLINE
+    (default 1380 s) as the TOTAL wall budget:
+
+    * the FIRST child gets nearly all of it — one process pays one channel
+      warmup; kill+respawn risks a fresh 9-17 min restart-window warmup
+      (CLAUDE.md), so in-child solver fallback is preferred over respawning;
+    * later attempts (child crashed early) get whatever time is left;
+    * the child BANKS metric lines progressively (provisional after the
+      warm-up solve, upgraded after each timed rep), and the parent emits the
+      last banked line from a killed child rather than discarding it.
+    """
+    t_start = time.monotonic()
+    deadline = t_start + float(os.environ.get("PDE_BENCH_DEADLINE", "1380"))
     cfg_name = os.environ.get("PDE_BENCH_CONFIG", "elasticity3d")
     plan = _attempt_plan(cfg_name)
-    for i, (extra_env, timeout_s) in enumerate(plan):
+    banked = None
+    for i, (extra_env, cap_s) in enumerate(plan):
+        remaining = deadline - time.monotonic()
+        if remaining < 150:
+            log(f"[bench] only {remaining:.0f}s of budget left — "
+                f"skipping attempt {i + 1}")
+            break
+        timeout_s = int(min(cap_s, remaining - 40))
         env = dict(os.environ)
         env.update(extra_env)
         env["PDE_BENCH_CHILD"] = "1"
+        env["PDE_BENCH_CHILD_BUDGET"] = str(max(timeout_s - 10, 60))
         log(f"[bench] attempt {i + 1}/{len(plan)} config={cfg_name} "
-            f"env={extra_env} timeout={timeout_s}s")
+            f"env={extra_env} timeout={timeout_s}s "
+            f"(budget left {remaining:.0f}s)")
         try:
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
@@ -103,9 +137,11 @@ def run_parent():
             log(f"[bench] spawn failed: {e}")
             continue
         stdout_text = ""
+        killed = False
         try:
             stdout_text, _ = proc.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
+            killed = True
             log(f"[bench] attempt {i + 1} timed out after {timeout_s}s — "
                 f"killing child pid {proc.pid}")
             proc.kill()
@@ -122,20 +158,40 @@ def run_parent():
                 except json.JSONDecodeError:
                     continue
                 if "metric" in parsed:
-                    result_line = line
+                    result_line = line  # keep the LAST (best) banked line
                     continue
             if line:
                 log(f"[bench child stdout] {line}")
         if result_line is not None:
-            print(result_line, flush=True)
-            return 0
-        log(f"[bench] attempt {i + 1} produced no metric "
-            f"(rc={proc.returncode}); "
-            + ("retrying with fallback" if i + 1 < len(plan) else "giving up"))
+            banked = result_line
+            if not killed and proc.returncode == 0:
+                print(banked, flush=True)
+                return 0
+            log(f"[bench] attempt {i + 1} banked a metric before "
+                f"{'timeout' if killed else f'rc={proc.returncode}'} — kept")
+        log(f"[bench] attempt {i + 1} "
+            f"{'killed' if killed else f'exited rc={proc.returncode}'}"
+            + ("" if banked else " with no metric")
+            + ("; retrying with fallback" if i + 1 < len(plan) else ""))
         if i + 1 < len(plan):
-            time.sleep(20)  # let the tunnel/worker settle before respawning
+            time.sleep(15)  # let the tunnel/worker settle before respawning
+    if banked is not None:
+        print(banked, flush=True)
+        return 0
     log("[bench] all attempts failed — no metric to report")
     return 1
+
+
+# Child-side wall budget (set by the parent): emit early, skip optional work
+# near the end rather than losing the whole attempt to the parent's kill.
+_CHILD_T0 = time.monotonic()
+
+
+def child_time_left():
+    budget = os.environ.get("PDE_BENCH_CHILD_BUDGET")
+    if not budget:
+        return float("inf")
+    return float(budget) - (time.monotonic() - _CHILD_T0)
 
 
 # ======================================================================
@@ -286,12 +342,25 @@ def bench_heat3d():
         bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
         T_initial=20.0, dt=0.01, num_steps=num_steps)
 
+    def metric_line(steps_s, **extra):
+        out = {
+            "metric": f"heat3d_{cells}cubed_backward_euler_steps_per_s",
+            "value": round(steps_s, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_s / 10.0, 3),  # ref-class: ~10 PETSc solves/s
+        }
+        out.update(extra)
+        return out
+
     t0 = time.perf_counter()
     _, _, info = device_retry(lambda: heat.solve_heat_problem(p),
                               "heat3d warm-up solve")
     warmup_scan_s = info.get("scan_seconds") or info["solve_seconds"]
     log(f"[bench] warm-up run (incl. compile): {time.perf_counter() - t0:.1f}s "
         f"iters={info['cg_iterations']} relres={info['relative_residual']:.1e}")
+    # bank a provisional line (parent keeps a killed child's last metric)
+    emit(metric_line(num_steps / warmup_scan_s,
+                     provisional="warmup_scan_includes_compile"))
     # best of 2: the tunneled worker shows sporadic slowdown states that
     # inflate long scans 2-5× (see BENCH_NOTES "chip-health caveat");
     # the faster of two post-compile runs is the honest device capability.
@@ -312,6 +381,7 @@ def bench_heat3d():
             f"fetch={info.get('fetch_seconds', 0.0):.2f}s "
             f"(CG iters total {info['cg_iterations']}, "
             f"relres {info['relative_residual']:.1e})")
+        emit(metric_line(num_steps / min(scans)))  # bank best-so-far
     if not scans:
         # both timed reps died on the tunnel — the successful warm-up
         # measurement (compile-inclusive, so pessimistic) is still a
@@ -321,12 +391,7 @@ def bench_heat3d():
         scans = [warmup_scan_s]
     steps_s = num_steps / min(scans)
     log(f"[bench] → {steps_s:.1f} steps/s (best of {len(scans)})")
-    emit({
-        "metric": f"heat3d_{cells}cubed_backward_euler_steps_per_s",
-        "value": round(steps_s, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_s / 10.0, 3),  # ref-class: ~10 PETSc solves/s
-    })
+    emit(metric_line(steps_s))
 
 
 def bench_heat1d():
@@ -544,13 +609,32 @@ def bench_flagship():
                  "CinvT": np.asarray(sysm.CinvT)},
                 meta={"ckey": repr(sysm.ckey)})
 
-    t0 = time.perf_counter()
-    ladder = device_retry(lambda: mg.build_df_ladder(h, sysm, sysm.b_hat),
-                          "df ladder build+upload")
-    jax.block_until_ready(ladder.Whi)
-    log(f"[bench] double-f32 ladder upload: {time.perf_counter() - t0:.1f}s")
+    solver_start = os.environ.get("PDE_BENCH_SOLVER", "df2")
+    ladder = None
+    if solver_start != "mgf32":
+        t0 = time.perf_counter()
+        try:
+            ladder = device_retry(
+                lambda: mg.build_df_ladder(h, sysm, sysm.b_hat),
+                "df ladder build+upload")
+            jax.block_until_ready(ladder.Whi)
+            log(f"[bench] double-f32 ladder upload: "
+                f"{time.perf_counter() - t0:.1f}s")
+        except Exception as e:
+            # df2/df need the ladder; mgf32 does not — degrade in-process
+            # instead of dying (a respawn risks a fresh channel warmup).
+            log(f"[bench] ladder build failed ({type(e).__name__}: {e}) — "
+                f"falling back to the mgf32 chain")
+            solver_start = "mgf32"
     setup_s = time.perf_counter() - t_setup0
-    log(f"[bench] total pre-solve setup: {setup_s:.1f}s")
+    log(f"[bench] total pre-solve setup: {setup_s:.1f}s "
+        f"(child budget left {child_time_left():.0f}s)")
+
+    # VERDICT r3 item 1b: probe worker health BEFORE the warm-up solve when
+    # the transfer channel is already up (join(0) is non-blocking, so a slow
+    # warmup keeps overlapping the warm-up solve's compile instead).
+    if warm_join(timeout=0) and child_time_left() > 120:
+        worker_health_probe(attempts=1)
 
     bench_tol = float(os.environ.get("PDE_BENCH_TOL", 1e-7))
     # ‖b̂‖ from the HOST copy: the solver then dispatches its fused round
@@ -615,10 +699,24 @@ def bench_flagship():
     chain = {"df2": [("df2", solve_df2), ("df", solve_df),
                      ("mgf32", solve_mgf32)],
              "df": [("df", solve_df), ("mgf32", solve_mgf32)],
-             "mgf32": [("mgf32", solve_mgf32)]}[
-        os.environ.get("PDE_BENCH_SOLVER", "df2")]
+             "mgf32": [("mgf32", solve_mgf32)]}[solver_start]
 
     from pde_solver_tpu.utils.observability import device_trace
+
+    target_seconds = 5.0
+
+    def metric_line(value_s, kind, iters, relres, **extra):
+        out = {
+            "metric": "elasticity3d_cantilever_2MDOF_solve_seconds",
+            "value": round(value_s, 3),
+            "unit": "s",
+            "vs_baseline": round(target_seconds / value_s, 3),
+            "solver": kind,
+            "relres": float(f"{relres:.3e}"),
+            "setup_seconds": round(setup_s, 1),
+        }
+        out.update(extra)
+        return out
 
     solver_used = None
     x_hat = None
@@ -631,19 +729,26 @@ def bench_flagship():
             t0 = time.perf_counter()
             x_hat, iters, relres = device_retry(
                 solver, f"{kind} warm-up solve", attempts=3)
+            warmup_solve_s = time.perf_counter() - t0
             log(f"[bench] {kind} warm-up solve (incl. jit compile, "
                 f"overlapping any remaining channel warmup): "
-                f"{time.perf_counter() - t0:.1f}s  iters={iters} "
-                f"relres={relres:.2e}")
+                f"{warmup_solve_s:.1f}s  iters={iters} relres={relres:.2e}")
         except Exception as e:
             log(f"[bench] solver {kind} unusable ({type(e).__name__}: {e}) — "
                 f"falling back")
             rewarm_channel()
             continue
+        # BANK a provisional metric now (VERDICT r3 item 1c): a real
+        # converged solve, wall time compile-inclusive — if anything after
+        # this point wedges, the parent still has a line to report.  Each
+        # timed rep below re-emits; the parent keeps the LAST line.
+        emit(metric_line(warmup_solve_s, kind, iters, relres,
+                         provisional="warmup_includes_jit_compile"))
         # warm-up solve pulled scalars → channel is up; collect its timing
         # line, then gate the TIMED reps on a healthy worker.
         warm_join(timeout=5)
-        worker_health_probe()
+        if child_time_left() > 150:
+            worker_health_probe()
         # timed runs: best of 2 (worker slowdown insurance); keep any
         # successful rep even if the other crashes
         ok = 0
@@ -657,55 +762,54 @@ def bench_flagship():
                 log(f"[bench] timed solve[{rep}] ({kind}): {rep_s:.3f}s  "
                     f"iters={iters} relres={relres:.2e}")
                 solve_s = min(solve_s, rep_s)
+                emit(metric_line(solve_s, kind, iters, relres))
             except Exception as e:
                 log(f"[bench] timed solve[{rep}] failed: "
                     f"{type(e).__name__}: {e}")
                 rewarm_channel()
+            if child_time_left() < 60:
+                log("[bench] child budget nearly spent — skipping further reps")
+                break
         if ok > 0:
             solver_used = kind
             break
     if solver_used is None:
-        log("[bench] every solver path failed — no timed measurement")
+        log("[bench] every solver path failed — no timed measurement "
+            "(a provisional warm-up line may already be banked)")
         raise SystemExit(3)
 
     mdof = ndof * max(iters, 1) / solve_s / 1e6
     log(f"[bench] throughput: {mdof:.0f} MDOF/s across MG-PCG iterations")
 
     # SpMV roofline fraction (BASELINE.md north star: ≥60% of the HBM
-    # roofline for the finest-level stencil apply).
+    # roofline for the finest-level stencil apply).  Optional: the metric is
+    # already banked above, so a wedge here can no longer void the record.
     spmv_frac = None
-    try:
-        spmv_frac = _spmv_roofline(h, sysm, mesh)
-    except Exception as e:
-        log(f"[bench] roofline measurement skipped: {type(e).__name__}: {e}")
+    if child_time_left() > 120:
+        try:
+            spmv_frac = _spmv_roofline(h, sysm, mesh)
+        except Exception as e:
+            log(f"[bench] roofline measurement skipped: {type(e).__name__}: {e}")
 
     # physics sanity + postprocess timing (excluded from the metric)
-    try:
-        t0 = time.perf_counter()
-        from pde_solver_tpu.ops import df32 as _df
-        x_np = _df.df_to_f64(np.asarray(x_hat[0]), np.asarray(x_hat[1]))
-        log(f"[bench] solution retrieval: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        u = sysm.from_hat_x(x_np)
-        vm_stress, _ = von_mises_fields(mesh, u, lam, mu)
-        log(f"[bench] postprocess (host): {time.perf_counter() - t0:.1f}s  "
-            f"max von Mises={float(vm_stress.max()):.3e} Pa")
-    except Exception as e:  # never let postprocess void the measurement
-        log(f"[bench] postprocess skipped: {type(e).__name__}: {e}")
+    if child_time_left() > 60:
+        try:
+            t0 = time.perf_counter()
+            from pde_solver_tpu.ops import df32 as _df
+            x_np = _df.df_to_f64(np.asarray(x_hat[0]), np.asarray(x_hat[1]))
+            log(f"[bench] solution retrieval: {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+            u = sysm.from_hat_x(x_np)
+            vm_stress, _ = von_mises_fields(mesh, u, lam, mu)
+            log(f"[bench] postprocess (host): {time.perf_counter() - t0:.1f}s  "
+                f"max von Mises={float(vm_stress.max()):.3e} Pa")
+        except Exception as e:  # never let postprocess void the measurement
+            log(f"[bench] postprocess skipped: {type(e).__name__}: {e}")
 
-    target_seconds = 5.0
-    out = {
-        "metric": "elasticity3d_cantilever_2MDOF_solve_seconds",
-        "value": round(solve_s, 3),
-        "unit": "s",
-        "vs_baseline": round(target_seconds / solve_s, 3),
-        "solver": solver_used,
-        "relres": float(f"{relres:.3e}"),
-        "setup_seconds": round(setup_s, 1),
-    }
+    extra = {}
     if spmv_frac is not None:
-        out["spmv_roofline_frac"] = round(spmv_frac, 3)
-    emit(out)
+        extra["spmv_roofline_frac"] = round(spmv_frac, 3)
+    emit(metric_line(solve_s, solver_used, iters, relres, **extra))
 
 
 def _spmv_roofline(h, sysm, mesh):
@@ -743,6 +847,12 @@ def _spmv_roofline(h, sysm, mesh):
 
 
 def run_child():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin ignores JAX_PLATFORMS — forcing CPU needs the
+        # config update too (tests/conftest.py note); without it the child
+        # blocks minutes on tunnel init even for pure-CPU configs
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     cfg_name = os.environ.get("PDE_BENCH_CONFIG", "elasticity3d")
     sub = {"heat3d": bench_heat3d, "heat1d": bench_heat1d,
            "bar1d": bench_bar1d, "heat2d_cn": bench_heat2d_cn,

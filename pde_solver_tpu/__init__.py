@@ -32,6 +32,13 @@ import jax
 # occasional high-precision steps, never the hot path).
 jax.config.update("jax_enable_x64", True)
 
+# Honor JAX_PLATFORMS=cpu even under TPU plugins that ignore the env var
+# (the axon plugin initializes its tunnel regardless, blocking entry points
+# like `python app.py --cli` for minutes): mirror the env var into the
+# config knob before any backend initializes.
+if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent XLA compilation cache: OFF by default.  On the axon-tunneled
 # TPU a cache *hit* ships the serialized executable to the device server at
 # ~50 KB/s — far slower than recompiling.  The framework instead keeps every

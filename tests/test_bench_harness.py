@@ -122,6 +122,86 @@ def test_parent_ignores_non_metric_json(monkeypatch, capsys):
     assert capsys.readouterr().out.strip() == METRIC
 
 
+def test_parent_keeps_banked_metric_from_killed_child(monkeypatch, capsys):
+    """Round-4 contract (VERDICT r3 item 1): a child killed on timeout may
+    already have banked a metric line — the parent must emit it rather than
+    report failure."""
+    hung_with_bank = FakeProc(stdout="noise\n" + METRIC + "\n", hang=True)
+    envs = []
+    _patch_popen(monkeypatch, [
+        hung_with_bank,
+        FakeProc(stdout="Traceback ...\n", rc=1),
+        FakeProc(stdout="Traceback ...\n", rc=1),
+    ], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 0
+    assert hung_with_bank.killed
+    assert capsys.readouterr().out.strip() == METRIC
+
+
+def test_parent_last_banked_line_wins(monkeypatch, capsys):
+    """The child emits provisional lines then upgrades them; the parent must
+    report the LAST metric line of a child's stdout."""
+    provisional = json.dumps({"metric": "m", "value": 200.0, "unit": "s",
+                              "provisional": "warmup_includes_jit_compile"})
+    envs = []
+    _patch_popen(monkeypatch, [
+        FakeProc(stdout=provisional + "\n" + METRIC + "\n", rc=0),
+    ], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    assert bench.run_parent() == 0
+    assert capsys.readouterr().out.strip() == METRIC
+
+
+def test_parent_respects_deadline(monkeypatch, capsys):
+    """With the budget (almost) spent, the parent must not spawn children
+    that the driver would kill anyway."""
+    envs = []
+    _patch_popen(monkeypatch, [FakeProc(stdout=METRIC + "\n")], envs)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    monkeypatch.setenv("PDE_BENCH_DEADLINE", "100")  # < 150s floor
+    assert bench.run_parent() == 1
+    assert envs == []
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_parent_attempt_timeouts_fit_deadline(monkeypatch, capsys):
+    """Every attempt timeout must fit inside what is left of the deadline
+    (the r03 failure: attempt 1 alone exceeded the driver window)."""
+    envs = []
+    procs = [FakeProc(stdout="", rc=1) for _ in range(3)]
+    _patch_popen(monkeypatch, procs, envs)
+
+    timeouts = []
+    real_comm = FakeProc.communicate
+
+    def spy_comm(self, timeout=None):
+        timeouts.append(timeout)
+        return real_comm(self, timeout=timeout)
+
+    monkeypatch.setattr(FakeProc, "communicate", spy_comm)
+    monkeypatch.setenv("PDE_BENCH_CONFIG", "elasticity3d")
+    monkeypatch.setenv("PDE_BENCH_DEADLINE", "1380")
+    assert bench.run_parent() == 1
+    # crash-exits consume ~no wall time here, so each timeout must be
+    # bounded by its plan cap and by deadline-40
+    caps = [c for _, c in bench._attempt_plan("elasticity3d")]
+    assert len(timeouts) == 3
+    for t, cap in zip(timeouts, caps):
+        assert t <= cap
+        assert t <= 1380 - 40
+    # the child budget env must accompany each spawn
+    for e, t in zip(envs, timeouts):
+        assert float(e["PDE_BENCH_CHILD_BUDGET"]) <= t
+
+
+def test_child_time_left_unbounded_without_budget(monkeypatch):
+    monkeypatch.delenv("PDE_BENCH_CHILD_BUDGET", raising=False)
+    assert bench.child_time_left() == float("inf")
+    monkeypatch.setenv("PDE_BENCH_CHILD_BUDGET", "1e9")
+    assert bench.child_time_left() < 1e9
+
+
 def test_device_retry_recovers_from_transient_errors(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     calls = {"n": 0}
