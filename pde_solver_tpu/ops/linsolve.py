@@ -655,7 +655,8 @@ def solve_stencil_system(
         from pde_solver_tpu.parallel.shard import device_mesh
         from pde_solver_tpu.parallel.shard_mg import shard_hierarchy
         from pde_solver_tpu.utils.observability import get_logger
-        sharded_mg = shard_hierarchy(hierarchy, device_mesh(nshard))
+        sharded_mg = shard_hierarchy(hierarchy, device_mesh(nshard),
+                                     key=hier_key)
         get_logger().info(
             "sharded MG-PCG: V-cycle + domain decomposition over %d devices",
             nshard)

@@ -265,15 +265,28 @@ class ShardedMGSolver:
 _SOLVER_CACHE: dict = {}
 
 
-def shard_hierarchy(h: mg.MGHierarchy, mesh_dev: Mesh) -> ShardedMGSolver:
-    """Build (or reuse) a ShardedMGSolver for this hierarchy + mesh."""
-    key = (id(h), tuple(dev.id for dev in mesh_dev.devices.flat))
-    solver = _SOLVER_CACHE.get(key)
-    if solver is None:
-        solver = ShardedMGSolver(h, mesh_dev)
-        _SOLVER_CACHE[key] = solver
-        while len(_SOLVER_CACHE) > 4:
-            _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
+def shard_hierarchy(h: mg.MGHierarchy, mesh_dev: Mesh,
+                    key=None) -> ShardedMGSolver:
+    """Build (or reuse) a ShardedMGSolver for this hierarchy + mesh.
+
+    ``key``: the hierarchy's CONTENT key (linsolve passes its ``hier_key``).
+    Without one, the cache keys on ``id(h)`` — safe only because each entry
+    also pins the hierarchy object (so its id cannot be recycled) and reuse
+    is gated on ``cached_h is h``, never on the id alone (VERDICT r3 item 6:
+    a GC'd hierarchy's id could alias a new one to a stale sharded solver).
+    """
+    mesh_ids = tuple(dev.id for dev in mesh_dev.devices.flat)
+    cache_key = ((key, mesh_ids) if key is not None
+                 else (id(h), mesh_ids))
+    entry = _SOLVER_CACHE.get(cache_key)
+    if entry is not None:
+        cached_h, solver = entry
+        if key is not None or cached_h is h:
+            return solver
+    solver = ShardedMGSolver(h, mesh_dev)
+    _SOLVER_CACHE[cache_key] = (h, solver)
+    while len(_SOLVER_CACHE) > 4:
+        _SOLVER_CACHE.pop(next(iter(_SOLVER_CACHE)))
     return solver
 
 

@@ -16,7 +16,7 @@ bounded by total bytes with oldest-mtime eviction.
 Env knobs:
   PDE_TPU_DISK_CACHE=0     disable entirely
   PDE_TPU_CACHE_DIR        directory (default ~/.cache/pde_solver_tpu)
-  PDE_TPU_CACHE_MAX_GB     size bound (default 40)
+  PDE_TPU_CACHE_MAX_GB     size bound (default 8)
 """
 
 from __future__ import annotations
@@ -103,7 +103,7 @@ def store(kind: str, key, arrays: Dict[str, np.ndarray],
 
 
 def _evict(d: str) -> None:
-    max_bytes = float(os.environ.get("PDE_TPU_CACHE_MAX_GB", 40)) * 2**30
+    max_bytes = float(os.environ.get("PDE_TPU_CACHE_MAX_GB", 8)) * 2**30
     entries = []
     total = 0
     for name in os.listdir(d):

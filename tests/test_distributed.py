@@ -19,7 +19,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
+# (bounded by communicate(timeout=240) below; pytest-timeout is not installed,
+# so a mark would be an inert unknown-mark warning)
 def test_two_process_dcn_bringup():
     port = _free_port()
     env = dict(os.environ)

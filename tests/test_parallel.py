@@ -239,3 +239,56 @@ def test_sharded_transient_scan_vector_block():
                            vdim=2)
     scale = max(np.abs(ref.values).max(), 1e-30)
     assert np.abs(sh.values - ref.values).max() < 1e-8 * scale
+
+
+@needs_multidevice
+def test_shard_hierarchy_cache_never_aliases_stale_solver():
+    """VERDICT r3 item 6: the solver cache must not reuse a sharded solver
+    for a DIFFERENT hierarchy that happens to share id(h) with a collected
+    one.  Contract: keyless entries pin the hierarchy object and gate reuse
+    on identity; content-keyed entries reuse across equal-content rebuilds."""
+    from pde_solver_tpu.ops import multigrid as mg
+    from pde_solver_tpu.ops.linsolve import prepare_system
+    from pde_solver_tpu.parallel import shard_mg
+    from pde_solver_tpu.parallel.shard import device_mesh
+
+    def build(n):
+        mesh = box_mesh(n, n, n, (0, 0, 0), (1.0, 1.0, 1.0))
+        K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+        bc = DirichletBC.from_masks([(all_boundary(mesh), 0.0)],
+                                    mesh.node_shape)
+        b = assembly.assemble_load(mesh)
+        sysm = prepare_system(K, mesh, bc, b, 1)
+
+        def builder(mc):
+            return (assembly.assemble_scalar_stencil(mc, "stiffness"),
+                    DirichletBC.from_masks([(all_boundary(mc), 0.0)],
+                                           mc.node_shape))
+
+        return mg.build_hierarchy(mesh, sysm, builder, vdim=1,
+                                  dtype=jnp.float32, use_pallas=False)
+
+    dev = device_mesh(8)
+    shard_mg._SOLVER_CACHE.clear()
+
+    h1 = build(16)
+    s1 = shard_mg.shard_hierarchy(h1, dev)
+    assert shard_mg.shard_hierarchy(h1, dev) is s1  # same object → cache hit
+
+    # keyless entries pin the hierarchy: its id cannot be recycled while the
+    # entry lives, so a same-id alias to a different hierarchy is impossible
+    assert any(entry[0] is h1 for entry in shard_mg._SOLVER_CACHE.values())
+
+    h2 = build(24)  # different content, no key → must NOT reuse s1
+    s2 = shard_mg.shard_hierarchy(h2, dev)
+    assert s2 is not s1
+
+    # content key: equal-content rebuild (new object) reuses the solver
+    h3 = build(16)
+    assert h3 is not h1
+    s3a = shard_mg.shard_hierarchy(h3, dev, key=("ck", 16))
+    s3b = shard_mg.shard_hierarchy(build(16), dev, key=("ck", 16))
+    assert s3b is s3a
+    # ...and a different content key builds afresh
+    s4 = shard_mg.shard_hierarchy(h2, dev, key=("ck", 24))
+    assert s4 is not s3a
