@@ -337,8 +337,10 @@ def run_transient(
         Ct_dev = jnp.asarray(sysm.Ct, dtype=state_dtype)
         CinvT_dev = jnp.asarray(sysm.CinvT, dtype=state_dtype)
 
-    setup_s = _time.perf_counter() - t_setup
-    t_scan = _time.perf_counter()
+    # Stage every scan operand on device BEFORE the stepping clock starts:
+    # these uploads (~20-40 MB at 128³) ride the ~85 MB/s tunnel and were
+    # charged to scan_seconds (xl anatomy, BENCH_NOTES: 49 ms/step reported
+    # vs a 16.8 ms scan-marginal step — most of the gap was this staging).
     scan_args = (
         offsets, A32, A64, B_w,
         jnp.asarray(free_np, dtype=state_dtype),
@@ -348,6 +350,14 @@ def run_transient(
         jnp.asarray(Ag_np, dtype=state_dtype),
         jnp.asarray(u0_np, dtype=state_dtype))
     tail = (maxiter, refine, d, vdim, prec, snap32, h_struct, level_arrays)
+    # scalar-pull fence (the tunnel's block_until_ready is a no-op): one
+    # element pull per operand forces every staging upload — scan operands,
+    # operator weights, hierarchy levels — to finish inside setup_seconds
+    for a in jax.tree.leaves((scan_args[1:], level_arrays)):
+        if isinstance(a, jax.Array) and a.size:
+            float(jnp.real(a[(0,) * a.ndim]))
+    setup_s = _time.perf_counter() - t_setup
+    t_scan = _time.perf_counter()
 
     # Snapshot thinning: the stacked [Nt][N] trajectory is the HBM hazard
     # for long transients at multi-M DOF (SURVEY §7 "hard parts").  When
@@ -694,6 +704,36 @@ def run_newmark(
     a0 = jnp.asarray(free_np, state_dtype) * jnp.asarray(
         sys_m.from_hat_x(np.asarray(xh0, np.float64)), state_dtype)
 
+    inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
+
+    # Domain-decomposed Newmark stepping (SolverConfig.shard_devices): the
+    # whole scan runs inside one shard_map, same machinery as run_transient's
+    # ShardedThetaScan (axis-0 decomposition, identity-row padding, halo
+    # applies, psum-CG step solves).
+    nshard = cfg.resolved_shard_devices()
+    if nshard > 1:
+        from pde_solver_tpu.parallel.shard import (ShardedNewmarkScan,
+                                                   device_mesh)
+        from pde_solver_tpu.utils.observability import get_logger
+        get_logger().info("sharded Newmark scan: %d devices, %d steps",
+                          nshard, int(num_steps))
+        scan = ShardedNewmarkScan(
+            sysm, K_list, free_np, np.asarray(f_np, np.float64),
+            d, vdim, device_mesh(nshard), dt, beta, gamma,
+            dtype=state_dtype, inner_tol=inner_tol, maxiter=maxiter)
+        us, vs, iters, res = scan.run(np.asarray(u0_np, np.float64),
+                                      np.asarray(v0_np, np.float64),
+                                      np.asarray(a0, np.float64),
+                                      int(num_steps))
+        values = np.concatenate([np.asarray(u0_np, np.float64)[None],
+                                 np.asarray(us, np.float64)], axis=0)
+        vels = np.concatenate([np.asarray(v0_np, np.float64)[None],
+                               np.asarray(vs, np.float64)], axis=0)
+        times = dt * np.arange(num_steps + 1, dtype=np.float64)
+        return NewmarkResult(values=values, velocities=vels, times=times,
+                             total_cg_iterations=iters,
+                             max_relative_residual=res)
+
     if sysm.scale_kind == "scalar":
         s_dev = jnp.asarray(sysm.s, state_dtype)
         Ct_dev = CinvT_dev = None
@@ -702,7 +742,6 @@ def run_newmark(
         Ct_dev = jnp.asarray(sysm.Ct, state_dtype)
         CinvT_dev = jnp.asarray(sysm.CinvT, state_dtype)
 
-    inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
     snap32 = cfg.snapshot_dtype == "f32" and prec != "f64"
 
     h_struct = level_arrays = None

@@ -440,3 +440,127 @@ class ShardedThetaScan:
         snaps, iters, res = fn(u0, self.A_w, self.B_w, self.free, self.g,
                                self.Ag, self.b_src, self.scale)
         return snaps[:, :self.nx], int(iters), float(res)
+
+
+class ShardedNewmarkScan:
+    """Fused sharded Newmark-β stepping (elastodynamics) on a prepared
+    ScaledSystem of A_eff = M + βΔt²K — the vdim>1 transient counterpart of
+    :class:`ShardedThetaScan` (same axis-0 domain decomposition, identity-row
+    padding, halo-exchange applies, psum-CG step solves).
+
+    Build once per system; :meth:`run` returns (us, vs, iters, max_relres)
+    matching ops.timestepping._newmark_scan's contract.
+    """
+
+    def __init__(self, sysm, K_list, free_np, f_np, grid_dim: int,
+                 vdim: int, mesh_dev: Mesh, dt: float, beta: float,
+                 gamma: float, dtype=jnp.float32, inner_tol: float = 1e-6,
+                 maxiter: int = 500):
+        self.grid_dim, self.vdim = grid_dim, vdim
+        self.mesh_dev = mesh_dev
+        self.offsets = sysm.offsets
+        n_dev = mesh_dev.devices.size
+        nx = free_np.shape[0]
+        self.nx = nx
+        self.n_pad = (-nx) % n_dev
+        zero_off = tuple(0 for _ in range(grid_dim))
+        self.dtype = dtype
+        self.dt, self.beta, self.gamma = float(dt), float(beta), float(gamma)
+
+        def pad(a, identity=False):
+            return jnp.asarray(
+                _pad_id_rows(a, self.n_pad, identity, vdim), dtype)
+
+        self.A_w = tuple(pad(W, identity=(off == zero_off))
+                         for off, W in zip(sysm.offsets, sysm.weights))
+        self.K_w = tuple(pad(W) for W in K_list)
+        self.free = pad(free_np)
+        self.f_ext = pad(f_np)
+        if sysm.scale_kind == "scalar":
+            s = _pad0(np.asarray(sysm.s), self.n_pad)
+            if self.n_pad:
+                s[-self.n_pad:] = 1.0
+            self.scale = (jnp.asarray(s, dtype),)
+        else:
+            Ct = _pad_id_rows(sysm.Ct, self.n_pad, True, vdim)
+            CinvT = _pad_id_rows(sysm.CinvT, self.n_pad, True, vdim)
+            self.scale = (jnp.asarray(Ct, dtype), jnp.asarray(CinvT, dtype))
+        self.inner_tol = inner_tol
+        self.maxiter = maxiter
+        self._runs = {}
+
+    def _build(self, num_steps: int):
+        offsets, vdim, d = self.offsets, self.vdim, self.grid_dim
+        scalar = len(self.scale) == 1
+        inner_tol, maxiter = self.inner_tol, self.maxiter
+        dt, beta, gamma = self.dt, self.beta, self.gamma
+        c1 = dt * dt * (0.5 - beta)
+        c2 = beta * dt * dt
+
+        grid_spec = P(AXIS, *([None] * (d - 1 + (1 if vdim > 1 else 0))))
+        w_spec = P(AXIS, *([None] * (d - 1 + (2 if vdim > 1 else 0))))
+        scale_spec = (grid_spec,) if scalar else (w_spec, w_spec)
+
+        def local(u0, v0, a0, A_w, K_w, free, f_ext, scale):
+            if scalar:
+                s = scale[0]
+                to_hat_b = lambda v: s * v
+                to_hat_x = lambda v: v / s
+                from_hat_x = lambda v: s * v
+            else:
+                Ct, CinvT = scale
+                to_hat_b = lambda v: jnp.einsum("...ji,...j->...i", CinvT, v)
+                to_hat_x = lambda v: jnp.einsum("...ij,...j->...i", Ct, v)
+                from_hat_x = lambda v: jnp.einsum("...ij,...j->...i", CinvT, v)
+
+            def A(x):
+                return local_stencil_apply(offsets, A_w, x, vdim)
+
+            def K(x):
+                return local_stencil_apply(offsets, K_w, x, vdim)
+
+            one = jnp.ones((), u0.dtype)
+
+            def step(carry, _):
+                u, v, a, it, res = carry
+                u_pred = u + dt * v + c1 * a
+                bt = free * (f_ext - K(u_pred))
+                xh, k, relres = sharded_pcg(A, to_hat_b(bt), one,
+                                            tol=inner_tol, maxiter=maxiter,
+                                            x0=to_hat_x(a))
+                a_new = free * from_hat_x(xh)
+                u_new = u_pred + c2 * a_new
+                v_new = v + dt * ((1.0 - gamma) * a + gamma * a_new)
+                return ((u_new, v_new, a_new, it + k,
+                         jnp.maximum(res, relres)), (u_new, v_new))
+
+            carry0 = (u0, v0, a0, jnp.asarray(0, jnp.int32),
+                      jnp.asarray(0.0, u0.dtype))
+            (_, _, _, iters, res), (us, vs) = jax.lax.scan(
+                step, carry0, None, length=num_steps)
+            return us, vs, iters, res
+
+        snap_spec = P(None, AXIS,
+                      *([None] * max(0, d - 2 + (1 if vdim > 1 else 0))))
+        fn = shard_map(
+            local, mesh=self.mesh_dev,
+            in_specs=(grid_spec, grid_spec, grid_spec,
+                      tuple(w_spec for _ in offsets),
+                      tuple(w_spec for _ in offsets),
+                      grid_spec, grid_spec, scale_spec),
+            out_specs=(snap_spec, snap_spec, P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def run(self, u0_np, v0_np, a0_np, num_steps: int):
+        fn = self._runs.get(num_steps)
+        if fn is None:
+            fn = self._build(num_steps)
+            self._runs[num_steps] = fn
+        u0 = jnp.asarray(_pad0(np.asarray(u0_np), self.n_pad), self.dtype)
+        v0 = jnp.asarray(_pad0(np.asarray(v0_np), self.n_pad), self.dtype)
+        a0 = jnp.asarray(_pad0(np.asarray(a0_np), self.n_pad), self.dtype)
+        us, vs, iters, res = fn(u0, v0, a0, self.A_w, self.K_w, self.free,
+                                self.f_ext, self.scale)
+        return us[:, :self.nx], vs[:, :self.nx], int(iters), float(res)
