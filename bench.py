@@ -4,8 +4,10 @@
 Headline metric (BASELINE.md config 5): 3D static elasticity on a
 1 m × 0.2 m × 0.2 m cantilever under gravity at ~2M DOF — wall time of the
 PCG solve (mixed-precision MG-PCG with double-f32 refinement) on one TPU
-chip.  Target < 5 s → ``vs_baseline`` = target_seconds / measured_seconds
-(>1 beats the target).
+chip.  ``vs_baseline`` = measured reference-class cost / measured seconds
+(benchmarks/reference_baseline.py — fresh-LU per call for the small
+configs, charitable cold Jacobi-CG for the large 3D ones); ``vs_target``
+keeps the BASELINE.md <5 s target ratio.
 
 Fault tolerance (round-2 lesson: one transient tunnel error aborted the
 bench with no JSON on record):
@@ -71,6 +73,75 @@ def log(*args):
 def emit(obj):
     """The one driver-visible JSON line."""
     print(json.dumps(obj), flush=True)
+
+
+# ======================================================================
+# Measured reference-class denominators (VERDICT r3 item 3)
+#
+# Every ``vs_baseline`` below divides by a MEASURED number from
+# benchmarks/reference_baseline.py: fresh scipy-SuperLU solves of the SAME
+# discrete system for the small configs (the reference's FEniCS
+# ``solve(a == L)`` re-factorizes every call, fenics_mcp_server.py:309-318),
+# and a charitable cold Jacobi-CG for the large 3D configs where a literal
+# fresh-LU denominator is astronomically slow (fresh-LU ladders + power-law
+# fits are recorded in reference_baseline.json for audit).  The constants
+# here are a fallback snapshot; the JSON, when present, wins.
+# ======================================================================
+
+_REF_BASELINE_FALLBACK = {
+    "heat1d_steps_per_s": 5448.7,       # fresh spsolve per BE step, 256 nodes
+    "bar1d_solve_ms": 0.15,             # fresh spsolve, fixed-free 1D K
+    "heat2d_steps_per_s": 8.77,         # fresh spsolve per CN step, 128²
+    "elast2d_solve_ms": 4979.4,         # fresh spsolve, 256² plane stress
+    "elast3d_2M_iterative_solve_s": 671.5,   # cold Jacobi-CG, rtol 1e-6
+    # (num_nodes, steps/s) cold Jacobi-CG BE-step points → power-law fit
+    "heat3d_iter_points": ((65 ** 3, 1.867), (129 ** 3, 0.0604)),
+}
+
+
+def ref_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "reference_baseline.json")
+    vals = dict(_REF_BASELINE_FALLBACK)
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        for k in ("heat1d_steps_per_s", "bar1d_solve_ms",
+                  "heat2d_steps_per_s", "elast2d_solve_ms",
+                  "elast3d_2M_iterative_solve_s"):
+            vals[k] = data[k]["value"]
+        vals["heat3d_iter_points"] = (
+            (65 ** 3, data["heat3d_64cubed_iterative_steps_per_s"]["value"]),
+            (129 ** 3, data["heat3d_128cubed_iterative_steps_per_s"]["value"]))
+    except Exception as e:
+        log(f"[bench] reference_baseline.json unreadable "
+            f"({type(e).__name__}) — using the snapshot constants")
+    return vals
+
+
+def _heat3d_iter_alpha(vals):
+    import math
+    (n1, s1), (n2, s2) = vals["heat3d_iter_points"]
+    return math.log(s1 / s2) / math.log(n2 / n1)
+
+
+def heat3d_ref_steps_per_s(num_nodes):
+    """Reference-class (cold Jacobi-CG) BE steps/s at this mesh size:
+    measured directly at 65³/129³ nodes, power-law interpolated elsewhere
+    (fitted exponent ≈1.7 — CG iteration growth × per-iteration cost)."""
+    vals = ref_baseline()
+    (n1, s1), _ = vals["heat3d_iter_points"]
+    return s1 * (n1 / num_nodes) ** _heat3d_iter_alpha(vals)
+
+
+def elast3d_ref_seconds(ndof):
+    """Reference-class (cold Jacobi-CG) solve seconds for the cantilever:
+    measured at the flagship's exact 2,040,675-DOF system; off-size runs
+    (small/medium CPU smoke scales) reuse the heat-iterative exponent."""
+    vals = ref_baseline()
+    ref_ndof = 3 * 161 * 65 * 65
+    return vals["elast3d_2M_iterative_solve_s"] * (
+        ndof / ref_ndof) ** _heat3d_iter_alpha(vals)
 
 
 # ======================================================================
@@ -328,7 +399,10 @@ def bench_heat3d():
                            "full" if jax.default_backend() == "tpu" else "small")
     # xl (128³ ≈ 2.1M DOF) crosses transient_mg_threshold → MG-PCG steps
     cells = {"small": 16, "medium": 40, "full": 64, "xl": 128}[scale]
-    num_steps = 50 if scale != "xl" else 20
+    # xl runs 50 steps too: the scan-marginal step is ~17 ms (BENCH_NOTES
+    # "xl transient anatomy"), so more steps amortize the one-time program
+    # entry and the metric reflects stepping throughput
+    num_steps = 50
     t0 = time.perf_counter()
     warm_channel()
     log(f"[bench] warmup: {time.perf_counter() - t0:.1f}s")
@@ -342,12 +416,15 @@ def bench_heat3d():
         bc_builder=lambda m: [(m.boundary_mask(), 0.0)],
         T_initial=20.0, dt=0.01, num_steps=num_steps)
 
+    ref_steps_s = heat3d_ref_steps_per_s((cells + 1) ** 3)
+
     def metric_line(steps_s, **extra):
         out = {
             "metric": f"heat3d_{cells}cubed_backward_euler_steps_per_s",
             "value": round(steps_s, 2),
             "unit": "steps/s",
-            "vs_baseline": round(steps_s / 10.0, 3),  # ref-class: ~10 PETSc solves/s
+            # measured: cold Jacobi-CG BE step of the same system
+            "vs_baseline": round(steps_s / ref_steps_s, 3),
         }
         out.update(extra)
         return out
@@ -418,7 +495,8 @@ def bench_heat1d():
     emit({
         "metric": "heat1d_256nodes_backward_euler_steps_per_s",
         "value": round(steps_s, 1), "unit": "steps/s",
-        "vs_baseline": round(steps_s / 100.0, 3),  # ref-class: ~100 solves/s
+        # measured: fresh spsolve of (M+dtK) per step
+        "vs_baseline": round(steps_s / ref_baseline()["heat1d_steps_per_s"], 3),
     })
 
 
@@ -447,7 +525,9 @@ def bench_bar1d():
     emit({
         "metric": "bar1d_256nodes_static_solve_ms",
         "value": round(ms, 2), "unit": "ms",
-        "vs_baseline": round(20.0 / ms, 3),  # ref-class LU+overhead ~20 ms
+        # measured: fresh spsolve of the 256-node K (assembly uncharged —
+        # a tridiagonal LU is near-free, so this ratio is honestly <1)
+        "vs_baseline": round(ref_baseline()["bar1d_solve_ms"] / ms, 3),
     })
 
 
@@ -471,7 +551,8 @@ def bench_heat2d_cn():
     emit({
         "metric": "heat2d_128sq_crank_nicolson_steps_per_s",
         "value": round(steps_s, 2), "unit": "steps/s",
-        "vs_baseline": round(steps_s / 20.0, 3),  # ref-class: ~20 solves/s
+        # measured: fresh spsolve of (M+θdtK) per step
+        "vs_baseline": round(steps_s / ref_baseline()["heat2d_steps_per_s"], 3),
     })
 
 
@@ -496,7 +577,8 @@ def bench_elast2d():
     emit({
         "metric": "elasticity2d_256sq_plane_stress_solve_ms",
         "value": round(ms, 1), "unit": "ms",
-        "vs_baseline": round(2000.0 / ms, 3),  # ref-class sparse LU ~2 s
+        # measured: fresh spsolve (SuperLU) of the same 132k-DOF system
+        "vs_baseline": round(ref_baseline()["elast2d_solve_ms"] / ms, 3),
     })
 
 
@@ -703,14 +785,20 @@ def bench_flagship():
 
     from pde_solver_tpu.utils.observability import device_trace
 
-    target_seconds = 5.0
+    target_seconds = 5.0          # BASELINE.md config-5 wall-time target
+    ref_seconds = elast3d_ref_seconds(ndof)
 
     def metric_line(value_s, kind, iters, relres, **extra):
         out = {
             "metric": "elasticity3d_cantilever_2MDOF_solve_seconds",
             "value": round(value_s, 3),
             "unit": "s",
-            "vs_baseline": round(target_seconds / value_s, 3),
+            # measured: cold Jacobi-CG of the exact flagship system (671.5 s
+            # at full scale) — the charitable reference class; the literal
+            # reference behavior (fresh LU per call) extrapolates to ~3.8
+            # DAYS at 2M DOF (reference_baseline.json fresh-LU ladder)
+            "vs_baseline": round(ref_seconds / value_s, 3),
+            "vs_target": round(target_seconds / value_s, 3),
             "solver": kind,
             "relres": float(f"{relres:.3e}"),
             "setup_seconds": round(setup_s, 1),
