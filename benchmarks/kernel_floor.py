@@ -145,6 +145,60 @@ def shifts_ms(op, reps):
     return _time_apply(lambda _, v: apply_s(v), None, x, reps)
 
 
+def _residentw_kernel(n_off, vdim, rb, halo_r, deltas, interpret,
+                      w_ref, x_ref, y_ref):
+    """Per-node-weight FMAs with W RESIDENT in VMEM (constant index map — no
+    HBM streaming): the exact per-tile issue cost of a constant-interior /
+    class-form kernel that keeps its weight tiles in VMEM.  Output values
+    are wrong (every block reuses the same weight tile); timing is what
+    matters."""
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * rb, rb) + halo_r
+
+    def read_rows(b, dr, span):
+        q8 = (dr // SUB) * SUB
+        rem = dr - q8
+        wide = x_ref[b, pl.ds(row0 + q8, _round_up(rem + span, SUB)), :]
+        return wide[rem:rem + span]
+
+    _spmv_body(n_off, vdim, rb, halo_r, deltas, interpret, w_ref, y_ref,
+               read_rows)
+
+
+def residentw_ms(op, reps):
+    nw = op.n_off * op.vdim * op.vdim
+    kernel = functools.partial(_residentw_kernel, op.n_off, op.vdim, op.rb,
+                               op.halo_r, op.deltas, op.interpret)
+    W_tile = op.Wf[:, :op.rb, :]  # one weight block, reused for every output
+
+    @jax.jit
+    def apply_r(Wt, x_flat):
+        x_pad = jnp.pad(x_flat, ((0, 0), (op.halo_r, op.halo_r), (0, 0)))
+        return pl.pallas_call(
+            kernel,
+            grid=(op.n_rows // op.rb,),
+            in_specs=[
+                pl.BlockSpec((nw, op.rb, LANE),
+                             lambda i: (_zero_i(i), _zero_i(i), _zero_i(i)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((op.vdim, x_pad.shape[1], LANE),
+                             lambda i: (_zero_i(i), _zero_i(i), _zero_i(i)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((op.vdim, op.rb, LANE),
+                                   lambda i: (_zero_i(i), i, _zero_i(i)),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((op.vdim, op.n_rows, LANE),
+                                           jnp.float32),
+            interpret=op.interpret,
+        )(Wt, x_pad)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((op.vdim, op.n_rows, LANE)),
+                    jnp.float32)
+    return _time_apply(lambda Wt, v: apply_r(Wt, v), W_tile, x, reps)
+
+
 def main():
     cells = tuple(int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 \
         else (160, 64, 64)
@@ -185,7 +239,12 @@ def main():
         f"({wbytes/2/1e6:.0f} MB → {wbytes/2/ms_w16/1e6:.0f} GB/s)")
     ms_s = shifts_ms(op, reps)
     log(f"[floor] shifts-only (constant weights): {ms_s:.3f} ms "
-        f"— the CS-kernel/issue floor")
+        f"— the scalar-weight issue floor")
+    ms_r = residentw_ms(op, reps)
+    log(f"[floor] resident-W f32 (VMEM weights, no streaming): {ms_r:.3f} ms "
+        f"— the per-node-weight CS/class-kernel cost prototype")
+    ms_r16 = residentw_ms(op16, reps)
+    log(f"[floor] resident-W bf16: {ms_r16:.3f} ms")
 
 
 if __name__ == "__main__":
