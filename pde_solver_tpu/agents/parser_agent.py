@@ -150,7 +150,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
 
     # --- PDE type ---
     if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
-                 r"|beam bend|vibrat|oscillat", t):
+                 r"|beam bend|vibrat|oscillat|\bclamp|body\s+force", t):
         out["pde_type"] = "elasticity"
     elif re.search(r"\bwave\b(?!\s*number)", t):
         # the reference parser emits pde_type="wave" (pde_parser_agent.py:205
@@ -193,9 +193,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     elif out.get("geometry_type") in ("cylinder", "sphere"):
         out["dim"] = 1  # radial by default
 
-    # --- sizes: "A x B (x C)" with optional units ---
-    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?)?\s*[x×*]\s*" + _NUM
-                  + r"\s*(m|cm|mm|meter(?:s)?)?(?:\s*[x×*]\s*" + _NUM
+    # --- sizes: "A x B (x C)" with optional per-number units; separators
+    # are "x", "×", "*", or "by" (reference: "Recognize x, *, by, × as
+    # separators", pde_parser_agent.py:472) — units may differ per number
+    # ("2 m by 30 cm" → Lx=2.0, Ly=0.3)
+    _sep = r"\s*(?:[x×*]|\bby\b)\s*"
+    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?)?" + _sep + _NUM
+                  + r"\s*(m|cm|mm|meter(?:s)?)?(?:" + _sep + _NUM
                   + r"\s*(m|cm|mm|meter(?:s)?)?)?", t)
     if m:
         a = float(m.group(1)) * _unit_scale(m.group(2))
@@ -260,8 +264,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # — "inner radius 5 cm with a 2 cm wall" → r_outer = 0.05 + 0.02
     # (VERDICT r2 weak #7 phrasing; reference prompt's hollow-cylinder
     # conventions at pde_parser_agent.py:248-265)
-    m = re.search(r"wall(?:\s+thickness)?\s*(?:of|=|:)?\s*" + _NUM
-                  + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"(?:wall\s+thickness|wall|thickness)\s*(?:of|=|:)?\s*"
+                  + _NUM + r"\s*(m|cm|mm)?", t)
     if m is None:
         m = re.search(_NUM + r"\s*(m|cm|mm)?\s*(?:thick\s+)?wall", t)
     if m and out.get("geometry_type") in ("cylinder", "sphere"):
@@ -285,7 +289,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                else "cylinder_radius")
         if key in geometry_params:
             geometry_params["r_outer"] = geometry_params.pop(key)
-    m = re.search(r"(?:height|h)\s*(?:of|=|:)\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"height\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    if m is None:
+        m = re.search(r"\bh\s*(?:=|:)\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m:
         domain["h"] = float(m.group(1)) * _unit_scale(m.group(2))
     # bare material thickness ("30nm thick conductor") is a cross-section
@@ -377,10 +383,57 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(r"(?:cross[- ]?sectional\s+)?area\s*(?:of|=|:|is)?\s*" + _NUM, t)
     if m:
         material["area"] = float(m.group(1))
-    m = re.search(r"body\s+force\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    # body-force component forms first (reference material_params contract:
+    # body_fx/body_fy/body_fz for 2D/3D, pde_parser_agent.py:313-314):
+    #   tuple "(fx, fy[, fz])" / "in the negative z direction" / "downward"
+    _bf = r"body\s+forces?\s*(?:of|=|:|is)?\s*"
+    m = re.search(_bf + r"\(\s*" + _NUM + r"\s*,\s*" + _NUM
+                  + r"(?:\s*,\s*" + _NUM + r")?\s*\)", t)
     if m:
-        material["body_force"] = float(m.group(1))
+        material["body_fx"] = float(m.group(1))
+        material["body_fy"] = float(m.group(2))
+        if m.group(3) is not None:
+            material["body_fz"] = float(m.group(3))
+            out["dim"] = 3
+        else:
+            out.setdefault("dim", 2)
+    else:
+        _unit_sfx = r"(?:\s*n\s*/?\s*m\s*[³3²2]?)?"
+        m = re.search(_bf + _NUM + _unit_sfx
+                      + r"\s*(?:acting\s+|applied\s+)?(?:in|along)\s+(?:the\s+)?"
+                      r"(negative|positive|minus|plus|[-+])?\s*([xyz])\b"
+                      r"\s*[- ]?(?:direction|axis)?", t)
+        if m:
+            sign = -1.0 if m.group(2) in ("negative", "minus", "-") else 1.0
+            material[f"body_f{m.group(3)}"] = sign * float(m.group(1))
+        else:
+            m = (re.search(r"downward\s+body\s+forces?\s*(?:of|=|:|is)?\s*"
+                           + _NUM, t)
+                 or re.search(_bf + _NUM + _unit_sfx
+                              + r"\s*(?:acting\s+|pointing\s+)?"
+                              r"(?:downwards?\b|down\b)", t))
+            if m:
+                # gravity-like orientation: −y in 2D, −z in 3D (reference
+                # gravity rules, pde_parser_agent.py:385-393); the 1D bar
+                # takes a scalar axial load (api.solve_elasticity_1D_static)
+                if out.get("dim", 1) == 1:
+                    material["body_force"] = float(m.group(1))
+                else:
+                    axis = "z" if out.get("dim") == 3 else "y"
+                    material[f"body_f{axis}"] = -abs(float(m.group(1)))
+            else:
+                m = re.search(_bf + _NUM, t)
+                if m:
+                    material["body_force"] = float(m.group(1))
     if out.get("pde_type") == "elasticity":
+        if re.search(r"(?:fixed|clamped|held)\s*(?:at|on)?\s*(?:the\s+)?both\s+ends", t) \
+                or re.search(r"both\s+ends\s+(?:fixed|clamped|held)", t):
+            # the 1D bar solver (and the reference's, ref
+            # fenics_mcp_server.py:1470-1587) is fixed-free; surface the
+            # mismatch in the summary instead of silently ignoring it
+            out.setdefault("notes", []).append(
+                "both-ends fixity requested - the 1D bar solver clamps the "
+                "left end only (fixed-free), right end is traction-free")
         if re.search(r"\bstrain\b(?!.*stress)", t) and not re.search(r"\bstress\b", t):
             material["quantity"] = "strain"
         if re.search(r"plane\s+strain", t):

@@ -530,3 +530,90 @@ def test_composite_not_triggered_without_curvilinear_geometry():
     p = a.parse("heat in a 30 nm thick conductor, 100 steps")
     assert p.core_diffusivity is None
     assert p.core_radius is None
+
+
+# ---- round-4 NL battery: per-face BC lists, mixed units, shell phrasing,
+# ---- directional body forces (VERDICT r3 item 7; reference prompt rules at
+# ---- pde_parser_agent.py:313-314, 385-393, 424-429, 472)
+
+def test_rule_parse_by_separator_mixed_units():
+    """'2 m by 30 cm' — 'by' is a size separator with per-number units."""
+    r = rule_based_parse("steel plate 2 m by 30 cm under plane stress")
+    assert r["domain_size"] == {"Lx": 2.0, "Ly": pytest.approx(0.3)}
+    assert r["dim"] == 2
+
+
+def test_rule_parse_body_force_negative_z_direction():
+    r = rule_based_parse(
+        "elastic cube with a body force of 1000 N/m3 in the negative z "
+        "direction")
+    assert r["pde_type"] == "elasticity"
+    assert r["material_params"]["body_fz"] == pytest.approx(-1000.0)
+    assert "body_force" not in r["material_params"]
+
+
+def test_rule_parse_body_force_positive_axis():
+    r = rule_based_parse(
+        "elastic box 1m x 0.2m x 0.2m with body force of 100 along the "
+        "+x axis")
+    assert r["material_params"]["body_fx"] == pytest.approx(100.0)
+    assert r["domain_size"] == {"Lx": 1.0, "Ly": 0.2, "Lz": 0.2}
+
+
+def test_rule_parse_downward_body_force_3d():
+    r = rule_based_parse("3D elasticity with downward body force 500")
+    assert r["material_params"]["body_fz"] == pytest.approx(-500.0)
+
+
+def test_rule_parse_downward_body_force_2d_is_minus_y():
+    r = rule_based_parse(
+        "2D plate with a body force of 80 acting downward, plane stress")
+    assert r["material_params"]["body_fy"] == pytest.approx(-80.0)
+
+
+def test_rule_parse_body_force_tuple():
+    r = rule_based_parse("2D plate with body force (0, -100)")
+    assert r["pde_type"] == "elasticity"
+    assert r["material_params"]["body_fx"] == pytest.approx(0.0)
+    assert r["material_params"]["body_fy"] == pytest.approx(-100.0)
+
+
+def test_rule_parse_body_force_keyword_implies_elasticity():
+    r = rule_based_parse("bar with body force of 100 acting downward")
+    assert r["pde_type"] == "elasticity"
+    # 1D bar: scalar axial load, the solve_elasticity_1D_static contract
+    assert r["material_params"]["body_force"] == pytest.approx(100.0)
+
+
+def test_rule_parse_spherical_shell_thickness():
+    """'shell of inner radius 5 cm and thickness 2 cm' — thickness implies
+    the outer radius without the word 'wall'."""
+    r = rule_based_parse("spherical shell of inner radius 5 cm and "
+                         "thickness 2 cm, outer surface at 0 C")
+    assert r["geometry_type"] == "sphere"
+    gp = r["geometry_params"]
+    assert gp["r_inner"] == pytest.approx(0.05)
+    assert gp["r_outer"] == pytest.approx(0.07)
+    assert r["bc_values"]["T_outer"] == pytest.approx(0.0)
+
+
+def test_rule_parse_cylinder_bare_height():
+    """comma-list phrasing: 'height 2m' with no of/=/: still parses."""
+    r = rule_based_parse("hollow cylinder with inner radius 0.2m, outer "
+                         "radius 0.5m, height 2m")
+    assert r["domain_size"]["h"] == pytest.approx(2.0)
+    assert r["geometry_params"] == {"r_inner": 0.2, "r_outer": 0.5}
+
+
+def test_rule_parse_both_ends_fixity_warns_in_notes():
+    """The 1D bar tool is fixed-free (frozen reference contract); asking for
+    both ends clamped must surface the mismatch, not silently ignore it."""
+    r = rule_based_parse("elastic bar fixed at both ends with body force 10")
+    assert any("fixed-free" in n for n in r.get("notes", []))
+    assert r["material_params"]["body_force"] == pytest.approx(10.0)
+
+
+def test_rule_parse_clamped_implies_elasticity_with_gravity():
+    r = rule_based_parse("beam clamped at the left face under gravity")
+    assert r["pde_type"] == "elasticity"
+    assert r["material_params"]["gravity"] is True
