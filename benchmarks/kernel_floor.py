@@ -199,6 +199,107 @@ def residentw_ms(op, reps):
     return _time_apply(lambda Wt, v: apply_r(Wt, v), W_tile, x, reps)
 
 
+def _csz_kernel(n_off, vdim, rb, halo_r, deltas, wc, dz0, dz64, interpret,
+                m_ref, x_ref, y_ref):
+    """Constant-interior pass + masked minor-axis (z-face) corrections — the
+    exact inner loop of a CS-form kernel for the flagship layout: per
+    (o,a,b) THREE scalar FMAs into separate accumulators (interior wc, z=0
+    face Δ, z=top face Δ), then two mask multiply-adds at the end.  The
+    masks ride as a streamed f32 [2, rb, 128] block (precomputed from
+    flat-index mod nz — avoids relying on Mosaic i32 vector rem)."""
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * rb, rb) + halo_r
+
+    def read_rows(b, dr, span):
+        q8 = (dr // SUB) * SUB
+        rem = dr - q8
+        wide = x_ref[b, pl.ds(row0 + q8, _round_up(rem + span, SUB)), :]
+        return wide[rem:rem + span]
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, LANE), 1)
+    groups = {}
+    for o, delta in enumerate(deltas):
+        dr = delta // LANE
+        dc = delta - LANE * dr
+        groups.setdefault(dr, []).append((o, dc))
+    masks = {dc: lane_iota < LANE - dc
+             for dc in sorted({dc for g in groups.values() for _, dc in g
+                               if dc != 0})}
+    tiles = [[None] * vdim for _ in range(n_off)]
+    for b in range(vdim):
+        for dr, members in groups.items():
+            span = rb + (1 if any(dc for _, dc in members) else 0)
+            A = read_rows(b, dr, span)
+            for o, dc in members:
+                if dc == 0:
+                    tiles[o][b] = A[:rb]
+                else:
+                    if interpret:
+                        B = jnp.roll(A, -dc, axis=1)
+                    else:
+                        B = pltpu.roll(A, jnp.asarray(LANE - dc, jnp.int32),
+                                       axis=1)
+                    tiles[o][b] = jnp.where(masks[dc], B[:rb], B[1:])
+    acc = [None] * vdim
+    az0 = [None] * vdim
+    az1 = [None] * vdim
+    for o in range(n_off):
+        for b in range(vdim):
+            xs = tiles[o][b]
+            for a in range(vdim):
+                k = (o * vdim + a) * vdim + b
+                t = jnp.float32(wc[k]) * xs
+                acc[a] = t if acc[a] is None else acc[a] + t
+                t0 = jnp.float32(dz0[k]) * xs
+                az0[a] = t0 if az0[a] is None else az0[a] + t0
+                t1 = jnp.float32(dz64[k]) * xs
+                az1[a] = t1 if az1[a] is None else az1[a] + t1
+    m0 = m_ref[0]
+    m1 = m_ref[1]
+    for a in range(vdim):
+        y_ref[a] = acc[a] + m0 * az0[a] + m1 * az1[a]
+
+
+def csz_ms(op, nz, reps):
+    rng = np.random.default_rng(0)
+    nwc = op.n_off * op.vdim * op.vdim
+    wc = tuple(rng.standard_normal(nwc) * 0.05)
+    dz0 = tuple(rng.standard_normal(nwc) * 0.05)
+    dz64 = tuple(rng.standard_normal(nwc) * 0.05)
+    kernel = functools.partial(_csz_kernel, op.n_off, op.vdim, op.rb,
+                               op.halo_r, op.deltas, wc, dz0, dz64,
+                               op.interpret)
+    flat = np.arange(op.n_rows * LANE, dtype=np.int64) % nz
+    m_np = np.stack([(flat == 0), (flat == nz - 1)]).astype(np.float32)
+    m = jnp.asarray(m_np.reshape(2, op.n_rows, LANE))
+
+    @jax.jit
+    def apply_c(mm, x_flat):
+        x_pad = jnp.pad(x_flat, ((0, 0), (op.halo_r, op.halo_r), (0, 0)))
+        return pl.pallas_call(
+            kernel,
+            grid=(op.n_rows // op.rb,),
+            in_specs=[
+                pl.BlockSpec((2, op.rb, LANE),
+                             lambda i: (_zero_i(i), i, _zero_i(i)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((op.vdim, x_pad.shape[1], LANE),
+                             lambda i: (_zero_i(i), _zero_i(i), _zero_i(i)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((op.vdim, op.rb, LANE),
+                                   lambda i: (_zero_i(i), i, _zero_i(i)),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((op.vdim, op.n_rows, LANE),
+                                           jnp.float32),
+            interpret=op.interpret,
+        )(mm, x_pad)
+
+    x = jnp.asarray(rng.standard_normal((op.vdim, op.n_rows, LANE)),
+                    jnp.float32)
+    return _time_apply(lambda mm, v: apply_c(mm, v), m, x, reps)
+
+
 def main():
     cells = tuple(int(a) for a in sys.argv[1:4]) if len(sys.argv) > 3 \
         else (160, 64, 64)
@@ -245,6 +346,11 @@ def main():
         f"— the per-node-weight CS/class-kernel cost prototype")
     ms_r16 = residentw_ms(op16, reps)
     log(f"[floor] resident-W bf16: {ms_r16:.3f} ms")
+    ms_c = csz_ms(op, mesh.node_shape[-1], reps)
+    log(f"[floor] cs+z-masked (3 scalar FMA sets + 2 mask FMAs): "
+        f"{ms_c:.3f} ms — interior+minor-face CS-kernel cost; a window-Δ "
+        f"pass over ~22% rows adds ≈{0.22 * ms_w:.3f} ms (f32) / "
+        f"{0.22 * ms_w16:.3f} ms (bf16) of W-touch on top")
 
 
 if __name__ == "__main__":
