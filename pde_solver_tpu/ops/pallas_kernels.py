@@ -364,6 +364,378 @@ jax.tree_util.register_pytree_node(
 )
 
 
+# ======================================================================
+# Constant-interior (CS-form) kernel
+# ======================================================================
+#
+# On a translation-invariant mesh the per-node weights carry ~1 scalar of
+# information per (offset, a, b) plane (see ops.linsolve.CSOp) — yet the
+# dense kernel above spends ~98 % of its time streaming/touching W tiles
+# (BENCH_NOTES "kernel floor decomposition": W-streaming-only 1.113 ms of
+# the 1.139 ms full f32 apply; shifts-only floor 0.755 ms).  This operator
+# eliminates W traffic for the bulk of the grid:
+#
+#   y = mv ⊙ ( Σ_o wc[o]·shift(x)                  (whole grid, scalar FMAs)
+#            + Σ_s m_s ⊙ Σ_o Δ_s[o]·shift(x) )     (masked face/edge sets)
+#     + window-Δ pass                              (everything else)
+#
+# The boundary shells of the two MINOR grid axes scatter through every
+# 128-lane row (lanes at flat index ≡ class mod nz, rows drifting per
+# plane), so they are folded into the main pass as extra scalar-FMA
+# accumulator sets — one per deviating boundary class of the two minor
+# axes (the outermost layer deviates from assembly; the next layer from
+# the baked-in diagonal scaling of its boundary neighbors) plus one per
+# deviating class PAIR (the edge lines) — combined with streamed 0/1 mask
+# planes.  The kernel skips zero scalars, so a set costs only its nonzero
+# support: the flagship fold measures ~12 full-sweep equivalents.  ``mv``
+# is a validity plane pinning the padded tail to exact zero (the flat-io
+# CG contract).  All REMAINING deviation — the MAJOR-axis slabs
+# (contiguous in flat order: the Dirichlet x-faces of the flagship
+# cantilever and every edge/corner interaction involving them) — is
+# confined to the 8-row octets containing a violating node; those octets
+# (~5 % of rows at the flagship shape) get a second pallas_call that
+# streams exact residual weights R = W − model for just those rows,
+# reading x at scalar-prefetched row offsets and accumulating into y in
+# place.
+#
+# Exactness: the octet list is BUILT from the violation scan, so every
+# node outside the windows satisfies the masked-class model exactly
+# (anything else — spatially varying coefficients, folds exceeding the
+# effective-sweep budget, tiny grids — returns None → dense fallback).
+# Results match the dense kernel to f32 roundoff (the accumulation
+# grouping differs, so not bit-identical — tests assert ≤2e-6 relative).
+
+class CSFlatStencilOperator:
+    """Constant-interior stencil operator in flat layout.
+
+    Build via :meth:`try_build` (returns ``None`` when the stencil is not
+    CS-representable).  Interface mirrors :class:`FlatStencilOperator`:
+    ``to_flat`` / ``from_flat`` / ``apply_flat`` / ``apply``.
+    """
+
+    # give up when the window pass would cover most rows anyway
+    MAX_WINDOW_FRAC = 0.5
+    # cap on the EFFECTIVE scalar-FMA sweep count (sets weighted by their
+    # nonzero fraction — the kernel skips zero scalars)
+    MAX_EFF_SWEEPS = 13.0
+
+    def __init__(self, base: FlatStencilOperator, sets,
+                 masks: jnp.ndarray, Wwin: jnp.ndarray,
+                 win_starts: jnp.ndarray, n_win: int):
+        self.base = base
+        self.sets = sets              # ((wc...), (Δ_s...), ...) scalar tuples
+        self.masks = masks            # [len(sets), n_rows, 128] f32 0/1
+        self.Wwin = Wwin              # [nw, n_win*SUB, 128]
+        self.win_starts = win_starts  # [n_win] i32 row starts (multiples of 8)
+        self.n_win = n_win
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def try_build(cls, offsets, weights_np: Sequence[np.ndarray],
+                  node_shape: Tuple[int, ...], vdim: int = 1,
+                  block: int = 4096, interpret: bool | None = None,
+                  weight_dtype=jnp.float32):
+        d = len(node_shape)
+        nz = int(node_shape[-1])
+        if d < 2 or nz < 5 or min(int(s) for s in node_shape) < 5:
+            return None
+        base = FlatStencilOperator(offsets, weights_np, node_shape,
+                                   vdim=vdim, block=block,
+                                   interpret=interpret,
+                                   weight_dtype=weight_dtype)
+        nw = base.n_off * vdim * vdim
+        N, n_rows = base.N, base.n_rows
+
+        # flat per-plane weights [nw, N] (f64 for exact comparisons)
+        planes = np.empty((nw, N), np.float64)
+        for o, W in enumerate(weights_np):
+            Wf = np.asarray(W, np.float64).reshape(
+                N, vdim, vdim) if vdim > 1 else \
+                np.asarray(W, np.float64).reshape(N, 1, 1)
+            for a in range(vdim):
+                for b in range(vdim):
+                    planes[(o * vdim + a) * vdim + b] = Wf[:, a, b]
+
+        center = tuple(int(s) // 2 for s in node_shape)
+        cflat = int(np.ravel_multi_index(center, node_shape))
+        wc = planes[:, cflat].copy()
+        # significance floor: composing wc + Δ_class (+ Δ_pair) reproduces
+        # the true weights only to f64 rounding; 1e-12·scale is ~4 decades
+        # below f32 roundoff, so sub-threshold residues are dropped (they
+        # are invisible to the f32 kernel) instead of forcing windows
+        tol = 1e-12 * float(np.abs(planes).max())
+
+        # deviating boundary classes of the minor axes (all axes for d == 2,
+        # the last two for d >= 3 — major-axis deviations are contiguous in
+        # flat order and go to the window pass instead)
+        fold_axes = list(range(max(0, d - 2), d))
+        axis_deltas = {}          # axis -> [(class, delta[nw])]
+        for ax in fold_axes:
+            sz = int(node_shape[ax])
+            found = []
+            for c in sorted({0, 1, sz - 2, sz - 1}):
+                rep = list(center)
+                rep[ax] = c
+                delta = planes[:, int(np.ravel_multi_index(
+                    rep, node_shape))] - wc
+                if np.any(np.abs(delta) > tol):
+                    found.append((c, delta))
+            axis_deltas[ax] = found
+
+        # one scalar set per deviating class, plus one per deviating class
+        # PAIR (edge lines where both minor axes are boundary)
+        sets = [wc]
+        preds = []            # (coords tuple) -> bool mask over nodes
+        for ax, found in axis_deltas.items():
+            for c, delta in found:
+                sets.append(delta)
+                preds.append(lambda coords, ax=ax, c=c: coords[ax] == c)
+        if len(fold_axes) == 2:
+            ay, az = fold_axes
+            for cy, dy in axis_deltas[ay]:
+                for cz, dz in axis_deltas[az]:
+                    rep = list(center)
+                    rep[ay], rep[az] = cy, cz
+                    de = planes[:, int(np.ravel_multi_index(
+                        rep, node_shape))] - wc - dy - dz
+                    if np.any(np.abs(de) > tol):
+                        sets.append(de)
+                        preds.append(
+                            lambda coords, ay=ay, az=az, cy=cy, cz=cz:
+                            (coords[ay] == cy) & (coords[az] == cz))
+        eff = sum(np.count_nonzero(sv) / nw for sv in sets)
+        if eff > cls.MAX_EFF_SWEEPS:
+            return None
+
+        # masks over the padded flat domain (+ validity plane last)
+        coords = np.unravel_index(np.arange(N, dtype=np.int64), node_shape)
+        n_m = len(preds)
+        m_np = np.zeros((n_m + 1, base.n_pad), np.float32)
+        for i, pred in enumerate(preds):
+            m_np[i, :N] = pred(coords)
+        m_np[n_m, :N] = 1.0  # validity: the padded tail is exactly zeroed
+
+        # model/residual over the PADDED flat domain (tail model ≡ 0 by mv)
+        planes_pad = np.zeros((nw, base.n_pad), np.float64)
+        planes_pad[:, :N] = planes
+        model = np.repeat(wc[:, None], base.n_pad, axis=1)
+        for i in range(n_m):
+            model += m_np[i].astype(np.float64) * sets[1 + i][:, None]
+        model *= m_np[n_m].astype(np.float64)
+        resid = planes_pad - model
+        bad_rows = np.any(np.abs(resid).reshape(nw, n_rows, LANE) > tol,
+                          axis=(0, 2))
+        if n_rows % SUB:  # never happens: block is a multiple of SUB*LANE
+            return None
+        bad_oct = np.any(bad_rows.reshape(-1, SUB), axis=1)
+        octs = np.nonzero(bad_oct)[0]
+        n_win = int(octs.size)
+        if n_win == 0 or n_win * SUB > cls.MAX_WINDOW_FRAC * n_rows:
+            # all-interior is implausible (boundaries always deviate);
+            # near-dense windows defeat the purpose
+            return None
+
+        # compact residual weights for the window octets
+        Rrows = resid.astype(np.float32).reshape(nw, n_rows, LANE)
+        Wwin = np.concatenate([Rrows[:, o * SUB:(o + 1) * SUB, :]
+                               for o in octs], axis=1)
+
+        return cls(base,
+                   tuple(tuple(float(v) for v in sv) for sv in sets),
+                   jnp.asarray(m_np.reshape(n_m + 1, n_rows, LANE)),
+                   jnp.asarray(Wwin, dtype=weight_dtype),
+                   jnp.asarray((octs * SUB).astype(np.int32)),
+                   n_win)
+
+    # ------------------------------------------------------------------
+    def to_flat(self, x_grid):
+        return self.base.to_flat(x_grid)
+
+    def from_flat(self, y_flat):
+        return self.base.from_flat(y_flat)
+
+    def apply_flat(self, x_flat: jnp.ndarray) -> jnp.ndarray:
+        b = self.base
+        x_pad = jnp.pad(x_flat, ((0, 0), (b.halo_r, b.halo_r), (0, 0)))
+        y = _cs_main_call(self.masks, x_pad, b.n_off, b.vdim, b.rb,
+                          b.halo_r, b.deltas, self.sets, b.interpret)
+        return _cs_window_call(self.win_starts, self.Wwin, x_pad, y,
+                               b.n_off, b.vdim, b.halo_r, b.deltas,
+                               self.n_win, b.interpret)
+
+    def apply(self, x_grid: jnp.ndarray) -> jnp.ndarray:
+        return self.from_flat(self.apply_flat(self.to_flat(x_grid)))
+
+    # --- pytree protocol ------------------------------------------------
+    def _tree_flatten(self):
+        children = (self.base, self.masks, self.Wwin, self.win_starts)
+        aux = (self.sets, self.n_win)
+        return children, aux
+
+    @classmethod
+    def _tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        (op.base, op.masks, op.Wwin, op.win_starts) = children
+        (op.sets, op.n_win) = aux
+        return op
+
+
+jax.tree_util.register_pytree_node(
+    CSFlatStencilOperator,
+    lambda op: op._tree_flatten(),
+    CSFlatStencilOperator._tree_unflatten,
+)
+
+
+def _cs_read_rows_fn(x_ref, row0):
+    def read_rows(b, dr, span):
+        q8 = (dr // SUB) * SUB
+        rem = dr - q8
+        wide = x_ref[b, pl.ds(row0 + q8, _round_up(rem + span, SUB)), :]
+        return wide[rem:rem + span]
+    return read_rows
+
+
+def _cs_tiles(n_off, vdim, rb, deltas, interpret, read_rows):
+    """Shifted x tiles, shared grouping with _spmv_body (bit-identical
+    construction)."""
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, LANE), 1)
+    groups = {}
+    for o, delta in enumerate(deltas):
+        dr = delta // LANE
+        dc = delta - LANE * dr
+        groups.setdefault(dr, []).append((o, dc))
+    masks = {dc: lane_iota < LANE - dc
+             for dc in sorted({dc for g in groups.values() for _, dc in g
+                               if dc != 0})}
+    tiles = [[None] * vdim for _ in range(n_off)]
+    for b in range(vdim):
+        for dr, members in groups.items():
+            span = rb + (1 if any(dc for _, dc in members) else 0)
+            A = read_rows(b, dr, span)
+            for o, dc in members:
+                if dc == 0:
+                    tiles[o][b] = A[:rb]
+                else:
+                    B = _roll_lanes(A, dc, interpret)
+                    tiles[o][b] = jnp.where(masks[dc], B[:rb], B[1:])
+    return tiles
+
+
+def _cs_main_kernel(n_off, vdim, rb, halo_r, deltas, sets, interpret,
+                    m_ref, x_ref, y_ref):
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * rb, rb) + halo_r
+    tiles = _cs_tiles(n_off, vdim, rb, deltas, interpret,
+                      _cs_read_rows_fn(x_ref, row0))
+    n_sets = len(sets)
+    accs = [[None] * vdim for _ in range(n_sets)]
+    for o in range(n_off):
+        for b in range(vdim):
+            xs = tiles[o][b]
+            for a in range(vdim):
+                k = (o * vdim + a) * vdim + b
+                for si in range(n_sets):
+                    w = sets[si][k]
+                    if w != 0.0:
+                        t = jnp.float32(w) * xs
+                        accs[si][a] = t if accs[si][a] is None \
+                            else accs[si][a] + t
+    mv = m_ref[n_sets - 1]
+    for a in range(vdim):
+        y = accs[0][a]
+        for si in range(1, n_sets):
+            if accs[si][a] is not None:
+                y = y + m_ref[si - 1] * accs[si][a]
+        y_ref[a] = y * mv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_off", "vdim", "rb", "halo_r",
+                                    "deltas", "sets", "interpret"))
+def _cs_main_call(masks, x_pad, n_off, vdim, rb, halo_r, deltas, sets,
+                  interpret):
+    n_rows = x_pad.shape[1] - 2 * halo_r
+    n_m = len(sets)  # len(sets)-1 class-mask planes + 1 validity plane
+    kernel = functools.partial(_cs_main_kernel, n_off, vdim, rb, halo_r,
+                               deltas, sets, interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_rows // rb,),
+        in_specs=[
+            pl.BlockSpec((n_m, rb, LANE),
+                         lambda i: (_zero_i(i), i, _zero_i(i)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vdim, x_pad.shape[1], LANE),
+                         lambda i: (_zero_i(i), _zero_i(i), _zero_i(i)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((vdim, rb, LANE),
+                               lambda i: (_zero_i(i), i, _zero_i(i)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((vdim, n_rows, LANE), jnp.float32),
+        interpret=interpret,
+    )(masks, x_pad)
+
+
+def _cs_window_kernel(n_off, vdim, halo_r, deltas, interpret,
+                      s_ref, w_ref, x_ref, yin_ref, y_ref):
+    """One 8-row octet at dynamic row start s_ref[w]: y = y_in + Σ R·shift(x).
+
+    w_ref holds this octet's residual weights; x reads use the scalar-
+    prefetched start (a multiple of SUB by construction) + the aligned-floor
+    trick, so every dynamic slice stays tile-aligned.
+    """
+    w = pl.program_id(0)
+    row0 = pl.multiple_of(s_ref[w], SUB) + halo_r
+    tiles = _cs_tiles(n_off, vdim, SUB, deltas, interpret,
+                      _cs_read_rows_fn(x_ref, row0))
+    for a in range(vdim):
+        acc = yin_ref[a]
+        for o in range(n_off):
+            for b in range(vdim):
+                k = (o * vdim + a) * vdim + b
+                acc = acc + w_ref[k].astype(jnp.float32) * tiles[o][b]
+        y_ref[a] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_off", "vdim", "halo_r", "deltas",
+                                    "n_win", "interpret"),
+                   donate_argnums=(3,))
+def _cs_window_call(win_starts, Wwin, x_pad, y, n_off, vdim, halo_r,
+                    deltas, n_win, interpret):
+    nw = n_off * vdim * vdim
+    kernel = functools.partial(_cs_window_kernel, n_off, vdim, halo_r,
+                               deltas, interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_win,),
+        in_specs=[
+            pl.BlockSpec((nw, SUB, LANE),
+                         lambda w, s: (_zero_i(w), w, _zero_i(w)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vdim, x_pad.shape[1], LANE),
+                         lambda w, s: (_zero_i(w), _zero_i(w), _zero_i(w)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((vdim, SUB, LANE),
+                         lambda w, s: (_zero_i(w), s[w] // SUB, _zero_i(w)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((vdim, SUB, LANE),
+                               lambda w, s: (_zero_i(w), s[w] // SUB,
+                                             _zero_i(w)),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(y.shape, jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(win_starts, Wwin, x_pad, y)
+
+
 def pallas_enabled() -> bool:
     """Whether MG/CG hot paths should route stencil applies through the
     Pallas kernels (default: on TPU; force with PDE_TPU_PALLAS=0/1)."""

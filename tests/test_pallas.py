@@ -122,3 +122,77 @@ def test_mg_elasticity_through_pallas_interpret(monkeypatch):
     assert info_p["converged"] and info_x["converged"]
     scale = np.abs(v_xla).max()
     assert np.abs(v_pallas - v_xla).max() < 1e-6 * scale
+
+
+# ---- constant-interior (CS-form) operator ----------------------------------
+
+def _build_cs_case(vdim, cells=(100, 6, 6)):
+    # x-extent long enough that the x-slab window octets (1024 nodes each)
+    # leave a clean constant interior — mirrors the flagship aspect ratio
+    from pde_solver_tpu.ops.pallas_kernels import CSFlatStencilOperator
+    mesh = box_mesh(*cells, (0, 0, 0), (1.0, 0.5, 0.5))
+    if vdim == 1:
+        K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+        bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 1.0)],
+                                    mesh.node_shape)
+        rhs = assembly.assemble_load(mesh)
+    else:
+        K = assembly.assemble_elasticity_stencil(mesh, 1.3, 0.7)
+        bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                    mesh.node_shape, vdim=3)
+        rhs = assembly.assemble_vector_load(mesh, np.array([0.0, 1.0, -2.0]))
+    sysm = prepare_system(K, mesh, bc, rhs, vdim)
+    cs = CSFlatStencilOperator.try_build(
+        sysm.offsets, sysm.weights, mesh.node_shape, vdim=vdim, block=512,
+        interpret=True)
+    return mesh, sysm, cs
+
+
+@pytest.mark.parametrize("vdim", [1, 3])
+def test_cs_flat_matches_dense(vdim):
+    """CS kernel (interior scalar pass + masked minor-axis faces + window-Δ
+    octets) ≡ the dense flat kernel to f32 roundoff, including the exact
+    zero tail the flat-io CG paths rely on."""
+    mesh, sysm, cs = _build_cs_case(vdim)
+    assert cs is not None, "cantilever stencil must be CS-representable"
+    dense = FlatStencilOperator(sysm.offsets, sysm.weights, mesh.node_shape,
+                                vdim=vdim, block=512, interpret=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(sysm.b_hat.shape).astype(np.float32)
+    yd = np.asarray(dense.apply_flat(dense.to_flat(jnp.asarray(x))))
+    yc = np.asarray(cs.apply_flat(cs.to_flat(jnp.asarray(x))))
+    scale = max(np.abs(yd).max(), 1e-30)
+    assert np.abs(yc - yd).max() < 2e-6 * scale
+    # exact zero tail (padded rows beyond N)
+    flat = yc.reshape(vdim, -1)
+    assert not flat[:, cs.base.N:].any()
+    # grid-space parity against the f64 reference too
+    y_ref = np_stencil_apply(dict(zip(sysm.offsets, sysm.weights)),
+                             x.astype(np.float64), mesh.dim, vdim)
+    yg = np.asarray(cs.apply(jnp.asarray(x)))
+    assert np.abs(yg - y_ref).max() < 1e-5 * max(np.abs(y_ref).max(), 1e-30)
+
+
+def test_cs_flat_window_coverage_is_partial():
+    """The point of the CS form: the window-Δ pass must cover a strict
+    subset of rows (the violating octets), not the whole grid."""
+    _, _, cs = _build_cs_case(3)
+    assert cs is not None
+    assert 0 < cs.n_win * 8 < cs.base.n_rows
+
+
+def test_cs_flat_refuses_varying_coefficients():
+    """Spatially varying weights (composite-core style) are not
+    CS-representable — try_build must return None, not build a wrong op."""
+    from pde_solver_tpu.ops.pallas_kernels import CSFlatStencilOperator
+    mesh = box_mesh(12, 6, 6, (0, 0, 0), (1.0, 0.5, 0.5))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    bc = DirichletBC.from_masks([(all_boundary(mesh), 0.0)], mesh.node_shape)
+    sysm = prepare_system(K, mesh, bc, np.zeros(mesh.node_shape), 1)
+    rng = np.random.default_rng(3)
+    weights = [np.asarray(W) * (1.0 + 0.01 * rng.standard_normal(W.shape))
+               for W in sysm.weights]
+    cs = CSFlatStencilOperator.try_build(sysm.offsets, weights,
+                                         mesh.node_shape, vdim=1, block=512,
+                                         interpret=True)
+    assert cs is None
