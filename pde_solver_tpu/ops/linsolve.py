@@ -385,8 +385,9 @@ def _apply_cs(offsets: Tuple[Offset, ...], op: CSOp, x: jnp.ndarray,
 
 def _stencil_apply(offsets: Tuple[Offset, ...], weights, x: jnp.ndarray,
                    grid_dim: int, vdim: int) -> jnp.ndarray:
-    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
-    if isinstance(weights, FlatStencilOperator):
+    from pde_solver_tpu.ops.pallas_kernels import (CSFlatStencilOperator,
+                                                   FlatStencilOperator)
+    if isinstance(weights, (FlatStencilOperator, CSFlatStencilOperator)):
         # Pallas flat-layout SpMV (the TPU hot path; ops.multigrid builds
         # these per level when pallas_enabled()).
         return weights.apply(x)
@@ -411,10 +412,11 @@ def _cg_unit_diag(offsets, weights, b, x0, tol, maxiter, grid_dim, vdim):
     the kernel's packed flat layout (dots/axpys are layout-agnostic; the
     zero tail contributes nothing) — one conversion per solve instead of
     two per iteration."""
-    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+    from pde_solver_tpu.ops.pallas_kernels import (CSFlatStencilOperator,
+                                                   FlatStencilOperator)
 
     dtype = b.dtype
-    flat = isinstance(weights, FlatStencilOperator)
+    flat = isinstance(weights, (FlatStencilOperator, CSFlatStencilOperator))
     if flat:
         b = weights.to_flat(b).astype(dtype)
         x0 = weights.to_flat(x0).astype(dtype)
@@ -509,12 +511,21 @@ _MG_CACHE_MAX = 2
 def _mg_cache_key(mesh: StructuredMesh, vdim: int, prec: str,
                   sysm: ScaledSystem):
     import hashlib
+    import os as _os
+
+    from pde_solver_tpu.ops.pallas_kernels import pallas_enabled
 
     h = hashlib.blake2b(digest_size=16)
     for W in sysm.weights:
         h.update(np.ascontiguousarray(W))
     h.update(np.ascontiguousarray(sysm.free))
-    return (mesh.node_shape, vdim, prec, sysm.offsets, h.hexdigest())
+    # routing knobs bake into the built hierarchy's operators — a cached
+    # entry from a different routing would silently keep the old kernels
+    routing = (pallas_enabled(),
+               _os.environ.get("PDE_TPU_CS", "0"),
+               _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1"))
+    return (mesh.node_shape, vdim, prec, sysm.offsets, routing,
+            h.hexdigest())
 
 
 def _mg_cache_get(key):

@@ -251,11 +251,26 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     w_src = pairs[0] if pairs is not None else sysm.weights
     n_dof = int(np.prod(mesh.node_shape)) * vdim
     if use_pallas and dtype == jnp.float32 and pallas_wins(n_dof, vdim):
-        w = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
-                                vdim=vdim)
-        if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") not in ("0", "off"):
-            # device-side cast: no second host pack / 330 MB weight upload
-            w_lo = w.as_weight_dtype(jnp.bfloat16)
+        cs = None
+        if _os.environ.get("PDE_TPU_CS", "0") not in ("0", "off", "false"):
+            # experimental constant-interior kernel (A/B via PDE_TPU_CS=1):
+            # scalar weights in the kernel body, residual-window octets for
+            # the boundary — no 330 MB weight stream per apply
+            from pde_solver_tpu.ops.pallas_kernels import \
+                CSFlatStencilOperator
+            cs = CSFlatStencilOperator.try_build(
+                sysm.offsets, w_src, mesh.node_shape, vdim=vdim)
+        if cs is not None:
+            # scalar weights are not streamed, so a bf16 variant buys
+            # nothing — the smoother reuses the same operator
+            w = w_lo = cs
+        else:
+            w = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
+                                    vdim=vdim)
+            if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") \
+                    not in ("0", "off"):
+                # device-side cast: no second host pack / 330 MB upload
+                w_lo = w.as_weight_dtype(jnp.bfloat16)
     else:
         w = tuple(jnp.asarray(W, dtype=dtype) for W in w_src)
     if omega is None:
@@ -749,8 +764,9 @@ def _prolong_hat(fine: MGLevel, coarse: MGLevel, e_hat_c: jnp.ndarray,
 
 
 def _is_flat_op(w) -> bool:
-    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
-    return isinstance(w, FlatStencilOperator)
+    from pde_solver_tpu.ops.pallas_kernels import (CSFlatStencilOperator,
+                                                   FlatStencilOperator)
+    return isinstance(w, (FlatStencilOperator, CSFlatStencilOperator))
 
 
 def v_cycle(h: MGHierarchy, r_hat: jnp.ndarray, level: int = 0,
