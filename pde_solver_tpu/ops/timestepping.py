@@ -303,11 +303,20 @@ def run_transient(
     if A32 is not None:
         # The per-step CG dominates the scan; apply it through the Pallas
         # flat-stencil kernel on TPU (_stencil_apply dispatches on the type).
-        from pde_solver_tpu.ops.pallas_kernels import (FlatStencilOperator,
+        import os as _os
+
+        from pde_solver_tpu.ops.pallas_kernels import (CSFlatStencilOperator,
+                                                       FlatStencilOperator,
                                                        pallas_wins)
         if pallas_wins(n, vdim):
-            A32 = FlatStencilOperator(offsets, scaled, mesh.node_shape,
-                                      vdim=vdim)
+            A32 = None
+            if _os.environ.get("PDE_TPU_CS", "0") not in ("0", "off",
+                                                          "false"):
+                A32 = CSFlatStencilOperator.try_build(
+                    offsets, scaled, mesh.node_shape, vdim=vdim)
+            if A32 is None:
+                A32 = FlatStencilOperator(offsets, scaled, mesh.node_shape,
+                                          vdim=vdim)
     B_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in B_list)
 
     inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol

@@ -234,3 +234,24 @@ def test_mg_elasticity_through_cs_interpret(monkeypatch):
     assert info_c["converged"] and info_d["converged"]
     scale = np.abs(v_dense).max()
     assert np.abs(v_cs - v_dense).max() < 1e-6 * scale
+
+
+def test_transient_scan_through_cs_interpret(monkeypatch):
+    """PDE_TPU_CS=1 routes the transient per-step CG operator through the
+    CS kernel; trajectories must match the dense-pallas route."""
+    from pde_solver_tpu.models import heat
+    from pde_solver_tpu.ops import pallas_kernels
+
+    mesh = box_mesh(40, 6, 6, (0.0, 0.0, 0.0), (1.0, 0.2, 0.2))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=1.0,
+        bc_builder=lambda m: [(all_boundary(m), 0.0)],
+        T_initial=20.0, dt=0.01, num_steps=4)
+    monkeypatch.setenv("PDE_TPU_PALLAS", "1")
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_DOF", 100)
+    monkeypatch.setenv("PDE_TPU_CS", "1")
+    _, v_cs, info_c = heat.solve_heat_problem(p)
+    monkeypatch.setenv("PDE_TPU_CS", "0")
+    _, v_d, info_d = heat.solve_heat_problem(p)
+    scale = max(np.abs(v_d).max(), 1e-30)
+    assert np.abs(v_cs - v_d).max() < 1e-5 * scale
