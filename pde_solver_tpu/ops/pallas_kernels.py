@@ -443,6 +443,10 @@ class CSFlatStencilOperator:
                                    vdim=vdim, block=block,
                                    interpret=interpret,
                                    weight_dtype=weight_dtype)
+        if not base.resident:
+            # both CS passes keep the whole padded x in VMEM (constant
+            # index map); a windowed CS variant is not implemented
+            return None
         nw = base.n_off * vdim * vdim
         N, n_rows = base.N, base.n_rows
 
