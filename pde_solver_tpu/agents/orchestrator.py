@@ -54,7 +54,15 @@ _FOLLOWUP_KEYWORDS = [
 ]
 
 _GEOMETRY_KEYWORDS = ["rod", "bar", "plate", "cube", "domain", "length",
-                      "meter", "m ", "lx", "ly", "lz", "width", "height", "depth"]
+                      "meter", "m ", "lx", "ly", "lz", "width", "height",
+                      "depth",
+                      # curvilinear/self-contained shapes: a full query
+                      # naming its own geometry is NOT a follow-up (r4 CLI
+                      # battery: "heat in a sphere of radius 0.5 m, ..."
+                      # inherited pde_type=elasticity from a stale context)
+                      "cylinder", "sphere", "shell", "tube", "pipe", "ball",
+                      "tunnel", "radius", "box", "beam", "cantilever",
+                      "cm ", "mm "]
 
 _VALIDATION_PROMPT = """You are a PDE problem validator. Decide whether the user query describes a
 partial-differential-equation problem solvable with numerical methods (heat
@@ -304,6 +312,13 @@ class MultiAgentOrchestrator:
                                 "elasticity")) \
                 and new.pde_type and new.pde_type != "heat":
             merged.pde_type = new.pde_type
+        elif new.pde_type == "heat" and any(
+                k in t for k in ("heat", "temperature", "thermal",
+                                 "diffusion", "conduction")):
+            # symmetric switch-back: an explicit heat mention overrides a
+            # previous elasticity context (reference rule: "DO NOT change
+            # pde_type unless explicitly mentioned" — this IS the mention)
+            merged.pde_type = "heat"
 
         if new.domain_size:
             dim_for_norm = new.dim if new.dim is not None else merged.dim

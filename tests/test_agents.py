@@ -617,3 +617,35 @@ def test_rule_parse_clamped_implies_elasticity_with_gravity():
     r = rule_based_parse("beam clamped at the left face under gravity")
     assert r["pde_type"] == "elasticity"
     assert r["material_params"]["gravity"] is True
+
+
+def test_full_shape_query_is_not_followup():
+    """r4 CLI battery bug: a complete query naming its own curvilinear
+    geometry inherited pde_type=elasticity from a stale context because
+    cylinder/sphere/radius were missing from the geometry keywords."""
+    from pde_solver_tpu.agents.orchestrator import MultiAgentOrchestrator
+    o = MultiAgentOrchestrator()
+    o.memory.record_simulation({"pde_type": "elasticity", "dim": 3})
+    assert not o._is_followup_question(
+        "steady heat in a hollow cylinder, inner radius 0.1 m, outer "
+        "radius 0.5 m, inner wall at 300 C, outer wall at 20 C")
+    assert not o._is_followup_question(
+        "simulate heat in a sphere of radius 0.5 m, surface at 0 C, "
+        "initial temperature 100 C, for 5 seconds")
+    # a genuine follow-up stays a follow-up
+    assert o._is_followup_question("change the source to 50")
+
+
+def test_followup_merge_switches_back_to_heat():
+    """Explicit 'heat' in a follow-up must override a previous elasticity
+    pde_type (the merge previously only switched AWAY from heat)."""
+    from pde_solver_tpu.agents.orchestrator import MultiAgentOrchestrator
+    from pde_solver_tpu.schema import PDEParameters
+    o = MultiAgentOrchestrator()
+    prev = {"pde_type": "elasticity", "dim": 2,
+            "domain_size": {"Lx": 1.0, "Ly": 1.0}}
+    new = PDEParameters(pde_type="heat", dim=2)
+    merged = o._merge_parameters(prev, new,
+                                 "now simulate heat instead with the same "
+                                 "plate")
+    assert merged.pde_type == "heat"
