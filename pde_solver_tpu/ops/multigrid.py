@@ -252,7 +252,8 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
     n_dof = int(np.prod(mesh.node_shape)) * vdim
     if use_pallas and dtype == jnp.float32 and pallas_wins(n_dof, vdim):
         cs = None
-        if _os.environ.get("PDE_TPU_CS", "0") not in ("0", "off", "false"):
+        cs_mode = _os.environ.get("PDE_TPU_CS", "0").lower()
+        if cs_mode not in ("0", "off", "false"):
             # experimental constant-interior kernel (A/B via PDE_TPU_CS=1):
             # scalar weights in the kernel body, residual-window octets for
             # the boundary — no 330 MB weight stream per apply
@@ -260,7 +261,15 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
                 CSFlatStencilOperator
             cs = CSFlatStencilOperator.try_build(
                 sysm.offsets, w_src, mesh.node_shape, vdim=vdim)
-        if cs is not None:
+        if cs is not None and cs_mode == "hybrid":
+            # CS for the f32 true-residual applies, streamed-bf16 dense for
+            # the smoother (the right split if CS lands between the dense
+            # f32 and bf16 costs); bf16 packs host-side — half the upload
+            w = cs
+            w_lo = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
+                                       vdim=vdim,
+                                       weight_dtype=jnp.bfloat16)
+        elif cs is not None:
             # scalar weights are not streamed, so a bf16 variant buys
             # nothing — the smoother reuses the same operator
             w = w_lo = cs
