@@ -439,10 +439,12 @@ class CSFlatStencilOperator:
         nz = int(node_shape[-1])
         if d < 2 or nz < 5 or min(int(s) for s in node_shape) < 5:
             return None
-        base = FlatStencilOperator(offsets, weights_np, node_shape,
-                                   vdim=vdim, block=block,
-                                   interpret=interpret,
-                                   weight_dtype=weight_dtype)
+        # weight-FREE base: only the layout metadata is needed — packing +
+        # uploading the dense Wf (330 MB at the flagship shape) would be
+        # pure waste since the CS apply never touches it
+        base = FlatStencilOperator.__new__(FlatStencilOperator)
+        base._init_meta(offsets, node_shape, vdim, block, interpret, None)
+        base.Wf = jnp.zeros((0,), dtype=weight_dtype)
         if not base.resident:
             # both CS passes keep the whole padded x in VMEM (constant
             # index map); a windowed CS variant is not implemented
