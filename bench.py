@@ -635,7 +635,11 @@ def bench_flagship():
                (0.0, 0.0, -9.81 * 7800.0))
     sysm = None
     h = None
-    spec = diskcache.load("benchspec", speckey)
+    # the spec fast path rebuilds the hierarchy with dense operators —
+    # incompatible with PDE_TPU_CS routing (would silently disable it)
+    cs_on = os.environ.get("PDE_TPU_CS", "0").lower() not in ("0", "off",
+                                                              "false")
+    spec = None if cs_on else diskcache.load("benchspec", speckey)
     if spec is not None:
         import ast
         try:

@@ -716,9 +716,16 @@ def build_hierarchy_cached(mesh: StructuredMesh, fine_system: ScaledSystem,
     from pde_solver_tpu.utils.observability import get_logger
     import time as _time
 
+    import os as _os
+
     cacheable = (cache_key is not None and dtype == jnp.float32
                  and diskcache.enabled())
-    if cacheable:
+    # the disk REBUILD path constructs dense flat operators directly
+    # (bypassing _to_level), so a CS-routed run must build fresh — a disk
+    # hit would silently disable the constant-interior kernel under A/B
+    cs_on = _os.environ.get("PDE_TPU_CS", "0").lower() not in ("0", "off",
+                                                               "false")
+    if cacheable and not cs_on:
         t0 = _time.perf_counter()
         h = load_hierarchy_from_disk(cache_key, vdim, dtype,
                                      use_pallas=use_pallas)
