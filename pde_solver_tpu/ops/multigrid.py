@@ -260,7 +260,8 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
             from pde_solver_tpu.ops.pallas_kernels import \
                 CSFlatStencilOperator
             cs = CSFlatStencilOperator.try_build(
-                sysm.offsets, w_src, mesh.node_shape, vdim=vdim)
+                sysm.offsets, w_src, mesh.node_shape, vdim=vdim,
+                cache_key=sysm.ckey)
         if cs is not None and cs_mode == "hybrid":
             # CS for the f32 true-residual applies, streamed-bf16 dense for
             # the smoother (the right split if CS lands between the dense

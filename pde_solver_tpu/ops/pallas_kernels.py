@@ -430,27 +430,83 @@ class CSFlatStencilOperator:
         self.n_win = n_win
 
     # ------------------------------------------------------------------
-    @classmethod
-    def try_build(cls, offsets, weights_np: Sequence[np.ndarray],
-                  node_shape: Tuple[int, ...], vdim: int = 1,
-                  block: int = 4096, interpret: bool | None = None,
-                  weight_dtype=jnp.float32):
-        d = len(node_shape)
-        nz = int(node_shape[-1])
-        if d < 2 or nz < 5 or min(int(s) for s in node_shape) < 5:
-            return None
+    @staticmethod
+    def _meta_base(offsets, node_shape, vdim, block, interpret,
+                   weight_dtype):
         # weight-FREE base: only the layout metadata is needed — packing +
         # uploading the dense Wf (330 MB at the flagship shape) would be
         # pure waste since the CS apply never touches it
         base = FlatStencilOperator.__new__(FlatStencilOperator)
         base._init_meta(offsets, node_shape, vdim, block, interpret, None)
         base.Wf = jnp.zeros((0,), dtype=weight_dtype)
+        return base
+
+    @staticmethod
+    def _masks_np(descs, node_shape, N, n_pad):
+        coords = np.unravel_index(np.arange(N, dtype=np.int64), node_shape)
+        m_np = np.zeros((len(descs) + 1, n_pad), np.float32)
+        for i, desc in enumerate(descs):
+            if desc[0] == "ax":
+                _, ax, c = desc
+                m_np[i, :N] = coords[ax] == c
+            else:
+                _, ay, az, cy, cz = desc
+                m_np[i, :N] = (coords[ay] == cy) & (coords[az] == cz)
+        m_np[len(descs), :N] = 1.0  # validity plane
+        return m_np
+
+    @classmethod
+    def _from_disk(cls, ent, offsets, node_shape, vdim, block, interpret,
+                   weight_dtype):
+        base = cls._meta_base(offsets, node_shape, vdim, block, interpret,
+                              weight_dtype)
+        raw = ent["meta"].get("descs", "")
+        descs = []
+        for row in (raw.split("|") if raw else []):
+            parts = row.split(":")
+            descs.append((parts[0],) + tuple(int(x) for x in parts[1:]))
+        m_np = cls._masks_np(descs, node_shape, base.N, base.n_pad)
+        octs = np.asarray(ent["octs"])
+        return cls(base,
+                   tuple(tuple(float(v) for v in sv) for sv in ent["sets"]),
+                   jnp.asarray(m_np.reshape(-1, base.n_rows, LANE)),
+                   jnp.asarray(ent["Wwin"], dtype=weight_dtype),
+                   jnp.asarray((octs * SUB).astype(np.int32)),
+                   int(octs.size))
+
+    @classmethod
+    def try_build(cls, offsets, weights_np: Sequence[np.ndarray],
+                  node_shape: Tuple[int, ...], vdim: int = 1,
+                  block: int = 4096, interpret: bool | None = None,
+                  weight_dtype=jnp.float32, cache_key=None):
+        d = len(node_shape)
+        nz = int(node_shape[-1])
+        if d < 2 or nz < 5 or min(int(s) for s in node_shape) < 5:
+            return None
+        base = cls._meta_base(offsets, node_shape, vdim, block, interpret,
+                              weight_dtype)
         if not base.resident:
             # both CS passes keep the whole padded x in VMEM (constant
             # index map); a windowed CS variant is not implemented
             return None
         nw = base.n_off * vdim * vdim
         N, n_rows = base.N, base.n_rows
+
+        # disk fast path: the build's expensive part is the host analysis
+        # over [nw, N] f64 planes (~38 s at the flagship shape); the
+        # artifacts are tiny (scalar sets + class descriptors + octet list
+        # + ~10 MB residual weights), so cache them content-keyed
+        dkey = None
+        if cache_key is not None:
+            from pde_solver_tpu.utils import diskcache
+            dkey = ("csop", cache_key, tuple(int(x) for x in node_shape),
+                    vdim, block)
+            ent = diskcache.load("csop", dkey)
+            if ent is not None:
+                if ent["meta"].get("refused") == "1":
+                    return None
+                return cls._from_disk(ent, offsets, node_shape, vdim,
+                                      block, interpret, weight_dtype)
 
         # flat per-plane weights [nw, N] (f64 for exact comparisons)
         planes = np.empty((nw, N), np.float64)
@@ -491,11 +547,11 @@ class CSFlatStencilOperator:
         # one scalar set per deviating class, plus one per deviating class
         # PAIR (edge lines where both minor axes are boundary)
         sets = [wc]
-        preds = []            # (coords tuple) -> bool mask over nodes
+        pred_descs = []       # ("ax", axis, class) | ("pair", ay, az, cy, cz)
         for ax, found in axis_deltas.items():
             for c, delta in found:
                 sets.append(delta)
-                preds.append(lambda coords, ax=ax, c=c: coords[ax] == c)
+                pred_descs.append(("ax", ax, c))
         if len(fold_axes) == 2:
             ay, az = fold_axes
             for cy, dy in axis_deltas[ay]:
@@ -506,20 +562,14 @@ class CSFlatStencilOperator:
                         rep, node_shape))] - wc - dy - dz
                     if np.any(np.abs(de) > tol):
                         sets.append(de)
-                        preds.append(
-                            lambda coords, ay=ay, az=az, cy=cy, cz=cz:
-                            (coords[ay] == cy) & (coords[az] == cz))
+                        pred_descs.append(("pair", ay, az, cy, cz))
         eff = sum(np.count_nonzero(sv) / nw for sv in sets)
         if eff > cls.MAX_EFF_SWEEPS:
             return None
 
         # masks over the padded flat domain (+ validity plane last)
-        coords = np.unravel_index(np.arange(N, dtype=np.int64), node_shape)
-        n_m = len(preds)
-        m_np = np.zeros((n_m + 1, base.n_pad), np.float32)
-        for i, pred in enumerate(preds):
-            m_np[i, :N] = pred(coords)
-        m_np[n_m, :N] = 1.0  # validity: the padded tail is exactly zeroed
+        n_m = len(pred_descs)
+        m_np = cls._masks_np(pred_descs, node_shape, N, base.n_pad)
 
         # model/residual over the PADDED flat domain (tail model ≡ 0 by mv)
         planes_pad = np.zeros((nw, base.n_pad), np.float64)
@@ -539,12 +589,27 @@ class CSFlatStencilOperator:
         if n_win == 0 or n_win * SUB > cls.MAX_WINDOW_FRAC * n_rows:
             # all-interior is implausible (boundaries always deviate);
             # near-dense windows defeat the purpose
+            if dkey is not None:
+                from pde_solver_tpu.utils import diskcache
+                diskcache.store("csop", dkey, {}, meta={"refused": "1"})
             return None
 
         # compact residual weights for the window octets
         Rrows = resid.astype(np.float32).reshape(nw, n_rows, LANE)
         Wwin = np.concatenate([Rrows[:, o * SUB:(o + 1) * SUB, :]
                                for o in octs], axis=1)
+
+        if dkey is not None:
+            from pde_solver_tpu.utils import diskcache
+            descs = []
+            for pr in pred_descs:
+                descs.append(":".join(str(x) for x in pr))
+            diskcache.store(
+                "csop", dkey,
+                {"sets": np.asarray(sets, np.float64),
+                 "octs": octs.astype(np.int64),
+                 "Wwin": Wwin},
+                meta={"descs": "|".join(descs)})
 
         return cls(base,
                    tuple(tuple(float(v) for v in sv) for sv in sets),

@@ -313,7 +313,8 @@ def run_transient(
             if _os.environ.get("PDE_TPU_CS", "0") not in ("0", "off",
                                                           "false"):
                 A32 = CSFlatStencilOperator.try_build(
-                    offsets, scaled, mesh.node_shape, vdim=vdim)
+                    offsets, scaled, mesh.node_shape, vdim=vdim,
+                    cache_key=sysm.ckey)
             if A32 is None:
                 A32 = FlatStencilOperator(offsets, scaled, mesh.node_shape,
                                           vdim=vdim)

@@ -255,3 +255,33 @@ def test_transient_scan_through_cs_interpret(monkeypatch):
     _, v_d, info_d = heat.solve_heat_problem(p)
     scale = max(np.abs(v_d).max(), 1e-30)
     assert np.abs(v_cs - v_d).max() < 1e-5 * scale
+
+
+def test_cs_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """CS build artifacts round-trip through the disk cache: the rebuilt
+    operator must produce identical results; a recorded refusal must
+    short-circuit without re-paying the host scan."""
+    monkeypatch.setenv("PDE_TPU_CACHE_DIR", str(tmp_path))
+    from pde_solver_tpu.ops.pallas_kernels import CSFlatStencilOperator
+    mesh = box_mesh(100, 6, 6, (0, 0, 0), (1.0, 0.5, 0.5))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 1.0)],
+                                mesh.node_shape)
+    sysm = prepare_system(K, mesh, bc, assembly.assemble_load(mesh), 1)
+    key = ("cs-test", 1)
+    cs1 = CSFlatStencilOperator.try_build(
+        sysm.offsets, sysm.weights, mesh.node_shape, vdim=1, block=512,
+        interpret=True, cache_key=key)
+    assert cs1 is not None
+    # second build hits the disk entry (pass garbage weights to prove the
+    # host scan is skipped — the cached artifacts win)
+    garbage = [np.zeros_like(np.asarray(W)) for W in sysm.weights]
+    cs2 = CSFlatStencilOperator.try_build(
+        sysm.offsets, garbage, mesh.node_shape, vdim=1, block=512,
+        interpret=True, cache_key=key)
+    assert cs2 is not None
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(sysm.b_hat.shape).astype(np.float32)
+    y1 = np.asarray(cs1.apply_flat(cs1.to_flat(jnp.asarray(x))))
+    y2 = np.asarray(cs2.apply_flat(cs2.to_flat(jnp.asarray(x))))
+    assert np.array_equal(y1, y2)
