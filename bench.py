@@ -909,10 +909,11 @@ def _spmv_roofline(h, sysm, mesh):
     import jax.numpy as jnp
     from functools import partial
 
-    from pde_solver_tpu.ops.pallas_kernels import FlatStencilOperator
+    from pde_solver_tpu.ops.pallas_kernels import (CSFlatStencilOperator,
+                                                   FlatStencilOperator)
 
     fine_w = h.levels[0].weights
-    if not isinstance(fine_w, FlatStencilOperator):
+    if not isinstance(fine_w, (FlatStencilOperator, CSFlatStencilOperator)):
         return None
 
     @partial(jax.jit, static_argnames=("reps",))
@@ -928,8 +929,16 @@ def _spmv_roofline(h, sysm, mesh):
     t0 = time.perf_counter()
     float(jnp.sum(_chain(fine_w, xf, reps)[0, 0, 0]))
     spmv_ms = (time.perf_counter() - t0) / reps * 1e3
-    traffic = (fine_w.Wf.size * fine_w.Wf.dtype.itemsize
-               + 2 * 3 * mesh.num_nodes * 4)
+    if isinstance(fine_w, CSFlatStencilOperator):
+        # constant-interior kernel: weights ride as scalars; traffic is
+        # masks + residual windows + x + y (the roofline fraction is then
+        # compute-bound and mostly informational)
+        traffic = (fine_w.masks.size * 4 + fine_w.Wwin.size
+                   * fine_w.Wwin.dtype.itemsize
+                   + 2 * 3 * mesh.num_nodes * 4)
+    else:
+        traffic = (fine_w.Wf.size * fine_w.Wf.dtype.itemsize
+                   + 2 * 3 * mesh.num_nodes * 4)
     roof_ms = traffic / 819e9 * 1e3  # v5e HBM
     spmv_frac = roof_ms / spmv_ms
     log(f"[bench] finest SpMV: {spmv_ms:.3f} ms/apply, traffic "
