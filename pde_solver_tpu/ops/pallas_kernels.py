@@ -700,25 +700,29 @@ def _cs_main_kernel(n_off, vdim, rb, halo_r, deltas, sets, interpret,
     tiles = _cs_tiles(n_off, vdim, rb, deltas, interpret,
                       _cs_read_rows_fn(x_ref, row0))
     n_sets = len(sets)
-    accs = [[None] * vdim for _ in range(n_sets)]
-    for o in range(n_off):
-        for b in range(vdim):
-            xs = tiles[o][b]
-            for a in range(vdim):
-                k = (o * vdim + a) * vdim + b
-                for si in range(n_sets):
-                    w = sets[si][k]
+    # set-major accumulation: one set's accumulators live at a time (an
+    # accumulator-major order keeps n_sets·vdim (up to ~72) values live
+    # across the whole offset loop — register-spill territory on Mosaic)
+    mv = m_ref[n_sets - 1]
+    y_out = [None] * vdim
+    for si in range(n_sets):
+        accs = [None] * vdim
+        for o in range(n_off):
+            for b in range(vdim):
+                xs = tiles[o][b]
+                for a in range(vdim):
+                    w = sets[si][(o * vdim + a) * vdim + b]
                     if w != 0.0:
                         t = jnp.float32(w) * xs
-                        accs[si][a] = t if accs[si][a] is None \
-                            else accs[si][a] + t
-    mv = m_ref[n_sets - 1]
+                        accs[a] = t if accs[a] is None else accs[a] + t
+        for a in range(vdim):
+            if accs[a] is None:
+                continue
+            contrib = accs[a] if si == 0 else m_ref[si - 1] * accs[a]
+            y_out[a] = contrib if y_out[a] is None \
+                else y_out[a] + contrib
     for a in range(vdim):
-        y = accs[0][a]
-        for si in range(1, n_sets):
-            if accs[si][a] is not None:
-                y = y + m_ref[si - 1] * accs[si][a]
-        y_ref[a] = y * mv
+        y_ref[a] = y_out[a] * mv
 
 
 @functools.partial(jax.jit,
