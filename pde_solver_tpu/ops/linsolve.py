@@ -489,6 +489,43 @@ def device_operator(offsets: Tuple[Offset, ...], weights_np, grid_dim: int,
     return tuple(jnp.asarray(W, dtype=dtype) for W in weights_np)
 
 
+# flat-operator cache for the STATIC (non-MG) f32 CG paths: keyed on the
+# system content key so bench warm/timed pairs and follow-up solves skip
+# the host pack + weight re-upload (same motivation as _MG_CACHE below)
+_FLAT_OP_CACHE: Dict = {}
+_FLAT_OP_CACHE_MAX = 2
+
+
+def _static_flat_op(sysm: "ScaledSystem", mesh: StructuredMesh, vdim: int):
+    """Pallas flat operator (CS when enabled) for the static f32 CG path,
+    or None when XLA applies are the right call (small systems, non-TPU).
+    _cg_unit_diag then iterates in the packed flat layout."""
+    import os as _os
+
+    from pde_solver_tpu.ops.pallas_kernels import (CSFlatStencilOperator,
+                                                   FlatStencilOperator,
+                                                   pallas_wins)
+
+    n = int(np.prod(mesh.node_shape)) * vdim
+    if not pallas_wins(n, vdim):
+        return None
+    cs_mode = _os.environ.get("PDE_TPU_CS", "0").lower()
+    key = (sysm.ckey, tuple(mesh.node_shape), vdim, cs_mode)
+    op = _FLAT_OP_CACHE.pop(key, None)
+    if op is None:
+        if cs_mode not in ("0", "off", "false"):
+            op = CSFlatStencilOperator.try_build(
+                sysm.offsets, sysm.weights, mesh.node_shape, vdim=vdim,
+                cache_key=sysm.ckey)
+        if op is None:
+            op = FlatStencilOperator(sysm.offsets, sysm.weights,
+                                     mesh.node_shape, vdim=vdim)
+    _FLAT_OP_CACHE[key] = op  # LRU refresh / insert
+    while len(_FLAT_OP_CACHE) > _FLAT_OP_CACHE_MAX:
+        _FLAT_OP_CACHE.pop(next(iter(_FLAT_OP_CACHE)))
+    return op
+
+
 # ----------------------------------------------------------------------
 # Public facade
 # ----------------------------------------------------------------------
@@ -699,7 +736,8 @@ def solve_stencil_system(
         relres = float(relres)
         x_hat = np.asarray(xh, dtype=np.float64)
     elif prec == "f32":
-        w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
+        w32 = _static_flat_op(sysm, mesh, vdim) or \
+            tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
         tol_used = max(cfg.inner_tol, 1e-7)
         if sharded_mg is not None:
             from pde_solver_tpu.parallel.shard_mg import solve_mg_sharded
@@ -776,7 +814,8 @@ def solve_stencil_system(
                 return sharded.solve(b_hat=r32, tol=cfg.inner_tol,
                                      maxiter=maxiter)
         else:
-            w32 = tuple(jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
+            w32 = _static_flat_op(sysm, mesh, vdim) or tuple(
+                jnp.asarray(W, dtype=jnp.float32) for W in sysm.weights)
 
             def inner_solve(r32):
                 return _jit_cg(offsets, w32, jnp.asarray(r32, jnp.float32),

@@ -285,3 +285,30 @@ def test_cs_disk_cache_roundtrip(tmp_path, monkeypatch):
     y1 = np.asarray(cs1.apply_flat(cs1.to_flat(jnp.asarray(x))))
     y2 = np.asarray(cs2.apply_flat(cs2.to_flat(jnp.asarray(x))))
     assert np.array_equal(y1, y2)
+
+
+def test_static_cg_through_flat_op_interpret(monkeypatch):
+    """The static (non-MG) mixed-precision CG path routes through the flat
+    Pallas operator at pallas_wins sizes; results must match the XLA
+    route (elast2d-class problems were XLA-only before r4)."""
+    from pde_solver_tpu.config import SolverConfig
+    from pde_solver_tpu.models.elasticity import solve_elasticity_nd
+    from pde_solver_tpu.ops import linsolve, pallas_kernels
+
+    mesh = rectangle_mesh(24, 24, (0.0, 0.0), (1.0, 1.0))
+    g = np.array([0.0, -9.81 * 500.0])
+    cfg = SolverConfig(precision="mixed", use_multigrid=False,
+                       host_direct_threshold=0)
+
+    monkeypatch.setenv("PDE_TPU_PALLAS", "1")
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_DOF", 100)
+    linsolve._FLAT_OP_CACHE.clear()
+    v_p, info_p = solve_elasticity_nd(mesh, 1e6, 0.3, g, "plane_stress",
+                                      config=cfg)
+    assert linsolve._FLAT_OP_CACHE, "flat op must have been built+cached"
+    monkeypatch.setenv("PDE_TPU_PALLAS", "0")
+    v_x, info_x = solve_elasticity_nd(mesh, 1e6, 0.3, g, "plane_stress",
+                                      config=cfg)
+    assert info_p["converged"] and info_x["converged"]
+    scale = np.abs(v_x).max()
+    assert np.abs(v_p - v_x).max() < 1e-6 * scale
