@@ -571,14 +571,16 @@ class CSFlatStencilOperator:
         n_m = len(pred_descs)
         m_np = cls._masks_np(pred_descs, node_shape, N, base.n_pad)
 
-        # model/residual over the PADDED flat domain (tail model ≡ 0 by mv)
-        planes_pad = np.zeros((nw, base.n_pad), np.float64)
-        planes_pad[:, :N] = planes
-        model = np.repeat(wc[:, None], base.n_pad, axis=1)
+        # model/residual over the PADDED flat domain, computed IN PLACE
+        # (the repeat/broadcast version allocated ~3 GB of temporaries at
+        # the flagship shape): resid = planes − mv·(wc + Σ m_i·Δ_i); the
+        # tail needs no work (planes and model are both 0 there)
+        resid = np.zeros((nw, base.n_pad), np.float64)
+        resid[:, :N] = planes
+        resid[:, :N] -= wc[:, None]
         for i in range(n_m):
-            model += m_np[i].astype(np.float64) * sets[1 + i][:, None]
-        model *= m_np[n_m].astype(np.float64)
-        resid = planes_pad - model
+            cols = np.nonzero(m_np[i, :N])[0]
+            resid[:, cols] -= sets[1 + i][:, None]
         bad_rows = np.any(np.abs(resid).reshape(nw, n_rows, LANE) > tol,
                           axis=(0, 2))
         if n_rows % SUB:  # never happens: block is a multiple of SUB*LANE
