@@ -159,7 +159,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["pde_type"] = "wave"
     else:
         out["pde_type"] = "heat"
-    m = re.search(r"wave\s+speed\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    m = re.search(r"wave\s+speed\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["wave_speed"] = float(m.group(1))
 
@@ -222,7 +222,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)"
                       r"\s*[- ]*(?:long\b|in\s+length)", t)
     if not m:
-        m = re.search(r"(?:length|long)\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm|meter(?:s)?)?", t)
+        m = re.search(r"(?:length|long)\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm|meter(?:s)?)?", t)
         if m:
             domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
     else:
@@ -235,13 +235,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         domain.setdefault("h", float(m.group(1)) * _unit_scale(m.group(2)))
 
     # --- radii / height ---
-    m = re.search(r"inner\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"inner\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m:
         geometry_params["r_inner"] = float(m.group(1)) * _unit_scale(m.group(2))
-    m = re.search(r"outer\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"outer\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m:
         geometry_params["r_outer"] = float(m.group(1)) * _unit_scale(m.group(2))
-    m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m is None and not geometry_params:
         # value-first phrasing: "0.2 m radius" (reference cylindrical
         # examples, pde_parser_agent.py:247-254)
@@ -253,7 +253,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         else:
             geometry_params["cylinder_radius"] = r
     # diameter phrasing → radius (only when no explicit radius was given)
-    m = re.search(r"diameter\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"diameter\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m and not geometry_params:
         r = 0.5 * float(m.group(1)) * _unit_scale(m.group(2))
         if out.get("geometry_type") == "sphere":
@@ -264,7 +264,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # — "inner radius 5 cm with a 2 cm wall" → r_outer = 0.05 + 0.02
     # (VERDICT r2 weak #7 phrasing; reference prompt's hollow-cylinder
     # conventions at pde_parser_agent.py:248-265)
-    m = re.search(r"(?:wall\s+thickness|wall|thickness)\s*(?:of|=|:)?\s*"
+    m = re.search(r"(?:wall\s+thickness|wall|thickness)\s*(?:of|=|:|to)?\s*"
                   + _NUM + r"\s*(m|cm|mm)?", t)
     if m is None:
         m = re.search(_NUM + r"\s*(m|cm|mm)?\s*(?:thick\s+)?wall", t)
@@ -289,7 +289,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                else "cylinder_radius")
         if key in geometry_params:
             geometry_params["r_outer"] = geometry_params.pop(key)
-    m = re.search(r"height\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"height\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m is None:
         m = re.search(r"\bh\s*(?:=|:)\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m:
@@ -347,46 +347,46 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     elif re.search(r"initial.*\bsine\b|\bsine\b.*initial|sin\(", t):
         out["initial_type"] = "sine"
     elif re.search(r"zero\s+initial|initial\s+(?:condition|temperature|value)?"
-                   r"\s*(?:of|=|:|is)?\s*zero\b", t):
+                   r"\s*(?:of|=|:|is|to)?\s*zero\b", t):
         out["initial_type"] = "zero"
         out["initial_value"] = 0.0
-    m = re.search(r"amplitude\s*(?:of|=|:)?\s*" + _NUM, t)
+    m = re.search(r"amplitude\s*(?:of|=|:|to)?\s*" + _NUM, t)
     if m:
         out["initial_amplitude"] = float(m.group(1))
-    m = re.search(r"wave\s*number\s*(?:of|=|:)?\s*" + _NUM, t)
+    m = re.search(r"wave\s*number\s*(?:of|=|:|to)?\s*" + _NUM, t)
     if m:
         out["initial_wavenumber"] = float(m.group(1))
 
     # --- material: heat ---
-    m = re.search(r"(?:diffusivity|thermal\s+conductivity)\s*(?:of|=|:|is)?\s*"
+    m = re.search(r"(?:diffusivity|thermal\s+conductivity)\s*(?:of|=|:|is|to)?\s*"
                   + _NUM, t)
     if m:
         out["diffusivity"] = float(m.group(1))
 
     # --- material: elasticity ---
     m = re.search(r"(?:young'?s?\s+modulus|modulus\s+of\s+elasticity|\be)"
-                  r"\s*(?:of|=|:|is)?\s*" + _NUM + r"\s*(gpa|mpa|kpa|pa)\b", t)
+                  r"\s*(?:of|=|:|is|to)?\s*" + _NUM + r"\s*(gpa|mpa|kpa|pa)\b", t)
     if m is None:
-        m = re.search(r"young'?s?\s+modulus\s*(?:of|=|:|is)?\s*" + _NUM
+        m = re.search(r"young'?s?\s+modulus\s*(?:of|=|:|is|to)?\s*" + _NUM
                       + r"\s*(gpa|mpa|kpa|pa)?", t)
     if m:
         scale = {"gpa": 1e9, "mpa": 1e6, "kpa": 1e3, "pa": 1.0, None: 1.0}[m.group(2)]
         out["young_modulus"] = float(m.group(1)) * scale
-    m = re.search(r"poisson'?s?\s+ratio\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    m = re.search(r"poisson'?s?\s+ratio\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["poisson_ratio"] = float(m.group(1))
-    m = re.search(r"density\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    m = re.search(r"density\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["density"] = float(m.group(1))
     if re.search(r"\bgravity\b|self[- ]weight|own weight", t):
         material["gravity"] = True
-    m = re.search(r"(?:cross[- ]?sectional\s+)?area\s*(?:of|=|:|is)?\s*" + _NUM, t)
+    m = re.search(r"(?:cross[- ]?sectional\s+)?area\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         material["area"] = float(m.group(1))
     # body-force component forms first (reference material_params contract:
     # body_fx/body_fy/body_fz for 2D/3D, pde_parser_agent.py:313-314):
     #   tuple "(fx, fy[, fz])" / "in the negative z direction" / "downward"
-    _bf = r"body\s+forces?\s*(?:of|=|:|is)?\s*"
+    _bf = r"body\s+forces?\s*(?:of|=|:|is|to)?\s*"
     m = re.search(_bf + r"\(\s*" + _NUM + r"\s*,\s*" + _NUM
                   + r"(?:\s*,\s*" + _NUM + r")?\s*\)", t)
     if m:
@@ -407,7 +407,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             sign = -1.0 if m.group(2) in ("negative", "minus", "-") else 1.0
             material[f"body_f{m.group(3)}"] = sign * float(m.group(1))
         else:
-            m = (re.search(r"downward\s+body\s+forces?\s*(?:of|=|:|is)?\s*"
+            m = (re.search(r"downward\s+body\s+forces?\s*(?:of|=|:|is|to)?\s*"
                            + _NUM, t)
                  or re.search(_bf + _NUM + _unit_sfx
                               + r"\s*(?:acting\s+|pointing\s+)?"
@@ -442,10 +442,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             material["plane_stress"] = True
 
     # --- composite core ---
-    m = re.search(r"core\s+radius\s*(?:of|=|:)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"core\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
     if m:
         out["core_radius"] = float(m.group(1)) * _unit_scale(m.group(2))
-    m = re.search(r"core\s+(?:diffusivity|conductivity)\s*(?:of|=|:)?\s*" + _NUM, t)
+    m = re.search(r"core\s+(?:diffusivity|conductivity)\s*(?:of|=|:|to)?\s*" + _NUM, t)
     if m:
         out["core_diffusivity"] = float(m.group(1))
     # keyword-only mentions (conductor/insulator/core) get context-sensitive
@@ -456,7 +456,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # phrase list from the reference's source rules (pde_parser_agent.py:
     # 350-358): "heat source of X", "internal heat generation of X",
     # "heating of X", "with a source X"
-    m = re.search(r"(?:heat\s+)?source\s*(?:of|=|:|value)?\s*" + _NUM, t)
+    m = re.search(r"(?:heat\s+)?source\s*(?:of|=|:|value|to)?\s*" + _NUM, t)
     if not m:
         m = re.search(r"(?:internal\s+)?heat\s+generation\s*(?:of|=|:|rate(?:\s+of)?)?\s*"
                       + _NUM, t)
@@ -467,7 +467,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["source_value"] = float(m.group(1))
     if re.search(r"steady[- ]?state|\bsteady\b|equilibrium", t):
         out["steady"] = True
-    m = re.search(r"(?:dt|time step)\s*(?:of|=|:)?\s*" + _NUM, t)
+    m = re.search(r"(?:dt|time step)\s*(?:of|=|:|to)?\s*" + _NUM, t)
     if m:
         out["dt"] = float(m.group(1))
     m = re.search(_NUM + r"\s*(?:time\s*)?steps", t)

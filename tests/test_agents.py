@@ -649,3 +649,19 @@ def test_followup_merge_switches_back_to_heat():
                                  "now simulate heat instead with the same "
                                  "plate")
     assert merged.pde_type == "heat"
+
+
+def test_rule_parse_change_to_value_connector():
+    """Reference README follow-up: "Change Young's modulus to 70 GPa" — the
+    'to' connector was missing from every material-parameter pattern, so
+    follow-up changes were silently ignored (r4 CLI battery)."""
+    r = rule_based_parse("change young's modulus to 70 GPa")
+    assert r["young_modulus"] == pytest.approx(70e9)
+    r = rule_based_parse("set the diffusivity to 2.5")
+    assert r["diffusivity"] == pytest.approx(2.5)
+    r = rule_based_parse("change the source to 50")
+    assert r["source_value"] == pytest.approx(50.0)
+    r = rule_based_parse("change poisson's ratio to 0.25")
+    assert r["poisson_ratio"] == pytest.approx(0.25)
+    r = rule_based_parse("set the time step to 0.005")
+    assert r["dt"] == pytest.approx(0.005)
