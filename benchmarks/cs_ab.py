@@ -82,12 +82,20 @@ def main():
     dense16 = dense.as_weight_dtype(jnp.bfloat16)
     x = dense.to_flat(jnp.asarray(sysm.b_hat, jnp.float32))
 
-    ms_d = time_chain(dense, x, reps)
-    log(f"[cs_ab] dense f32:  {ms_d:.3f} ms/apply")
-    ms_d16 = time_chain(dense16, x, reps)
-    log(f"[cs_ab] dense bf16: {ms_d16:.3f} ms/apply")
-    ms_c = time_chain(cs, x, reps)
-    log(f"[cs_ab] CS full:    {ms_c:.3f} ms/apply "
+    # Interleave the three arms across rounds: the tunneled worker's speed
+    # drifts over minutes, so sequential per-arm timing biases whichever arm
+    # runs last.  Per-arm min across rounds is the drift-robust statistic.
+    arms = [("dense f32", dense), ("dense bf16", dense16), ("CS full", cs)]
+    best = {name: float("inf") for name, _ in arms}
+    for rnd in range(3):
+        for name, op in arms:
+            ms = time_chain(op, x, reps)
+            best[name] = min(best[name], ms)
+            log(f"[cs_ab] round {rnd} {name}: {ms:.3f} ms/apply")
+    ms_d, ms_d16, ms_c = (best[n] for n, _ in arms)
+    log(f"[cs_ab] BEST dense f32:  {ms_d:.3f} ms/apply")
+    log(f"[cs_ab] BEST dense bf16: {ms_d16:.3f} ms/apply")
+    log(f"[cs_ab] BEST CS full:    {ms_c:.3f} ms/apply "
         f"({ms_d / ms_c:.2f}x vs f32, {ms_d16 / ms_c:.2f}x vs bf16)")
 
     # CS main pass alone (isolate the window-pass contribution)

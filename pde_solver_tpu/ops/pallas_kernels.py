@@ -421,12 +421,18 @@ class CSFlatStencilOperator:
 
     def __init__(self, base: FlatStencilOperator, sets,
                  masks: jnp.ndarray, Wwin: jnp.ndarray,
-                 win_starts: jnp.ndarray, n_win: int):
+                 win_octs: jnp.ndarray, n_win: int):
         self.base = base
         self.sets = sets              # ((wc...), (Δ_s...), ...) scalar tuples
         self.masks = masks            # [len(sets), n_rows, 128] f32 0/1
         self.Wwin = Wwin              # [nw, n_win*SUB, 128]
-        self.win_starts = win_starts  # [n_win] i32 row starts (multiples of 8)
+        # [n_win] i32 OCTET indices (row start = oct·SUB).  Octets, not row
+        # starts: the BlockSpec index maps then use s[w] verbatim — any
+        # arithmetic there (s[w] // SUB) traces its int literal as i64 under
+        # this package's global x64, and Mosaic's convert_element_type rule
+        # infinitely recurses on i64→i32 (RecursionError at lowering; found
+        # on the real chip, invisible in interpret mode).
+        self.win_octs = win_octs
         self.n_win = n_win
 
     # ------------------------------------------------------------------
@@ -471,7 +477,7 @@ class CSFlatStencilOperator:
                    tuple(tuple(float(v) for v in sv) for sv in ent["sets"]),
                    jnp.asarray(m_np.reshape(-1, base.n_rows, LANE)),
                    jnp.asarray(ent["Wwin"], dtype=weight_dtype),
-                   jnp.asarray((octs * SUB).astype(np.int32)),
+                   jnp.asarray(octs.astype(np.int32)),
                    int(octs.size))
 
     @classmethod
@@ -617,7 +623,7 @@ class CSFlatStencilOperator:
                    tuple(tuple(float(v) for v in sv) for sv in sets),
                    jnp.asarray(m_np.reshape(n_m + 1, n_rows, LANE)),
                    jnp.asarray(Wwin, dtype=weight_dtype),
-                   jnp.asarray((octs * SUB).astype(np.int32)),
+                   jnp.asarray(octs.astype(np.int32)),
                    n_win)
 
     # ------------------------------------------------------------------
@@ -632,7 +638,7 @@ class CSFlatStencilOperator:
         x_pad = jnp.pad(x_flat, ((0, 0), (b.halo_r, b.halo_r), (0, 0)))
         y = _cs_main_call(self.masks, x_pad, b.n_off, b.vdim, b.rb,
                           b.halo_r, b.deltas, self.sets, b.interpret)
-        return _cs_window_call(self.win_starts, self.Wwin, x_pad, y,
+        return _cs_window_call(self.win_octs, self.Wwin, x_pad, y,
                                b.n_off, b.vdim, b.halo_r, b.deltas,
                                self.n_win, b.interpret)
 
@@ -641,14 +647,14 @@ class CSFlatStencilOperator:
 
     # --- pytree protocol ------------------------------------------------
     def _tree_flatten(self):
-        children = (self.base, self.masks, self.Wwin, self.win_starts)
+        children = (self.base, self.masks, self.Wwin, self.win_octs)
         aux = (self.sets, self.n_win)
         return children, aux
 
     @classmethod
     def _tree_unflatten(cls, aux, children):
         op = cls.__new__(cls)
-        (op.base, op.masks, op.Wwin, op.win_starts) = children
+        (op.base, op.masks, op.Wwin, op.win_octs) = children
         (op.sets, op.n_win) = aux
         return op
 
@@ -757,14 +763,17 @@ def _cs_main_call(masks, x_pad, n_off, vdim, rb, halo_r, deltas, sets,
 
 def _cs_window_kernel(n_off, vdim, halo_r, deltas, interpret,
                       s_ref, w_ref, x_ref, yin_ref, y_ref):
-    """One 8-row octet at dynamic row start s_ref[w]: y = y_in + Σ R·shift(x).
+    """One 8-row octet at dynamic octet index s_ref[w] (row start = oct·SUB):
+    y = y_in + Σ R·shift(x).
 
     w_ref holds this octet's residual weights; x reads use the scalar-
     prefetched start (a multiple of SUB by construction) + the aligned-floor
-    trick, so every dynamic slice stays tile-aligned.
+    trick, so every dynamic slice stays tile-aligned.  np.int32 constants:
+    bare Python ints in this arithmetic trace as i64 (global x64) and the
+    resulting i64→i32 converts crash Mosaic lowering.
     """
     w = pl.program_id(0)
-    row0 = pl.multiple_of(s_ref[w], SUB) + halo_r
+    row0 = pl.multiple_of(s_ref[w] * np.int32(SUB), SUB) + np.int32(halo_r)
     tiles = _cs_tiles(n_off, vdim, SUB, deltas, interpret,
                       _cs_read_rows_fn(x_ref, row0))
     for a in range(vdim):
@@ -780,7 +789,7 @@ def _cs_window_kernel(n_off, vdim, halo_r, deltas, interpret,
                    static_argnames=("n_off", "vdim", "halo_r", "deltas",
                                     "n_win", "interpret"),
                    donate_argnums=(3,))
-def _cs_window_call(win_starts, Wwin, x_pad, y, n_off, vdim, halo_r,
+def _cs_window_call(win_octs, Wwin, x_pad, y, n_off, vdim, halo_r,
                     deltas, n_win, interpret):
     nw = n_off * vdim * vdim
     kernel = functools.partial(_cs_window_kernel, n_off, vdim, halo_r,
@@ -796,11 +805,11 @@ def _cs_window_call(win_starts, Wwin, x_pad, y, n_off, vdim, halo_r,
                          lambda w, s: (_zero_i(w), _zero_i(w), _zero_i(w)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((vdim, SUB, LANE),
-                         lambda w, s: (_zero_i(w), s[w] // SUB, _zero_i(w)),
+                         lambda w, s: (_zero_i(w), s[w], _zero_i(w)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((vdim, SUB, LANE),
-                               lambda w, s: (_zero_i(w), s[w] // SUB,
+                               lambda w, s: (_zero_i(w), s[w],
                                              _zero_i(w)),
                                memory_space=pltpu.VMEM),
     )
@@ -810,7 +819,7 @@ def _cs_window_call(win_starts, Wwin, x_pad, y, n_off, vdim, halo_r,
         out_shape=jax.ShapeDtypeStruct(y.shape, jnp.float32),
         input_output_aliases={3: 0},
         interpret=interpret,
-    )(win_starts, Wwin, x_pad, y)
+    )(win_octs, Wwin, x_pad, y)
 
 
 def pallas_enabled() -> bool:
