@@ -298,9 +298,12 @@ class MultiAgentOrchestrator:
 
         t = description.lower()
         # dimension: only override on explicit mention
-        dim_sets = {1: ("1d", "1-d", "one-dimensional", "one dimensional", "rod", "bar"),
-                    2: ("2d", "2-d", "two-dimensional", "two dimensional", "plate", "sheet"),
-                    3: ("3d", "3-d", "three-dimensional", "three dimensional", "cube", "box")}
+        dim_sets = {1: ("1d", "1-d", "one-dimensional", "one dimensional",
+                        "rod", "bar", "wire", "string"),
+                    2: ("2d", "2-d", "two-dimensional", "two dimensional",
+                        "plate", "sheet", "membrane"),
+                    3: ("3d", "3-d", "three-dimensional", "three dimensional",
+                        "cube", "box")}
         explicit_dim = next((d for d, kws in dim_sets.items()
                              if any(k in t for k in kws)), None)
         if explicit_dim is not None:
@@ -312,6 +315,20 @@ class MultiAgentOrchestrator:
                                 "elasticity")) \
                 and new.pde_type and new.pde_type != "heat":
             merged.pde_type = new.pde_type
+        elif new.pde_type == "elasticity" and any(
+                k in t for k in ("elastic", "stress", "strain",
+                                 "displacement", "deform", "cantilever",
+                                 "clamp", "body force", "gravity", "loaded",
+                                 "vibrat", "oscillat", "self-weight",
+                                 "own weight")):
+            # the parser infers elasticity from these cues (it never sees
+            # the literal word "elasticity" in e.g. "a steel beam under
+            # gravity, fixed at the left face") — a follow-up-classified
+            # but self-contained query carrying such a cue IS the explicit
+            # mention the reference's merge rule asks for (r4 CLI battery:
+            # 'and'/'with' in any full query makes it a "follow-up", and
+            # the stale heat pde_type silently survived)
+            merged.pde_type = "elasticity"
         elif new.pde_type == "heat" and any(
                 k in t for k in ("heat", "temperature", "thermal",
                                  "diffusion", "conduction")):

@@ -129,12 +129,22 @@ def normalize_params_dict(raw: Dict[str, Any]) -> Dict[str, Any]:
 # ----------------------------------------------------------------------
 
 _NUM = r"([-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+# NOTE: every length-unit group below lists alternatives LONGEST FIRST with
+# a \b inside the group — regex alternation is ordered, so "(m|cm|mm)"
+# matches the bare "m" against the first letter of "mm" and the value
+# silently keeps scale 1.0 ("200 mm" → 200.0 m) whenever nothing after the
+# group forces backtracking.
 
 
 def _unit_scale(unit: Optional[str]) -> float:
     u = (unit or "m").strip().lower()
-    return {"mm": 1e-3, "millimeter": 1e-3, "millimeters": 1e-3,
-            "cm": 1e-2, "centimeter": 1e-2, "centimeters": 1e-2,
+    if u.startswith("milli"):
+        return 1e-3
+    if u.startswith("centi"):
+        return 1e-2
+    if u.startswith("kilo"):
+        return 1e3
+    return {"mm": 1e-3, "cm": 1e-2,
             "m": 1.0, "meter": 1.0, "meters": 1.0, "metre": 1.0, "metres": 1.0,
             "km": 1e3}.get(u, 1.0)
 
@@ -159,6 +169,17 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["pde_type"] = "wave"
     else:
         out["pde_type"] = "heat"
+    # gravity / mechanical-load phrasing with NO thermal cue implies
+    # elasticity (the reference's parser prompt only ever mentions gravity
+    # and loads in the elasticity section, pde_parser_agent.py:385-395):
+    # "a steel beam ... under gravity", "fixed at the left face, loaded by
+    # gravity".  Any temperature/heat word keeps the heat routing.
+    if out["pde_type"] == "heat" \
+            and re.search(r"\bgravity\b|\bloaded?\b|self[- ]weight"
+                          r"|own\s+weight", t) \
+            and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
+                              r"|°|degrees|\bcool|\bhot\b|insulat", t):
+        out["pde_type"] = "elasticity"
     m = re.search(r"wave\s+speed\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["wave_speed"] = float(m.group(1))
@@ -184,9 +205,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["dim"] = 2
     elif re.search(r"three[- ]dimensional", t):
         out["dim"] = 3
-    elif re.search(r"\brod\b|\bbar\b|\bwire\b", t):
+    elif re.search(r"\brod\b|\bbar\b|\bwire\b|\bstring\b", t):
         out["dim"] = 1
-    elif re.search(r"\bplate\b|\bsquare\b|\bmembrane\b|\brectangle\b", t):
+    elif re.search(r"\bplate\b|\bsquare\b|\bmembrane\b|\brectangle\b"
+                   r"|\bdrum(?:head)?\b", t):
         out["dim"] = 2
     elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
         out["dim"] = 3
@@ -198,9 +220,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # separators", pde_parser_agent.py:472) — units may differ per number
     # ("2 m by 30 cm" → Lx=2.0, Ly=0.3)
     _sep = r"\s*(?:[x×*]|\bby\b)\s*"
-    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?)?" + _sep + _NUM
-                  + r"\s*(m|cm|mm|meter(?:s)?)?(?:" + _sep + _NUM
-                  + r"\s*(m|cm|mm|meter(?:s)?)?)?", t)
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?" + _sep + _NUM
+                  + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?(?:" + _sep + _NUM
+                  + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?)?", t)
     if m:
         a = float(m.group(1)) * _unit_scale(m.group(2))
         b = float(m.group(3)) * _unit_scale(m.group(4))
@@ -216,36 +238,66 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             out.setdefault("dim", 2)
 
     # --- single length: "2 meter rod", "length (of) 2 m" ---
-    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)[- ]*(?:long )?(rod|bar|wire|domain|rod,|bar,)", t)
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)[- ]*(?:long )?(rod|bar|wire|string|domain|rod,|bar,)", t)
     if not m:
         # trailing-adjective phrasing: "2 m long", "3 m in length"
-        m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)"
+        m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)"
                       r"\s*[- ]*(?:long\b|in\s+length)", t)
     if not m:
-        m = re.search(r"(?:length|long)\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm|meter(?:s)?)?", t)
+        m = re.search(r"(?:length|long)\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?", t)
         if m:
             domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
     else:
         domain.setdefault("length", float(m.group(1)) * _unit_scale(m.group(2)))
     # "3 m tall/high" → cylinder height (reference CRITICAL FOR CYLINDRICAL
     # 3D: radius + height, pde_parser_agent.py:247-254)
-    m = re.search(_NUM + r"\s*(m|cm|mm|meter(?:s)?|metre(?:s)?)"
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)"
                   r"\s*[- ]*(?:tall\b|high\b|in\s+height)", t)
     if m:
         domain.setdefault("h", float(m.group(1)) * _unit_scale(m.group(2)))
+    # "50 mm wide" / "width of 5 cm" — a box/beam cross-section dimension
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)"
+                  r"\s*[- ]*(?:wide\b|in\s+width)", t)
+    if m is None:
+        m = re.search(r"\bwidth\s*(?:of|=|:|to)?\s*" + _NUM
+                      + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?", t)
+    _width = float(m.group(1)) * _unit_scale(m.group(2)) if m else None
+    # fold "L long + W wide (+ H tall)" into box extents: a beam/box given
+    # a cross-section is 3-D (2-D when only the width is given), and the
+    # bare-cylinder "h" capture above becomes the z extent
+    if (_width is not None and "length" in domain and "Lx" not in domain
+            and out.get("geometry_type") not in ("cylinder", "sphere")):
+        if "h" in domain:
+            domain.update({"Lx": domain.pop("length"), "Ly": _width,
+                           "Lz": domain.pop("h")})
+            out["dim"] = 3
+        else:
+            domain.update({"Lx": domain.pop("length"), "Ly": _width})
+            out.setdefault("dim", 2)
+    # "cube with 30 cm sides" / "sides of 0.5 m" → equal box extents
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?"
+                  r"\s*(?:per\s+)?sides?\b", t)
+    if m is None:
+        m = re.search(r"\bsides?\s*(?:of|=|:)?\s*" + _NUM
+                      + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?", t)
+    if (m and re.search(r"\bcube\b|\bbox\b|\bbrick\b", t)
+            and "Lx" not in domain):
+        s = float(m.group(1)) * _unit_scale(m.group(2))
+        domain.update({"Lx": s, "Ly": s, "Lz": s})
+        out["dim"] = 3
 
     # --- radii / height ---
-    m = re.search(r"inner\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"inner\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         geometry_params["r_inner"] = float(m.group(1)) * _unit_scale(m.group(2))
-    m = re.search(r"outer\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"outer\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         geometry_params["r_outer"] = float(m.group(1)) * _unit_scale(m.group(2))
-    m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m is None and not geometry_params:
         # value-first phrasing: "0.2 m radius" (reference cylindrical
         # examples, pde_parser_agent.py:247-254)
-        m = re.search(_NUM + r"\s*(m|cm|mm)?\s*(?:in\s+)?radius\b", t)
+        m = re.search(_NUM + r"\s*((?:mm|cm|m)\b)?\s*(?:in\s+)?radius\b", t)
     if m and "r_outer" not in geometry_params:
         r = float(m.group(1)) * _unit_scale(m.group(2))
         if out.get("geometry_type") == "sphere":
@@ -253,7 +305,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         else:
             geometry_params["cylinder_radius"] = r
     # diameter phrasing → radius (only when no explicit radius was given)
-    m = re.search(r"diameter\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"diameter\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m and not geometry_params:
         r = 0.5 * float(m.group(1)) * _unit_scale(m.group(2))
         if out.get("geometry_type") == "sphere":
@@ -265,9 +317,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # (VERDICT r2 weak #7 phrasing; reference prompt's hollow-cylinder
     # conventions at pde_parser_agent.py:248-265)
     m = re.search(r"(?:wall\s+thickness|wall|thickness)\s*(?:of|=|:|to)?\s*"
-                  + _NUM + r"\s*(m|cm|mm)?", t)
+                  + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m is None:
-        m = re.search(_NUM + r"\s*(m|cm|mm)?\s*(?:thick\s+)?wall", t)
+        m = re.search(_NUM + r"\s*((?:mm|cm|m)\b)?\s*(?:thick\s+)?wall", t)
     if m and out.get("geometry_type") in ("cylinder", "sphere"):
         t_wall = float(m.group(1)) * _unit_scale(m.group(2))
         if "r_inner" in geometry_params and "r_outer" not in geometry_params:
@@ -289,9 +341,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                else "cylinder_radius")
         if key in geometry_params:
             geometry_params["r_outer"] = geometry_params.pop(key)
-    m = re.search(r"height\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"height\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m is None:
-        m = re.search(r"\bh\s*(?:=|:)\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+        m = re.search(r"\bh\s*(?:=|:)\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         domain["h"] = float(m.group(1)) * _unit_scale(m.group(2))
     # bare material thickness ("30nm thick conductor") is a cross-section
@@ -442,7 +494,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             material["plane_stress"] = True
 
     # --- composite core ---
-    m = re.search(r"core\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*(m|cm|mm)?", t)
+    m = re.search(r"core\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         out["core_radius"] = float(m.group(1)) * _unit_scale(m.group(2))
     m = re.search(r"core\s+(?:diffusivity|conductivity)\s*(?:of|=|:|to)?\s*" + _NUM, t)

@@ -665,3 +665,86 @@ def test_rule_parse_change_to_value_connector():
     assert r["poisson_ratio"] == pytest.approx(0.25)
     r = rule_based_parse("set the time step to 0.005")
     assert r["dt"] == pytest.approx(0.005)
+
+
+def test_rule_parse_mm_units_not_meters():
+    """r4 CLI battery bug: '(m|cm|mm)' alternation matched the bare 'm'
+    against the first letter of 'mm', so '200 mm' parsed as 200 METERS.
+    Every unit group now lists longest-first with a word boundary."""
+    r = rule_based_parse("heat in a rod 200 mm long, left end at 100 C")
+    assert r["domain_size"]["length"] == pytest.approx(0.2)
+    r = rule_based_parse("cylinder with radius 50 mm and height 300 mm")
+    assert r["geometry_params"]["cylinder_radius"] == pytest.approx(0.05)
+    assert r["domain_size"]["h"] == pytest.approx(0.3)
+    r = rule_based_parse("plate 500 mm x 200 mm at 20 C")
+    assert r["domain_size"]["Lx"] == pytest.approx(0.5)
+    assert r["domain_size"]["Ly"] == pytest.approx(0.2)
+    r = rule_based_parse("sphere with a wall thickness of 5 mm and outer "
+                         "radius 10 cm")
+    assert r["geometry_params"]["r_outer"] == pytest.approx(0.10)
+    assert r["geometry_params"]["r_inner"] == pytest.approx(0.095)
+
+
+def test_rule_parse_gravity_without_thermal_cue_is_elasticity():
+    """'a steel beam under gravity' names no heat/elasticity word at all —
+    gravity/load phrasing only ever appears in the reference prompt's
+    elasticity examples (pde_parser_agent.py:385-395)."""
+    r = rule_based_parse("a steel beam 2 m long under gravity, fixed at "
+                         "the left face")
+    assert r["pde_type"] == "elasticity"
+    assert r["material_params"]["gravity"] is True
+    # the word 'loaded' alone also routes to elasticity
+    r = rule_based_parse("a plate loaded by its own weight")
+    assert r["pde_type"] == "elasticity"
+    # ...but any thermal cue keeps heat routing
+    r = rule_based_parse("temperature of a plate under gravity heated "
+                         "from the left")
+    assert r["pde_type"] == "heat"
+
+
+def test_rule_parse_length_width_height_folds_to_box():
+    """'2 m long, 0.3 m wide, 0.1 m tall' is a 3-D box (reference beam
+    phrasing), not a 1-D rod plus a stray cylinder height."""
+    r = rule_based_parse("steel beam 2 m long, 0.3 m wide and 0.1 m tall "
+                         "under gravity")
+    assert r["dim"] == 3
+    assert r["domain_size"] == {"Lx": 2.0, "Ly": 0.3, "Lz": 0.1}
+    # length + width only → 2-D
+    r = rule_based_parse("plate 1 m long and 40 cm wide at 0 C")
+    assert r["dim"] == 2
+    assert r["domain_size"] == {"Lx": 1.0, "Ly": 0.4}
+    # 'width of X' phrasing
+    r = rule_based_parse("a slab with length of 2 m and width of 50 cm")
+    assert r["domain_size"] == {"Lx": 2.0, "Ly": 0.5}
+
+
+def test_rule_parse_cube_sides():
+    """'a cube with 30 cm sides' → equal box extents, dim 3."""
+    r = rule_based_parse("heat in a cube with 30 cm sides, faces at 0 C")
+    assert r["dim"] == 3
+    assert r["domain_size"] == {"Lx": 0.3, "Ly": 0.3, "Lz": 0.3}
+    r = rule_based_parse("a box with sides of 0.5 m, initially 100 C")
+    assert r["domain_size"] == {"Lx": 0.5, "Ly": 0.5, "Lz": 0.5}
+
+
+def test_followup_merge_switches_to_elasticity_on_cue_words():
+    """A self-contained elasticity query classified as a follow-up ('and'/
+    'with' triggers the reference's keyword list) must still switch the
+    pde_type: the parser's elasticity cues (gravity/clamped/beam...) count
+    as the explicit mention, not just the literal word 'elasticity'."""
+    from pde_solver_tpu.agents.orchestrator import MultiAgentOrchestrator
+    from pde_solver_tpu.schema import PDEParameters
+    o = MultiAgentOrchestrator()
+    prev = {"pde_type": "heat", "dim": 1, "domain_size": {"length": 0.2}}
+    new = PDEParameters(pde_type="elasticity", dim=3,
+                        domain_size={"Lx": 2.0, "Ly": 0.3, "Lz": 0.1},
+                        material_params={"gravity": True})
+    merged = o._merge_parameters(
+        prev, new, "a steel beam 2 m long, 0.3 m wide and 0.1 m tall "
+        "under gravity, fixed at the left face")
+    assert merged.pde_type == "elasticity"
+    assert merged.dim == 3
+    # ...but a genuine heat follow-up with no elasticity cue keeps heat
+    new2 = PDEParameters(pde_type="heat", dim=1)
+    merged2 = o._merge_parameters(prev, new2, "change the source to 50")
+    assert merged2.pde_type == "heat"
