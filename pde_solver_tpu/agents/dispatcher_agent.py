@@ -49,6 +49,7 @@ class LocalToolSet(ToolSet):
             "solve_heat_2D_spherical", "solve_elasticity_1D_static",
             "solve_elasticity_2D_static", "solve_elasticity_3D_static",
             "solve_elasticity_3D_dynamic",
+            "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -233,9 +234,19 @@ class DispatcherAgent:
             if builder is None:
                 raise ValueError(f"Unsupported dimension: {params.dim}")
             return name, builder(params)
+        if params.pde_type == "wave":
+            # Extension beyond the reference: its parser emits
+            # pde_type="wave" (pde_parser_agent.py:205) but its dispatcher
+            # routes nothing for it — every wave query errors out.  Here
+            # they solve on Cartesian domains (curvilinear wave geometries
+            # are treated as their bounding box).
+            if params.dim not in (1, 2, 3):
+                raise ValueError(f"Unsupported dimension: {params.dim}")
+            return (f"solve_wave_{params.dim}D",
+                    self._wave_args(params, params.dim))
         raise ValueError(
-            "Currently only 'heat' and 'elasticity' PDE types are supported, "
-            f"got: {params.pde_type}")
+            "Currently only 'heat', 'elasticity' and 'wave' PDE types are "
+            f"supported, got: {params.pde_type}")
 
     # ----- heat arg builders -----
 
@@ -473,6 +484,67 @@ class DispatcherAgent:
             "initial_amplitude": common["initial_amplitude"],
         }
 
+    # ----- wave arg builder (extension tools) -----
+
+    def _wave_args(self, params: PDEParameters, dim: int) -> Dict[str, Any]:
+        domain = params.domain_size or {}
+        c = float(params.wave_speed or 1.0)
+        bc = params.bc_values or {}
+        args: Dict[str, Any] = {}
+        if dim == 1:
+            length = None
+            for key in ("length", "Length", "L", "l"):
+                if key in domain:
+                    length = float(domain[key])
+                    break
+            if length is None and isinstance(domain.get("domain_size"),
+                                             (int, float)):
+                length = float(domain["domain_size"])
+            length = length if length is not None else 2.0
+            args.update({"length": length, "nx": params.nx or 50})
+            char_len = length
+        elif dim == 2:
+            Lx, Ly = self._domain_xy(domain)
+            args.update({"Lx": Lx, "Ly": Ly, "nx": params.nx or 30,
+                         "ny": params.ny or 30})
+            char_len = min(Lx, Ly)
+        else:
+            Lx, Ly = self._domain_xy(domain)
+            Lz = float(domain.get("Lz") or domain.get("lz")
+                       or domain.get("depth") or domain.get("Depth")
+                       or domain.get("D") or 1.0)
+            args.update({"Lx": Lx, "Ly": Ly, "Lz": Lz,
+                         "nx": params.nx or 20, "ny": params.ny or 20,
+                         "nz": params.nz or 20})
+            char_len = min(Lx, Ly, Lz)
+        # dt/num_steps: the wave timescale is the fundamental period
+        # T = 2·char_len/c (not the heat L²/κ heuristic) — default 100
+        # steps per period, two periods total.
+        period = 2.0 * char_len / c if c > 0 else 1.0
+        dt = params.dt if params.dt is not None else period / 100.0
+        if params.num_steps is not None:
+            num_steps = params.num_steps
+        elif params.total_time and dt > 0:
+            num_steps = max(int(params.total_time / dt), 10)
+        else:
+            num_steps = 200
+        initial_type = params.initial_type or "sine"
+        if initial_type not in ("constant", "zero", "cosine", "sine"):
+            initial_type = "sine"
+        args.update({
+            "wave_speed": c,
+            "boundary_value": _bc_get(bc, "u_boundary", "T_boundary",
+                                      "boundary", default=0.0),
+            "source_value": params.source_value or 0.0,
+            "initial_type": initial_type,
+            "initial_amplitude": (params.initial_amplitude
+                                  if params.initial_amplitude is not None
+                                  else 1.0),
+            "initial_wavenumber": params.initial_wavenumber,
+            "dt": dt, "num_steps": num_steps, "data_dir": "data",
+        })
+        return args
+
     # ----- elasticity arg builders -----
 
     @staticmethod
@@ -639,6 +711,9 @@ class DispatcherAgent:
         if params.pde_type == "heat":
             mode = "steady-state" if params.steady else "transient"
             material = f"Diffusivity: {params.diffusivity or 'default'}"
+        elif params.pde_type == "wave":
+            mode = "transient (Newmark)"
+            material = f"Wave speed: {params.wave_speed or 'default'}"
         else:
             mode = ("dynamic (Newmark)" if "dynamic" in (params.notes or [])
                     else "static")
@@ -659,7 +734,7 @@ class DispatcherAgent:
             f"- Material Parameters: {material}",
             f"- Boundary Conditions: {params.bc_values if params.bc_values else 'default'}",
         ]
-        if params.pde_type == "heat":
+        if params.pde_type in ("heat", "wave"):
             if params.initial_type in ("cosine", "sine"):
                 a = params.initial_amplitude if params.initial_amplitude is not None else 1.0
                 k = params.initial_wavenumber if params.initial_wavenumber is not None else 1.0

@@ -164,8 +164,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["pde_type"] = "elasticity"
     elif re.search(r"\bwave\b(?!\s*number)", t):
         # the reference parser emits pde_type="wave" (pde_parser_agent.py:205
-        # type list); the dispatcher answers with the unsupported-type error
-        # envelope, same as the reference's routing
+        # type list) but its dispatcher has no wave route; here the type
+        # dispatches to the Newmark wave family (api.solve_wave_{1,2,3}D)
         out["pde_type"] = "wave"
     else:
         out["pde_type"] = "heat"

@@ -21,6 +21,7 @@ from pde_solver_tpu.fields import PlotResult, SolveResult, TimeSeriesField, save
 from pde_solver_tpu.mesh import StructuredMesh, box_mesh, interval_mesh, rectangle_mesh
 from pde_solver_tpu.models import elasticity as elast
 from pde_solver_tpu.models import heat
+from pde_solver_tpu.models import wave
 from pde_solver_tpu.models.heat import (
     embed_identity3, embed_line, embed_plane, embed_rtheta, embed_rz,
     embed_spherical, weight_r, weight_r2, weight_r2_sin_theta, weight_r_yz,
@@ -621,6 +622,123 @@ def solve_elasticity_3D_dynamic(
     }
     field = _pack(mesh, embed_identity3, res.times, mag, 3, meta, info)
     return _result(field, data_dir, "elasticity_3d_dynamic")
+
+
+# ======================================================================
+# Wave equation (extension — the reference parses pde_type="wave" but has
+# no solver for it; see models/wave.py)
+# ======================================================================
+
+def solve_wave_1D(
+    length: float = 2.0,
+    nx: int = 50,
+    wave_speed: float = 1.0,
+    boundary_value: float = 0.0,
+    source_value: float = 0.0,
+    initial_type: str = "sine",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: Optional[float] = None,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+) -> SolveResult:
+    """1D wave equation u_tt = c² u_xx + f on (0, length), Dirichlet ends.
+
+    **Extension beyond the reference**: its parser emits pde_type="wave"
+    (pde_parser_agent.py:205) but no solver exists.  Implicit Newmark-β
+    (β=¼, γ=½: unconditionally stable, energy-conserving) in one jitted
+    scan.  ``initial_wavenumber=None`` → the fundamental standing mode
+    π/length (sine IC vanishes at both ends)."""
+    mesh = interval_mesh(nx, 0.0, length)
+    p = wave.WaveProblem(
+        mesh=mesh, wave_speed=wave_speed, boundary_value=boundary_value,
+        source_value=source_value, initial_type=initial_type,
+        initial_amplitude=initial_amplitude,
+        initial_wavenumber=initial_wavenumber, dt=dt, num_steps=num_steps)
+    times, values, stats = wave.solve_wave_problem(p)
+    meta = {
+        "name": "displacement", "unit": "m", "pde": "wave_1d",
+        "coordinate_system": "cartesian", "length": length,
+        "wave_speed": wave_speed, "boundary_value": boundary_value,
+        "source_value": source_value, "dt": dt, "num_steps": num_steps,
+        "integrator": "newmark_beta", "beta": 0.25, "gamma": 0.5,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, "wave_1d")
+
+
+def solve_wave_2D(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 30,
+    ny: int = 30,
+    wave_speed: float = 1.0,
+    boundary_value: float = 0.0,
+    source_value: float = 0.0,
+    initial_type: str = "sine",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: Optional[float] = None,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+) -> SolveResult:
+    """2D wave (vibrating membrane) on [0,Lx]×[0,Ly], fixed edges.
+
+    Extension beyond the reference (see solve_wave_1D)."""
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    p = wave.WaveProblem(
+        mesh=mesh, wave_speed=wave_speed, boundary_value=boundary_value,
+        source_value=source_value, initial_type=initial_type,
+        initial_amplitude=initial_amplitude,
+        initial_wavenumber=initial_wavenumber, dt=dt, num_steps=num_steps)
+    times, values, stats = wave.solve_wave_problem(p)
+    meta = {
+        "name": "displacement", "unit": "m", "pde": "wave_2d",
+        "coordinate_system": "cartesian", "Lx": Lx, "Ly": Ly,
+        "wave_speed": wave_speed, "boundary_value": boundary_value,
+        "source_value": source_value, "dt": dt, "num_steps": num_steps,
+        "integrator": "newmark_beta", "beta": 0.25, "gamma": 0.5,
+    }
+    field = _pack(mesh, embed_plane, times, values, 2, meta, stats)
+    return _result(field, data_dir, "wave_2d")
+
+
+def solve_wave_3D(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    Lz: float = 1.0,
+    nx: int = 20,
+    ny: int = 20,
+    nz: int = 20,
+    wave_speed: float = 1.0,
+    boundary_value: float = 0.0,
+    source_value: float = 0.0,
+    initial_type: str = "sine",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: Optional[float] = None,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+) -> SolveResult:
+    """3D acoustic wave on a box, fixed boundary.
+
+    Extension beyond the reference (see solve_wave_1D)."""
+    mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+    p = wave.WaveProblem(
+        mesh=mesh, wave_speed=wave_speed, boundary_value=boundary_value,
+        source_value=source_value, initial_type=initial_type,
+        initial_amplitude=initial_amplitude,
+        initial_wavenumber=initial_wavenumber, dt=dt, num_steps=num_steps)
+    times, values, stats = wave.solve_wave_problem(p)
+    meta = {
+        "name": "displacement", "unit": "m", "pde": "wave_3d",
+        "coordinate_system": "cartesian", "Lx": Lx, "Ly": Ly, "Lz": Lz,
+        "wave_speed": wave_speed, "boundary_value": boundary_value,
+        "source_value": source_value, "dt": dt, "num_steps": num_steps,
+        "integrator": "newmark_beta", "beta": 0.25, "gamma": 0.5,
+    }
+    field = _pack(mesh, embed_identity3, times, values, 3, meta, stats)
+    return _result(field, data_dir, "wave_3d")
 
 
 # ======================================================================

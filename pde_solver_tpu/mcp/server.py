@@ -162,8 +162,11 @@ def default_tools() -> Dict[str, Callable]:
         "solve_elasticity_1D_static", "solve_elasticity_2D_static",
         "solve_elasticity_3D_static", "plot_time_series_field_from_file",
         "plot_time_series_field",
-        # extension beyond the reference (see api.solve_elasticity_3D_dynamic)
+        # extensions beyond the reference (see api.solve_elasticity_3D_dynamic
+        # and api.solve_wave_1D — the reference parses pde_type="wave" but
+        # has no solver for it)
         "solve_elasticity_3D_dynamic",
+        "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
     ]
     return {n: getattr(api, n) for n in names}
 

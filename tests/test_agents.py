@@ -222,8 +222,8 @@ def test_explicit_zero_bc_preserved():
 
 def test_unsupported_pde_type_error_envelope():
     d = DispatcherAgent()
-    res = run(d.dispatch(PDEParameters(pde_type="wave", dim=1)))
-    assert "error" in res and "wave" in res["error"]
+    res = run(d.dispatch(PDEParameters(pde_type="advection", dim=1)))
+    assert "error" in res and "advection" in res["error"]
 
 
 # ----------------------------------------------------------------------
@@ -477,15 +477,20 @@ def test_rule_parse_trailing_long_and_tall():
     assert p["geometry_params"]["cylinder_radius"] == pytest.approx(0.2)
 
 
-def test_rule_parse_wave_type_routes_to_error_envelope():
-    """The reference parser emits pde_type='wave'; the dispatcher answers
-    with the unsupported-type envelope (no wave solver in the 13 tools)."""
+def test_rule_parse_wave_type_routes_to_wave_solver():
+    """The reference parser emits pde_type='wave' but its dispatcher has no
+    wave route (every wave query errors out).  Extension: the same query
+    solves through the Newmark wave family (api.solve_wave_1D)."""
     p = rule_based_parse("wave in a string with wave speed 2")
     assert p["pde_type"] == "wave"
     assert p["wave_speed"] == 2.0
     d = DispatcherAgent()
-    res = run(d.dispatch(PDEParameters.from_dict(normalize_params_dict(p))))
-    assert "error" in res and "wave" in res["error"]
+    name, args = d.route(PDEParameters.from_dict(normalize_params_dict(p)))
+    assert name == "solve_wave_1D"
+    assert args["wave_speed"] == 2.0
+    # default stepping covers two fundamental periods at 100 steps each
+    assert args["num_steps"] == 200
+    assert args["dt"] == pytest.approx(2.0 * 2.0 / 2.0 / 100.0)
 
 
 def test_composite_circular_tunnel_high_conductivity():

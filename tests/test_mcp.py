@@ -20,7 +20,7 @@ def test_initialize_and_tools_list():
     tools = resp["result"]["tools"]
     names = {t["name"] for t in tools}
     # the reference's 13-tool surface (fenics_mcp_server.py table in
-    # SURVEY §2) plus the elastodynamics extension tool
+    # SURVEY §2) plus the elastodynamics + wave extension tools
     assert names == {
         "solve_heat_1D", "solve_heat_2D", "solve_heat_3D",
         "solve_heat_3D_spherical", "solve_heat_1D_cylindrical",
@@ -29,6 +29,7 @@ def test_initialize_and_tools_list():
         "solve_elasticity_2D_static", "solve_elasticity_3D_static",
         "plot_time_series_field_from_file", "plot_time_series_field",
         "solve_elasticity_3D_dynamic",
+        "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
     }
 
 
@@ -79,7 +80,7 @@ def test_stdio_subprocess_round_trip(tmp_path):
         client = StdioMCPClient([sys.executable, env_script])
         try:
             tools = await client.list_tools()
-            assert len(tools) == 14
+            assert len(tools) == 17
             res = await client.call_tool("solve_heat_1D", {
                 "nx": 8, "num_steps": 2, "data_dir": str(tmp_path)})
             assert os.path.exists(res["data_file"])
