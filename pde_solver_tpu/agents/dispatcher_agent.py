@@ -333,7 +333,9 @@ class DispatcherAgent:
                         "For cylindrical geometry, domain_size must contain 'h' (height)")
                 Lx, Ly, Lz = float(h), float(r2 * 2), float(r2 * 2)
             else:
-                Lx = float(domain.get("Lx") or 2.0)
+                # axial extent: explicit Lx, else the parsed cylinder
+                # height (the reference's h → axis length mapping above)
+                Lx = float(domain.get("Lx") or domain.get("h") or 2.0)
                 r2 = (gp.get("cylinder_radius") or gp.get("r2")
                       or gp.get("r_outer") or 0.5)
                 Ly = Lz = float(r2 * 2)

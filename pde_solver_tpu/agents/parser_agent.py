@@ -158,6 +158,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     bc: Dict[str, float] = {}
     material: Dict[str, Any] = {}
 
+    dim_radial_default = False  # geometry-defaulted dim=1 (upgradable)
+
     # --- PDE type ---
     if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
                  r"|beam bend|vibrat|oscillat|\bclamp|body\s+force", t):
@@ -183,6 +185,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(r"wave\s+speed\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["wave_speed"] = float(m.group(1))
+        # "vibrating membrane with wave speed 5": an explicit wave speed
+        # with no elastic-material cue means the scalar wave equation, not
+        # elastodynamics (vibrat/oscillat alone route to elasticity above)
+        if out["pde_type"] == "elasticity" and not re.search(
+                r"stress|strain|modulus|young|gpa|\belastic|deform|poisson",
+                t):
+            out["pde_type"] = "wave"
 
     # --- geometry ---
     # "circular"/"tunnel" → cylinder per the reference's CRITICAL keyword
@@ -212,8 +221,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["dim"] = 2
     elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
         out["dim"] = 3
+    elif re.search(r"axi[- ]?symmetric", t) \
+            and out.get("geometry_type") in ("cylinder", "sphere"):
+        out["dim"] = 2  # r-z / r-θ section
     elif out.get("geometry_type") in ("cylinder", "sphere"):
-        out["dim"] = 1  # radial by default
+        out["dim"] = 1  # radial by default — may be upgraded to 3 below
+        dim_radial_default = True
 
     # --- sizes: "A x B (x C)" with optional per-number units; separators
     # are "x", "×", "*", or "by" (reference: "Recognize x, *, by, × as
@@ -274,6 +287,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         else:
             domain.update({"Lx": domain.pop("length"), "Ly": _width})
             out.setdefault("dim", 2)
+    # "50 cm square plate" → equal in-plane extents
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?"
+                  r"\s*square\b", t)
+    if m and "Lx" not in domain:
+        s = float(m.group(1)) * _unit_scale(m.group(2))
+        domain.update({"Lx": s, "Ly": s})
+        out.setdefault("dim", 2)
     # "cube with 30 cm sides" / "sides of 0.5 m" → equal box extents
     m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)?"
                   r"\s*(?:per\s+)?sides?\b", t)
@@ -293,7 +313,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(r"outer\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         geometry_params["r_outer"] = float(m.group(1)) * _unit_scale(m.group(2))
-    m = re.search(r"(?<!inner )(?<!outer )(?<!core )\bradius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
+    m = re.search(r"(?<!inner )(?<!outer )(?<!core )(?<!core of )\bradius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m is None and not geometry_params:
         # value-first phrasing: "0.2 m radius" (reference cylindrical
         # examples, pde_parser_agent.py:247-254)
@@ -363,7 +383,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         (r"right(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_right"),
         (r"inner(?:\s+(?:surface|wall|boundary|edge))?" + temp, "T_inner"),
         (r"outer(?:\s+(?:surface|wall|boundary|edge))?" + temp, "T_outer"),
-        (r"(?:side|wall|curved surface|lateral)(?:\s+(?:boundary|surface))?" + temp, "T_side"),
+        (r"\b(?:side|wall|curved surface|lateral)(?:\s+(?:boundary|surface))?" + temp, "T_side"),
         (r"(?<!left )(?<!right )(?<!inner )(?<!outer )(?<!side )"
          r"(?:boundary|boundaries|surface|edges|walls)"
          r"(?:\s+(?:temperature|held|kept|fixed))?" + temp, "T_boundary"),
@@ -387,6 +407,24 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                   r"(?:sides|faces|edges|boundaries|surfaces))" + temp, t)
     if m and "T_boundary" not in bc:
         bc["T_boundary"] = float(m.group(1))
+    # "inside at 25, outside at -5": inner/outer for curvilinear shells,
+    # left/right for a Cartesian wall/slab
+    curvilinear = out.get("geometry_type") in ("cylinder", "sphere")
+    for word, curv_key, cart_key in (("inside", "T_inner", "T_left"),
+                                     ("outside", "T_outer", "T_right")):
+        m = re.search(r"\b" + word + temp, t)
+        if m:
+            bc.setdefault(curv_key if curvilinear else cart_key,
+                          float(m.group(1)))
+    # "quenched from 800 C to 20 C" → initial 800, boundary 20
+    m = re.search(r"quench(?:ed|ing)?\s+from\s*" + _NUM
+                  + r"\s*°?\s*[cf]?\s*(?:down\s+)?to\s*" + _NUM, t)
+    if m:
+        out.setdefault("initial_value", float(m.group(1)))
+        out.setdefault("initial_type", "constant")
+        for key in (("T_outer", "T_boundary") if curvilinear
+                    else ("T_boundary",)):
+            bc.setdefault(key, float(m.group(2)))
 
     m = re.search(r"initial(?:\s+temperature| temp| condition)?" + temp.replace("fixed at", "fixed at|initially"), t)
     if m:
@@ -424,7 +462,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if m:
         scale = {"gpa": 1e9, "mpa": 1e6, "kpa": 1e3, "pa": 1.0, None: 1.0}[m.group(2)]
         out["young_modulus"] = float(m.group(1)) * scale
-    m = re.search(r"poisson'?s?\s+ratio\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
+    m = re.search(r"poisson'?s?(?:\s+ratio)?\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["poisson_ratio"] = float(m.group(1))
     m = re.search(r"density\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
@@ -494,7 +532,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             material["plane_stress"] = True
 
     # --- composite core ---
-    m = re.search(r"core\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
+    m = re.search(r"core\s+(?:of\s+)?radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         out["core_radius"] = float(m.group(1)) * _unit_scale(m.group(2))
     m = re.search(r"core\s+(?:diffusivity|conductivity)\s*(?:of|=|:|to)?\s*" + _NUM, t)
@@ -551,6 +589,18 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out.setdefault("coordinate_system", "cylindrical")
     elif out.get("geometry_type") == "sphere":
         out.setdefault("coordinate_system", "spherical")
+
+    # --- radial→3D upgrade for solid cylinders with an axial extent or a
+    # composite core: the reference's cylindrical-3D rule ("MUST extract
+    # radius and height", pde_parser_agent.py:247-254) and every composite
+    # example (:674-681) emit dim=3; the 1D radial tools remain for hollow
+    # annuli/shells and explicit 1D/radial phrasing
+    if (dim_radial_default and out.get("geometry_type") == "cylinder"
+            and "r_inner" not in geometry_params
+            and not re.search(r"\bhollow\b|\bannul|\bradial\b", t)
+            and ("h" in domain or out.get("core_radius") is not None
+                 or out.get("core_diffusivity") is not None)):
+        out["dim"] = 3
 
     if domain:
         out["domain_size"] = domain
@@ -655,4 +705,14 @@ class PDEParserAgent:
                 params["core_radius"] = 0.3 * float(r_out)
             elif mentions_core:
                 params["core_radius"] = 0.1  # reference default :311
+        # composite cylinder cores are a solve_heat_3D feature (the 1D
+        # radial tool has none, matching the reference) — every reference
+        # composite example emits dim=3 (pde_parser_agent.py:674-681);
+        # explicit 1D/radial phrasing keeps the radial route
+        if (params.get("core_diffusivity") is not None
+                and params.get("geometry_type") == "cylinder"
+                and params.get("dim") in (None, 1)
+                and not re.search(r"\b1[- ]?d\b|one[- ]dimensional"
+                                  r"|\bradial\b", t)):
+            params["dim"] = 3
         return params

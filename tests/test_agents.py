@@ -753,3 +753,106 @@ def test_followup_merge_switches_to_elasticity_on_cue_words():
     new2 = PDEParameters(pde_type="heat", dim=1)
     merged2 = o._merge_parameters(prev, new2, "change the source to 50")
     assert merged2.pde_type == "heat"
+
+
+def test_rule_parse_solid_cylinder_with_height_is_3d():
+    """Reference cylindrical-3D rule (pde_parser_agent.py:247-254): radius
+    + height on a solid cylinder → dim 3, routed to solve_heat_3D with the
+    height as the axial extent; hollow annuli keep the 1D radial route."""
+    d = DispatcherAgent()
+    p = PDEParameters.from_dict(normalize_params_dict(rule_based_parse(
+        "transient heat in a steel cylinder of radius 10 cm and height "
+        "50 cm, surface at 200 C, initially 20 C")))
+    assert p.dim == 3
+    name, args = d.route(p)
+    assert name == "solve_heat_3D"
+    assert args["Lx"] == pytest.approx(0.5)         # height → axial extent
+    assert args["cylinder_radius"] == pytest.approx(0.1)
+    assert args["T_boundary"] == 200.0 and args["T_initial"] == 20.0
+    # "3 m tall column of diameter 0.6 m" — same rule via tall/diameter
+    p2 = PDEParameters.from_dict(normalize_params_dict(rule_based_parse(
+        "thermal analysis of a 3 m tall concrete column of diameter "
+        "0.6 m, surface at 35 C")))
+    name2, args2 = d.route(p2)
+    assert name2 == "solve_heat_3D" and args2["Lx"] == pytest.approx(3.0)
+    assert args2["cylinder_radius"] == pytest.approx(0.3)
+    # hollow cylinder with height stays radial (the reference's 3D tool is
+    # solid-only; the 1D annulus solves the actual hollow profile)
+    p3 = PDEParameters.from_dict(normalize_params_dict(rule_based_parse(
+        "hollow cylinder with inner radius 0.2m, outer radius 0.5m, "
+        "height 2m")))
+    assert d.route(p3)[0] == "solve_heat_1D_cylindrical"
+
+
+def test_rule_parse_axisymmetric_is_2d():
+    p = PDEParameters.from_dict(normalize_params_dict(rule_based_parse(
+        "axisymmetric heat flow in a pipe, inner radius 2 cm, outer "
+        "radius 5 cm, length 1 m")))
+    assert p.dim == 2
+    d = DispatcherAgent()
+    name, args = d.route(p)
+    assert name == "solve_heat_2D_cylindrical"
+    assert args["r_inner"] == pytest.approx(0.02)
+    assert args["r_outer"] == pytest.approx(0.05)
+    assert args["z_length"] == pytest.approx(1.0)
+
+
+def test_composite_keyword_query_routes_to_3d_core():
+    """The reference's composite examples all emit dim=3 → solve_heat_3D
+    (pde_parser_agent.py:674-681); a radial route would silently drop the
+    core (the 1D cylindrical tool has no core parameters)."""
+    a = PDEParserAgent(llm=None)
+    d = DispatcherAgent()
+    p = a.parse("heat in a circular tunnel with a heat conductor with "
+                "high conductivity in the middle")
+    assert p.dim == 3
+    name, args = d.route(p)
+    assert name == "solve_heat_3D"
+    assert args["core_diffusivity"] == pytest.approx(100.0)
+    # explicit values: "core of radius 5 cm ... core conductivity 400"
+    p2 = a.parse("composite cylinder with a copper core of radius 5 cm "
+                 "inside a 20 cm radius steel cylinder, core "
+                 "conductivity 400")
+    name2, args2 = d.route(p2)
+    assert name2 == "solve_heat_3D"
+    assert args2["core_radius"] == pytest.approx(0.05)
+    assert args2["core_diffusivity"] == pytest.approx(400.0)
+    assert args2["cylinder_radius"] == pytest.approx(0.2)
+    # explicit 1D phrasing keeps the radial route
+    p3 = a.parse("1D radial heat in a circular tunnel with an insulator "
+                 "in the middle")
+    assert d.route(p3)[0] == "solve_heat_1D_cylindrical"
+
+
+def test_rule_parse_inside_outside_and_quench():
+    r = rule_based_parse("heat conduction in a concrete wall, inside at "
+                         "25 C, outside at -5 C")
+    assert r["bc_values"] == {"T_left": 25.0, "T_right": -5.0}
+    r = rule_based_parse("hollow cylinder, inside at 300 C, outside at "
+                         "30 C")
+    assert r["bc_values"] == {"T_inner": 300.0, "T_outer": 30.0}
+    r = rule_based_parse("temperature history of a sphere of diameter "
+                         "10 cm quenched from 800 C to 20 C water")
+    assert r["initial_value"] == 800.0
+    assert r["bc_values"]["T_outer"] == 20.0
+    assert r["geometry_params"]["sphere_radius"] == pytest.approx(0.05)
+
+
+def test_rule_parse_square_sides_and_bare_poisson():
+    r = rule_based_parse("2D heat in a 50 cm square plate, boundary at 0 C")
+    assert r["domain_size"] == {"Lx": 0.5, "Ly": 0.5}
+    r = rule_based_parse("plane strain deformation of a dam cross-section "
+                         "10 m by 30 m, E 30 GPa, poisson 0.2")
+    assert r["poisson_ratio"] == pytest.approx(0.2)
+    assert r["material_params"]["plane_stress"] is False
+
+
+def test_rule_parse_wave_speed_overrides_vibration_elasticity():
+    """'vibrating membrane with wave speed 5' is the scalar wave equation;
+    vibration phrasing WITH elastic material data stays elastodynamics."""
+    r = rule_based_parse("simulate a vibrating membrane 1 m by 1 m with "
+                         "wave speed 5")
+    assert r["pde_type"] == "wave" and r["dim"] == 2
+    r = rule_based_parse("a vibrating steel beam 1 m x 0.1 m x 0.1 m, "
+                         "density 7800, E 200 GPa")
+    assert r["pde_type"] == "elasticity"
