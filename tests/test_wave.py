@@ -181,3 +181,19 @@ def test_wave_nl_query_end_to_end(tmp_path, monkeypatch):
     assert os.path.exists(res["html_path"])
     assert "Wave speed: 4" in res["summary"]
     assert "transient (Newmark)" in res["summary"]
+
+
+def test_sharded_wave_matches_single_device():
+    """shard_devices>1 routes the wave model through the shard_mapped
+    Newmark scan (scalar vdim=1 leg of the same machinery the sharded
+    elastodynamics test witnesses)."""
+    from pde_solver_tpu.config import config_overrides
+
+    mesh = rectangle_mesh(13, 9, (0.0, 0.0), (1.0, 1.0))
+    p = WaveProblem(mesh=mesh, wave_speed=2.0, initial_type="sine",
+                    initial_wavenumber=np.pi, dt=0.004, num_steps=8)
+    times, ref, _ = solve_wave_problem(p)
+    with config_overrides(shard_devices=8):
+        _, sh, _ = solve_wave_problem(p)
+    scale = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(sh - ref).max() < 1e-6 * scale
