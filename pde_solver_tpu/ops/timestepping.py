@@ -595,6 +595,89 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
 # discrete energy ½ vᵀMv + ½ uᵀKu drift.  Dirichlet nodes carry u=g fixed,
 # v=a=0: A_eff's masked rows are identity with zero RHS there.
 
+def _run_newmark_checkpointed(pre, post, tail, carry0, num_steps, cfg, dt,
+                              u0_np, v0_np, state_dtype, key: str
+                              ) -> "NewmarkResult":
+    """Host-chunked Newmark scan with atomic (u, v, a)-carry checkpoints.
+
+    Mirrors :func:`_run_transient_checkpointed`: every
+    ``transient_checkpoint_every`` steps the full-precision scan carry and
+    the accumulated displacement/velocity frames persist to
+    ``checkpoint_dir`` (tmp+rename); a re-run of the same content-keyed
+    problem resumes from the last completed chunk; the artifact is removed
+    on completion.  The acceleration is carried explicitly, so chunking is
+    bitwise identical to the single uninterrupted scan."""
+    import os
+    import tempfile
+
+    from pde_solver_tpu.utils.observability import get_logger
+
+    every = max(1, int(cfg.transient_checkpoint_every))
+    path = os.path.join(cfg.checkpoint_dir, f"newmark-{key}.npz")
+    u_frames = [np.asarray(u0_np, np.float64)[None]]
+    v_frames = [np.asarray(v0_np, np.float64)[None]]
+    start, iters_acc, res_acc = 0, 0, 0.0
+    carry = carry0
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                if int(z["step"]) > num_steps:
+                    get_logger().warning(
+                        "newmark checkpoint at step %d exceeds requested "
+                        "num_steps=%d — recomputing from step 0",
+                        int(z["step"]), num_steps)
+                else:
+                    u_frames.append(z["us"].astype(np.float64))
+                    v_frames.append(z["vs"].astype(np.float64))
+                    start = int(z["step"])
+                    iters_acc = int(z["iters"])
+                    res_acc = float(z["res"])
+                    carry = tuple(jnp.asarray(z[k], state_dtype)
+                                  for k in ("u", "v", "a"))
+                    get_logger().info("newmark resume: step %d/%d from %s",
+                                      start, num_steps, path)
+        except Exception:
+            u_frames = [np.asarray(u0_np, np.float64)[None]]
+            v_frames = [np.asarray(v0_np, np.float64)[None]]
+            start, iters_acc, res_acc = 0, 0, 0.0
+            carry = carry0
+    chunks_done = 0
+    while start < num_steps:
+        n_chunk = min(every, num_steps - start)
+        us, vs, carry_f, k, r = _newmark_scan(*pre, *carry, *post,
+                                              int(n_chunk), *tail)
+        iters_acc += int(k)  # scalar pull: chunk scan complete
+        res_acc = max(res_acc, float(r))
+        u_frames.append(np.asarray(us, np.float64))
+        v_frames.append(np.asarray(vs, np.float64))
+        carry = tuple(c.astype(state_dtype) for c in carry_f)
+        start += n_chunk
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cfg.checkpoint_dir, suffix=".tmp.npz")
+        os.close(fd)
+        snap_t = np.float32 if tail[3] else np.float64
+        np.savez(tmp,
+                 us=np.concatenate(u_frames[1:], axis=0).astype(snap_t),
+                 vs=np.concatenate(v_frames[1:], axis=0).astype(snap_t),
+                 u=np.asarray(carry[0]), v=np.asarray(carry[1]),
+                 a=np.asarray(carry[2]), step=start, iters=iters_acc,
+                 res=res_acc)
+        os.replace(tmp, path)
+        chunks_done += 1
+        if _CKPT_TEST_ABORT and chunks_done >= _CKPT_TEST_ABORT \
+                and start < num_steps:
+            raise RuntimeError("checkpoint test abort")
+    try:
+        os.remove(path)  # run complete — the artifact model takes over
+    except OSError:
+        pass
+    times = dt * np.arange(num_steps + 1, dtype=np.float64)
+    return NewmarkResult(values=np.concatenate(u_frames, axis=0),
+                         velocities=np.concatenate(v_frames, axis=0),
+                         times=times, total_cg_iterations=iters_acc,
+                         max_relative_residual=res_acc)
+
+
 class NewmarkResult(NamedTuple):
     values: np.ndarray       # [num_steps+1, *node_shape, v] displacements
     velocities: np.ndarray   # [num_steps+1, *node_shape, v]
@@ -642,9 +725,11 @@ def _newmark_scan(offsets, A_w, K_w, free, s, Ct, CinvT, f_ext, u0, v0, a0,
                 (u_new.astype(snap_dtype), v_new.astype(snap_dtype)))
 
     carry0 = (u0, v0, a0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype))
-    (_, _, _, iters, res), (us, vs) = jax.lax.scan(
+    (u_f, v_f, a_f, iters, res), (us, vs) = jax.lax.scan(
         step, carry0, None, length=num_steps)
-    return us, vs, iters, res
+    # the full-precision final carry enables bitwise chunked resumes (the
+    # snapshots may be thinned to f32; the carry never is)
+    return us, vs, (u_f, v_f, a_f), iters, res
 
 
 def run_newmark(
@@ -725,6 +810,11 @@ def run_newmark(
         from pde_solver_tpu.parallel.shard import (ShardedNewmarkScan,
                                                    device_mesh)
         from pde_solver_tpu.utils.observability import get_logger
+        if cfg.transient_checkpoint_every > 0:
+            get_logger().warning(
+                "transient_checkpoint_every=%d is not supported on the "
+                "sharded Newmark path — running without mid-solve "
+                "checkpoints", cfg.transient_checkpoint_every)
         get_logger().info("sharded Newmark scan: %d devices, %d steps",
                           nshard, int(num_steps))
         scan = ShardedNewmarkScan(
@@ -768,14 +858,33 @@ def run_newmark(
         if h is not None:
             h_struct, level_arrays = mg.hierarchy_struct(h)
 
-    us, vs, iters, res = _newmark_scan(
-        offsets, A_w, K_w,
-        jnp.asarray(free_np, state_dtype),
-        s_dev, Ct_dev, CinvT_dev,
-        jnp.asarray(f_np, state_dtype),
-        jnp.asarray(u0_np, state_dtype), jnp.asarray(v0_np, state_dtype),
-        a0, float(dt), float(beta), float(gamma), inner_tol,
-        int(num_steps), maxiter, d, vdim, snap32, h_struct, level_arrays)
+    pre = (offsets, A_w, K_w, jnp.asarray(free_np, state_dtype),
+           s_dev, Ct_dev, CinvT_dev, jnp.asarray(f_np, state_dtype))
+    post = (float(dt), float(beta), float(gamma), inner_tol)
+    tail = (maxiter, d, vdim, snap32, h_struct, level_arrays)
+    carry0 = (jnp.asarray(u0_np, state_dtype),
+              jnp.asarray(v0_np, state_dtype), a0)
+
+    if cfg.transient_checkpoint_every > 0:
+        # Mid-run checkpoint/resume, mirroring _run_transient_checkpointed:
+        # the content key covers everything that determines the trajectory
+        # (operators, BC data, state, forcing, numerics) but NOT num_steps,
+        # so a longer target continues a shorter/killed run.
+        import hashlib
+        hsh = hashlib.blake2b(digest_size=12)
+        hsh.update(repr((mesh.node_shape, vdim, float(dt), float(beta),
+                         float(gamma), prec, float(inner_tol), int(maxiter),
+                         bool(snap32))).encode())
+        for arr in ((u0_np, v0_np, f_np, free_np,
+                     np.asarray(bc.values, np.float64))
+                    + tuple(sysm.weights) + tuple(K_list)):
+            hsh.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
+        return _run_newmark_checkpointed(
+            pre, post, tail, carry0, int(num_steps), cfg, dt,
+            u0_np, v0_np, state_dtype, hsh.hexdigest())
+
+    us, vs, _, iters, res = _newmark_scan(
+        *pre, *carry0, *post, int(num_steps), *tail)
 
     values = np.concatenate([np.asarray(u0_np, np.float64)[None],
                              np.asarray(us, np.float64)], axis=0)

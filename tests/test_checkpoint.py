@@ -116,3 +116,93 @@ def test_checkpointed_run_applies_snapshot_thinning(tmp_path):
     assert ck.values.shape[0] == ref.values.shape[0] <= 7
     np.testing.assert_array_equal(ck.values, ref.values)
     np.testing.assert_array_equal(ck.times, ref.times)
+
+
+# ----------------------------------------------------------------------
+# Newmark (elastodynamics / wave) checkpoint/resume
+# ----------------------------------------------------------------------
+
+def _newmark_problem():
+    mesh = rectangle_mesh(12, 10, (0.0, 0.0), (1.0, 1.0))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    K = {o: 4.0 * W for o, W in K.items()}        # c² = 4
+    M = assembly.assemble_scalar_stencil(mesh, "mass")
+    bc = DirichletBC.from_masks([(all_boundary(mesh), 0.0)], mesh.node_shape)
+    x, y = np.meshgrid(mesh.axis_nodes(0), mesh.axis_nodes(1),
+                       indexing="ij")
+    u0 = np.sin(np.pi * x) * np.sin(np.pi * y)
+    v0 = np.zeros_like(u0)
+    f = np.zeros_like(u0)
+    return mesh, K, M, bc, f, u0, v0
+
+
+def test_newmark_checkpointed_run_matches_plain(tmp_path):
+    from pde_solver_tpu.ops.timestepping import run_newmark
+    mesh, K, M, bc, f, u0, v0 = _newmark_problem()
+    ref = run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=10)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        ck = run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=10)
+    np.testing.assert_array_equal(ck.values, ref.values)
+    np.testing.assert_array_equal(ck.velocities, ref.velocities)
+    assert ck.total_cg_iterations == ref.total_cg_iterations
+    assert not os.listdir(tmp_path)  # checkpoint removed on completion
+
+
+def test_newmark_interrupted_run_resumes_bitwise(tmp_path, monkeypatch):
+    from pde_solver_tpu.ops.timestepping import run_newmark
+    mesh, K, M, bc, f, u0, v0 = _newmark_problem()
+    ref = run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=12)
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 1)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        with pytest.raises(RuntimeError, match="checkpoint test abort"):
+            run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=12)
+    files = [fn for fn in os.listdir(tmp_path) if fn.endswith(".npz")]
+    assert len(files) == 1 and files[0].startswith("newmark-")
+    with np.load(os.path.join(tmp_path, files[0])) as z:
+        assert int(z["step"]) == 4
+        assert z["us"].shape[0] == 4          # 4 persisted frames
+        assert {"u", "v", "a"} <= set(z.files)  # full carry persisted
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 0)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        ck = run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=12)
+    # the acceleration is carried explicitly → the resume is BITWISE
+    np.testing.assert_array_equal(ck.values, ref.values)
+    np.testing.assert_array_equal(ck.velocities, ref.velocities)
+    assert not [fn for fn in os.listdir(tmp_path) if fn.endswith(".npz")]
+
+
+def test_newmark_checkpoint_longer_target_continues(tmp_path, monkeypatch):
+    """num_steps is excluded from the content key: a longer request resumes
+    a shorter/killed run's chunks instead of recomputing them."""
+    from pde_solver_tpu.ops.timestepping import run_newmark
+    mesh, K, M, bc, f, u0, v0 = _newmark_problem()
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 1)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        with pytest.raises(RuntimeError):
+            run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=6)
+    files = [fn for fn in os.listdir(tmp_path) if fn.endswith(".npz")]
+    assert len(files) == 1   # 4 of the 6 steps persisted
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 0)
+    ref = run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=12)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        ck = run_newmark(K, M, mesh, bc, f, u0, v0, dt=0.005, num_steps=12)
+    np.testing.assert_array_equal(ck.values, ref.values)
+
+
+def test_wave_model_checkpoint_roundtrip(tmp_path):
+    """The wave family inherits Newmark checkpointing through run_newmark."""
+    from pde_solver_tpu.mesh import interval_mesh
+    from pde_solver_tpu.models.wave import WaveProblem, solve_wave_problem
+    mesh = interval_mesh(24, 0.0, 1.0)
+    p = WaveProblem(mesh=mesh, wave_speed=2.0, initial_type="sine",
+                    initial_wavenumber=np.pi, dt=0.004, num_steps=9)
+    _, ref, _ = solve_wave_problem(p)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        _, ck, _ = solve_wave_problem(p)
+    np.testing.assert_array_equal(ck, ref)
