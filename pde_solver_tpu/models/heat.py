@@ -52,6 +52,14 @@ class HeatProblem:
     # mesh-parametric BC constructor: enables geometric-multigrid level
     # rebuilds for steady solves (pairs == bc_builder(mesh) when provided)
     bc_builder: Optional[Callable[[StructuredMesh], Sequence]] = None
+    # Robin (convective) faces: (axis, side, h, T_inf) per face, adding
+    # ∫_Γ h u v ds to the stiffness and ∫_Γ h T_inf v ds to the load
+    # (-κ ∂u/∂n = h (u - T_inf) on Γ).  Beyond-reference capability: the
+    # reference heat solvers are Dirichlet-only (fenics_mcp_server.py:294-297).
+    robin_faces: Sequence[Tuple[int, int, float, float]] = ()
+    # Prescribed-flux (Neumann) faces: (axis, side, q_in) with q_in the
+    # INWARD heat flux (κ ∂u/∂n = q_in on Γ → ∫_Γ q_in v ds on the load)
+    flux_faces: Sequence[Tuple[int, int, float]] = ()
     source_type: str = "none"
     source_value: float = 0.0
     steady: bool = False
@@ -67,6 +75,39 @@ class HeatProblem:
     theta: Optional[float] = None                 # 1 = backward Euler, 0.5 =
                                                   # Crank-Nicolson; None → the
                                                   # SolverConfig.theta policy
+
+
+def _apply_surface_terms(p: HeatProblem, mesh: StructuredMesh,
+                         K: Dict) -> Tuple[Dict, np.ndarray]:
+    """Fold Robin/flux boundary integrals into (stiffness, load).
+
+    Robin: K += h·(surface mass on Γ), b += h·T_inf·(surface load on Γ);
+    Neumann: b += q_in·(surface load on Γ).  Both respect the problem's
+    coordinate weight (curvilinear solids), restricted to the face plane.
+    The Robin term is PSD, so the constrained operator stays SPD for CG/MG.
+    """
+    from pde_solver_tpu.ops import surface
+
+    b = np.zeros(mesh.node_shape, dtype=np.float64)
+    for axis, side, h, t_inf in p.robin_faces:
+        if h == 0.0:
+            continue
+        K = surface.add_stencil(
+            K, surface.assemble_face_mass(mesh, int(axis), int(side),
+                                          coeff=float(h),
+                                          weight_fn=p.weight_fn))
+        if t_inf != 0.0:
+            b += surface.assemble_face_load(
+                mesh, int(axis), int(side), coeff=float(h) * float(t_inf),
+                weight_fn=p.weight_fn,
+                quad_degree=p.weight_quad_degree)
+    for axis, side, q_in in p.flux_faces:
+        if q_in != 0.0:
+            b += surface.assemble_face_load(
+                mesh, int(axis), int(side), coeff=float(q_in),
+                weight_fn=p.weight_fn,
+                quad_degree=p.weight_quad_degree)
+    return K, b
 
 
 def _initial_field(p: HeatProblem) -> np.ndarray:
@@ -118,6 +159,10 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
         else:
             b = np.zeros(mesh.node_shape, dtype=np.float64)
 
+        if p.robin_faces or p.flux_faces:
+            K, b_surf = _apply_surface_terms(p, mesh, K)
+            b = b + b_surf
+
         pairs = list(p.bc_pairs) if p.bc_pairs else (
             list(p.bc_builder(mesh)) if p.bc_builder else [])
         bc = DirichletBC.from_masks(pairs, mesh.node_shape)
@@ -133,6 +178,10 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
                 cell_coeff=kappa_c, quad_degree=stiff_deg)
             if kappa_c is None and p.diffusivity != 1.0:
                 K_c = {o: p.diffusivity * W for o, W in K_c.items()}
+            if p.robin_faces or p.flux_faces:
+                # coarse levels carry the same Robin surface mass (the load
+                # part is irrelevant for the MG operator)
+                K_c, _ = _apply_surface_terms(p, mesh_c, K_c)
             bc_c = DirichletBC.from_masks(list(p.bc_builder(mesh_c)),
                                           mesh_c.node_shape)
             return K_c, bc_c
