@@ -50,6 +50,8 @@ class LocalToolSet(ToolSet):
             "solve_elasticity_2D_static", "solve_elasticity_3D_static",
             "solve_elasticity_3D_dynamic",
             "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
+            "solve_heat_1D_mixed", "solve_heat_2D_mixed",
+            "solve_heat_3D_mixed",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -178,6 +180,37 @@ def _common_heat_args(params: PDEParameters) -> Dict[str, Any]:
     }
 
 
+# legacy directional Dirichlet keys → mixed-tool face names
+_TFACE_TO_FACE = {"T_left": "left", "T_right": "right", "T_side": "sides",
+                  "T_top": "top", "T_bottom": "bottom", "T_front": "front",
+                  "T_back": "back", "T_boundary": "all"}
+
+
+def _mixed_bc_spec(params: PDEParameters) -> Optional[Dict[str, Any]]:
+    """Normalized per-face BC spec when the query needs the *_mixed tools.
+
+    Returns None for pure-Dirichlet queries (reference-compatible routing
+    unchanged).  A query is "mixed" when bc_values carries any typed face
+    spec ({"type": "robin"|"neumann"|"insulated", ...} — the parser emits
+    these for convective/flux/insulated phrasing) or when bc_type itself is
+    robin/neumann/mixed.  Dirichlet entries (typed, face-keyed numbers, or
+    legacy T_left-style keys) are folded into the same spec dict.
+    """
+    bc = params.bc_values or {}
+    has_typed = any(isinstance(v, dict) and v.get("type") for v in bc.values())
+    if not has_typed and (params.bc_type or "dirichlet") not in (
+            "robin", "neumann", "mixed"):
+        return None
+    spec: Dict[str, Any] = {}
+    for k, v in bc.items():
+        face = _TFACE_TO_FACE.get(k, str(k).lower())
+        if isinstance(v, dict) and v.get("type"):
+            spec[face] = v
+        elif isinstance(v, (int, float)):
+            spec[face] = {"type": "dirichlet", "value": float(v)}
+    return spec or None
+
+
 def _bc_get(bc: Dict[str, Any], *keys, default=None):
     """Case/format-tolerant BC lookup preserving explicit 0.0 values
     (dispatcher_agent.py:356-386)."""
@@ -203,21 +236,36 @@ class DispatcherAgent:
     def route(self, params: PDEParameters) -> Tuple[str, Dict[str, Any]]:
         if params.pde_type == "heat":
             geometry = normalize_geometry(params)
+            # Robin/Neumann/insulated faces route to the *_mixed extension
+            # tools on Cartesian domains (the reference's tools are
+            # Dirichlet-only); curvilinear geometries keep their radial
+            # tools — a convective outer surface there stays a future step.
+            mixed = (_mixed_bc_spec(params)
+                     if geometry not in ("cylinder", "sphere") else None)
             if params.dim == 1:
                 if geometry == "cylinder":
                     return "solve_heat_1D_cylindrical", self._radial_args(params, "cylinder")
                 if geometry == "sphere":
                     return "solve_heat_1D_spherical", self._radial_args(params, "sphere")
+                if mixed:
+                    return ("solve_heat_1D_mixed",
+                            self._heat_mixed_args(params, 1, mixed))
                 return "solve_heat_1D", self._heat_1d_args(params)
             if params.dim == 2:
                 if geometry == "cylinder":
                     return "solve_heat_2D_cylindrical", self._heat_2d_cyl_args(params)
                 if geometry == "sphere":
                     return "solve_heat_2D_spherical", self._heat_2d_sph_args(params)
+                if mixed:
+                    return ("solve_heat_2D_mixed",
+                            self._heat_mixed_args(params, 2, mixed))
                 return "solve_heat_2D", self._heat_2d_args(params)
             if params.dim == 3:
                 if geometry == "sphere":
                     return "solve_heat_3D_spherical", self._heat_3d_sph_args(params)
+                if mixed:
+                    return ("solve_heat_3D_mixed",
+                            self._heat_mixed_args(params, 3, mixed))
                 return "solve_heat_3D", self._heat_3d_args(params, geometry)
             raise ValueError(f"Unsupported dimension: {params.dim}")
         if params.pde_type == "elasticity":
@@ -393,6 +441,30 @@ class DispatcherAgent:
                 args["core_diffusivity"] = float(params.core_diffusivity)
         else:
             args["geometry_type"] = "box"
+        return args
+
+    def _heat_mixed_args(self, params: PDEParameters, dim: int,
+                         spec: Dict[str, Any]) -> Dict[str, Any]:
+        """Args for the solve_heat_*_mixed extension tools: the matching
+        Cartesian builder's sizes/stepping with the Dirichlet-specific keys
+        replaced by the per-face boundary_conditions spec."""
+        if dim == 1:
+            args = self._heat_1d_args(params)
+            args.pop("T_left", None)
+            args.pop("T_right", None)
+        elif dim == 2:
+            args = self._heat_2d_args(params)
+            args.pop("T_boundary", None)
+        else:
+            args = self._heat_3d_args(params, "box")
+            for k in ("T_boundary", "T_left", "T_right", "T_side",
+                      "geometry_type", "cylinder_radius"):
+                args.pop(k, None)
+            # composite cores are a solve_heat_3D feature; keep mixed tools
+            # box-homogeneous (route() only sends geometry == "box" here)
+            args.pop("core_radius", None)
+            args.pop("core_diffusivity", None)
+        args["boundary_conditions"] = spec
         return args
 
     def _radial_args(self, params: PDEParameters, kind: str) -> Dict[str, Any]:

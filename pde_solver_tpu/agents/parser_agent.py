@@ -426,6 +426,92 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                     else ("T_boundary",)):
             bc.setdefault(key, float(m.group(2)))
 
+    # --- convective (Robin) / flux (Neumann) / insulated faces ---
+    # Extension beyond the reference (Dirichlet-only heat BCs,
+    # fenics_mcp_server.py:294-297): typed per-face specs ride bc_values and
+    # route to the solve_heat_*_mixed tools.
+    face_noun = r"(?:\s+(?:end|edge|face|faces|side|surface|wall|boundary))?"
+    face_pat = (r"\b(left|right|top|bottom|front|back|sides|side|walls|wall|"
+                r"lateral|ends|all\s+(?:other\s+)?faces|other\s+faces|"
+                r"all\s+surfaces)" + face_noun)
+
+    def _faces_of(word: str):
+        w = re.sub(r"\s+", " ", word.strip())
+        if w in ("side", "sides", "wall", "walls", "lateral"):
+            return ["sides"]
+        if "other" in w:
+            return ["sides"]
+        if w.startswith("all"):
+            return ["all"]
+        if w == "ends":
+            return ["left", "right"]
+        return [w]
+
+    def _face_near(i: int, j: int, prefer_after: bool = False):
+        """Nearest face mention around cue span [i, j)."""
+        before = [m for m in re.finditer(face_pat, t[max(0, i - 70):i])]
+        after = re.search(face_pat, t[j:j + 70])
+        if prefer_after and after:
+            return _faces_of(after.group(1))
+        if before:
+            return _faces_of(before[-1].group(1))
+        if after:
+            return _faces_of(after.group(1))
+        return None
+
+    conv_cue = (r"convect(?:s|ion|ive|ing)?|cool(?:ed|ing|s)?\s+by\s+"
+                r"(?:convection|(?:the\s+)?air)|exposed\s+to\s+(?:\w+\s+)?"
+                r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to")
+    for cm in re.finditer(conv_cue, t):
+        faces = _face_near(cm.start(), cm.end()) or ["all"]
+        win = t[max(0, cm.start() - 90):cm.end() + 170]
+        hm = (re.search(r"(?:heat[-\s]?transfer|convection|convective|film)\s+"
+                        r"coefficient\s*(?:of|=|:|is)?\s*" + _NUM, win)
+              or re.search(r"\bh\s*(?:=|:)\s*" + _NUM, win))
+        am = (re.search(r"(?:ambient|air|fluid|surroundings?|environment|"
+                        r"coolant)(?:\s+temperature)?\s*"
+                        r"(?:of|at|=|:|is)?\s*" + _NUM, win)
+              or re.search(r"to\s*" + _NUM + r"\s*°?\s*c?\s*"
+                           r"(?:air|ambient|surroundings)", win))
+        h_val = float(hm.group(1)) if hm else 10.0
+        t_inf = float(am.group(1)) if am else 20.0
+        if not hm:
+            out.setdefault("notes", []).append(
+                "convection requested without a heat-transfer coefficient - "
+                "using h=10 W/m^2K")
+        if not am:
+            out.setdefault("notes", []).append(
+                "convection requested without an ambient temperature - "
+                "using 20 degC")
+        for f in faces:
+            bc.setdefault(f, {"type": "robin", "h": h_val,
+                              "T_ambient": t_inf})
+    for fm in re.finditer(r"heat\s+flux\s*(?:of|=|:)?\s*" + _NUM, t):
+        faces = _face_near(fm.start(), fm.end(), prefer_after=True) or ["left"]
+        q = float(fm.group(1))
+        win = t[max(0, fm.start() - 60):fm.end() + 90]
+        if re.search(r"\bout(?:ward)?\b|removed|extracted|leav(?:es|ing)|"
+                     r"drawn", win):
+            q = -abs(q)
+        for f in faces:
+            bc.setdefault(f, {"type": "neumann", "flux": q})
+    for im in re.finditer(r"\binsulated\b|\badiabatic\b", t):
+        # conjunction-aware: "top and bottom insulated", "front, back and
+        # left faces are adiabatic" — collect EVERY face in the adjacent
+        # window (the nearest-single-face heuristic drops listed faces)
+        before = [m for m in re.finditer(face_pat,
+                                         t[max(0, im.start() - 70):im.start()])]
+        faces = []
+        for m in (before or re.finditer(face_pat,
+                                        t[im.end():im.end() + 70])):
+            for f in _faces_of(m.group(1)):
+                if f not in faces:
+                    faces.append(f)
+        for f in faces:
+            bc.setdefault(f, {"type": "insulated"})
+    if any(isinstance(v, dict) for v in bc.values()):
+        out["bc_type"] = "mixed"
+
     m = re.search(r"initial(?:\s+temperature| temp| condition)?" + temp.replace("fixed at", "fixed at|initially"), t)
     if m:
         out["initial_value"] = float(m.group(1))

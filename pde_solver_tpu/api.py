@@ -245,6 +245,163 @@ def solve_heat_3D(
 
 
 # ======================================================================
+# Heat — mixed boundary conditions (extension tools)
+# ======================================================================
+# Beyond the reference surface (its heat solvers are Dirichlet-only,
+# fenics_mcp_server.py:294-297): per-face Dirichlet / Robin-convective /
+# Neumann-flux / insulated conditions.  The 13 reference tool signatures are
+# a frozen contract (tests/test_api.py), so these live as *_mixed extensions.
+
+def _mixed_heat_problem(mesh, dim, diffusivity, boundary_conditions,
+                        source_type, source_value, steady, T_initial,
+                        initial_type, initial_amplitude, initial_wavenumber,
+                        dt, num_steps):
+    dirichlet, robin, flux = heat.parse_face_bcs(boundary_conditions, dim)
+
+    def bc_builder(m):
+        return [(m.face_mask(axis, side), val)
+                for axis, side, val in dirichlet]
+
+    return heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, bc_builder=bc_builder,
+        robin_faces=robin, flux_faces=flux,
+        source_type=source_type, source_value=source_value, steady=steady,
+        T_initial=T_initial, initial_type=initial_type,
+        initial_amplitude=initial_amplitude,
+        initial_wavenumber=initial_wavenumber, dt=dt, num_steps=num_steps)
+
+
+def _mixed_bc_meta(boundary_conditions):
+    out = {}
+    for face, spec in (boundary_conditions or {}).items():
+        out[str(face)] = spec if isinstance(spec, dict) else float(spec)
+    return out
+
+
+def solve_heat_1D_mixed(
+    length: float = 2.0,
+    nx: int = 50,
+    diffusivity: float = 1.0,
+    boundary_conditions: Optional[dict] = None,
+    T_initial: float = 0.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: float = 1.0,
+) -> SolveResult:
+    """1D heat with per-face mixed BCs (extension tool).
+
+    ``boundary_conditions``: {"left"/"right": spec} where spec is a number
+    (Dirichlet), {"type": "robin", "h": .., "T_ambient": ..} (convective
+    -k du/dn = h (u - T_ambient)), {"type": "neumann", "flux": ..} (inward
+    flux), or {"type": "insulated"}.  Unnamed faces are insulated.
+    """
+    mesh = interval_mesh(nx, 0.0, length)
+    p = _mixed_heat_problem(mesh, 1, diffusivity, boundary_conditions,
+                            source_type, source_value, steady, T_initial,
+                            initial_type, initial_amplitude,
+                            initial_wavenumber, dt, num_steps)
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "length": length,
+        "boundary_conditions": _mixed_bc_meta(boundary_conditions),
+        "source_type": source_type, "source_value": source_value,
+        "steady": steady,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, "heat_1d_mixed")
+
+
+def solve_heat_2D_mixed(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 30,
+    ny: int = 30,
+    diffusivity: float = 1.0,
+    boundary_conditions: Optional[dict] = None,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: float = 1.0,
+) -> SolveResult:
+    """2D heat on [0,Lx]×[0,Ly] with per-face mixed BCs (extension tool).
+
+    Faces: left/right (x), bottom/top (y); see :func:`solve_heat_1D_mixed`
+    for the spec format.
+    """
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    p = _mixed_heat_problem(mesh, 2, diffusivity, boundary_conditions,
+                            source_type, source_value, steady, T_initial,
+                            initial_type, initial_amplitude,
+                            initial_wavenumber, dt, num_steps)
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "Lx": Lx, "Ly": Ly,
+        "boundary_conditions": _mixed_bc_meta(boundary_conditions),
+        "source_type": source_type, "source_value": source_value,
+        "steady": steady,
+    }
+    field = _pack(mesh, embed_plane, times, values, 2, meta, stats)
+    return _result(field, data_dir, "heat_2d_mixed")
+
+
+def solve_heat_3D_mixed(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    Lz: float = 1.0,
+    nx: int = 10,
+    ny: int = 10,
+    nz: int = 10,
+    diffusivity: float = 1.0,
+    boundary_conditions: Optional[dict] = None,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 20,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    initial_type: str = "constant",
+    initial_amplitude: float = 1.0,
+    initial_wavenumber: float = 1.0,
+) -> SolveResult:
+    """3D heat on a box with per-face mixed BCs (extension tool).
+
+    Faces: left/right (x), front/back (y), bottom/top (z), plus the groups
+    "sides" (all non-x faces) and "all"; see :func:`solve_heat_1D_mixed`.
+    """
+    mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+    p = _mixed_heat_problem(mesh, 3, diffusivity, boundary_conditions,
+                            source_type, source_value, steady, T_initial,
+                            initial_type, initial_amplitude,
+                            initial_wavenumber, dt, num_steps)
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "Lx": Lx, "Ly": Ly, "Lz": Lz,
+        "geometry_type": "box",
+        "boundary_conditions": _mixed_bc_meta(boundary_conditions),
+        "source_type": source_type, "source_value": source_value,
+        "steady": steady,
+    }
+    field = _pack(mesh, embed_identity3, times, values, 3, meta, stats)
+    return _result(field, data_dir, "heat_3d_mixed")
+
+
+# ======================================================================
 # Heat — curvilinear
 # ======================================================================
 

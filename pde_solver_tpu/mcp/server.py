@@ -167,6 +167,9 @@ def default_tools() -> Dict[str, Callable]:
         # has no solver for it)
         "solve_elasticity_3D_dynamic",
         "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
+        # per-face Dirichlet/Robin/Neumann/insulated heat BCs — the
+        # reference is Dirichlet-only (fenics_mcp_server.py:294-297)
+        "solve_heat_1D_mixed", "solve_heat_2D_mixed", "solve_heat_3D_mixed",
     ]
     return {n: getattr(api, n) for n in names}
 

@@ -249,6 +249,82 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
 
 
 # ----------------------------------------------------------------------
+# Per-face mixed boundary conditions (extension beyond the reference's
+# Dirichlet-only heat tools)
+# ----------------------------------------------------------------------
+
+# face name → (axis, side) per dimension; x is the "length" axis, matching
+# the reference's directional T_left/T_right convention
+# (fenics_mcp_server.py:580-623)
+_FACE_NAMES = {
+    1: {"left": (0, 0), "right": (0, 1)},
+    2: {"left": (0, 0), "right": (0, 1), "bottom": (1, 0), "top": (1, 1)},
+    3: {"left": (0, 0), "right": (0, 1), "front": (1, 0), "back": (1, 1),
+        "bottom": (2, 0), "top": (2, 1)},
+}
+_FACE_ALIASES = {"x_min": "left", "x_max": "right", "y_min": "bottom",
+                 "y_max": "top", "z_min": "bottom", "z_max": "top",
+                 "start": "left", "end": "right"}
+
+
+def _face_keys(dim: int, name: str):
+    """Resolve a face name (or group: all/sides) to [(axis, side), ...]."""
+    name = str(name).strip().lower()
+    table = _FACE_NAMES[dim]
+    if name in ("all", "boundary", "everywhere"):
+        return list(table.values())
+    if name in ("sides", "side", "lateral", "walls"):
+        # every face except the two x faces (the reference's "side" notion)
+        return [v for k, v in table.items() if k not in ("left", "right")]
+    alias = _FACE_ALIASES.get(name, name)
+    if dim == 2 and alias in ("front", "back"):  # tolerate 3D words in 2D
+        alias = {"front": "bottom", "back": "top"}[alias]
+    if dim == 3 and name == "y_min":
+        alias = "front"
+    if dim == 3 and name == "y_max":
+        alias = "back"
+    if alias not in table:
+        raise ValueError(f"unknown face {name!r} for dim={dim}; "
+                         f"expected one of {sorted(table)}")
+    return [table[alias]]
+
+
+def parse_face_bcs(boundary_conditions, dim: int):
+    """Parse a per-face BC spec dict into solver inputs.
+
+    Spec: ``{face: {"type": "dirichlet"|"robin"|"neumann"|"insulated", ...}}``
+    where robin carries ``h`` + ``T_ambient`` (aliases ``t_inf``/``ambient``),
+    neumann carries ``flux`` (inward W/m²; ``insulated`` ≡ flux 0), and a bare
+    number is shorthand for a Dirichlet value.  Unnamed faces default to the
+    natural (insulated) condition.  Returns
+    ``(dirichlet_list, robin_faces, flux_faces)`` with dirichlet entries as
+    ``(axis, side, value)``.
+    """
+    dirichlet, robin, flux = [], [], []
+    for face, spec in (boundary_conditions or {}).items():
+        keys = _face_keys(dim, face)
+        if isinstance(spec, (int, float)):
+            spec = {"type": "dirichlet", "value": float(spec)}
+        kind = str(spec.get("type", "dirichlet")).strip().lower()
+        for axis, side in keys:
+            if kind in ("dirichlet", "fixed", "temperature"):
+                dirichlet.append((axis, side, float(spec.get("value", 0.0))))
+            elif kind in ("robin", "convection", "convective"):
+                t_inf = spec.get("T_ambient", spec.get("t_ambient",
+                         spec.get("t_inf", spec.get("ambient", 0.0))))
+                robin.append((axis, side, float(spec.get("h", 1.0)),
+                              float(t_inf)))
+            elif kind in ("neumann", "flux", "heat_flux"):
+                flux.append((axis, side,
+                             float(spec.get("flux", spec.get("value", 0.0)))))
+            elif kind in ("insulated", "adiabatic", "natural"):
+                pass  # natural BC: no term
+            else:
+                raise ValueError(f"unknown BC type {kind!r} for face {face!r}")
+    return dirichlet, robin, flux
+
+
+# ----------------------------------------------------------------------
 # Coordinate weights (param-space weak-form factors) and 3D embeddings
 # ----------------------------------------------------------------------
 

@@ -856,3 +856,90 @@ def test_rule_parse_wave_speed_overrides_vibration_elasticity():
     r = rule_based_parse("a vibrating steel beam 1 m x 0.1 m x 0.1 m, "
                          "density 7800, E 200 GPa")
     assert r["pde_type"] == "elasticity"
+
+
+# ----------------------------------------------------------------------
+# Mixed (Robin/Neumann/insulated) BC extraction + routing — extension
+# beyond the reference's Dirichlet-only heat tools
+# ----------------------------------------------------------------------
+
+def test_rule_parse_convection_right_face():
+    r = rule_based_parse(
+        "1D heat in a 2 m rod, left end held at 100°C, the right end is "
+        "cooled by convection to 25°C air with heat transfer coefficient 15")
+    assert r["bc_type"] == "mixed"
+    assert r["bc_values"]["T_left"] == 100.0
+    spec = r["bc_values"]["right"]
+    assert spec == {"type": "robin", "h": 15.0, "T_ambient": 25.0}
+
+
+def test_rule_parse_convection_defaults_noted():
+    r = rule_based_parse("a 1 m rod at 80°C initially, the right face "
+                         "convects to the surroundings")
+    spec = r["bc_values"]["right"]
+    assert spec["type"] == "robin" and spec["h"] == 10.0
+    assert any("heat-transfer coefficient" in n for n in r["notes"])
+
+
+def test_rule_parse_insulated_sides_and_flux():
+    r = rule_based_parse(
+        "3D heat in a 1m x 0.2m x 0.2m bar, heat flux of 500 W/m2 into the "
+        "left face, right face at 20°C, all other faces insulated")
+    assert r["bc_values"]["left"] == {"type": "neumann", "flux": 500.0}
+    assert r["bc_values"]["sides"] == {"type": "insulated"}
+    assert r["bc_values"]["T_right"] == 20.0
+
+
+def test_rule_parse_flux_removed_is_negative():
+    r = rule_based_parse(
+        "2D plate with a heat flux of 200 W/m2 removed from the top edge")
+    assert r["bc_values"]["top"]["flux"] == -200.0
+
+
+def test_mixed_routing_and_args():
+    d = DispatcherAgent()
+    p = PDEParameters(
+        pde_type="heat", dim=1, bc_type="mixed",
+        domain_size={"length": 2.0},
+        bc_values={"T_left": 100.0,
+                   "right": {"type": "robin", "h": 15.0, "T_ambient": 25.0}},
+        steady=True)
+    name, args = d.route(p)
+    assert name == "solve_heat_1D_mixed"
+    assert args["boundary_conditions"]["left"] == {
+        "type": "dirichlet", "value": 100.0}
+    assert args["boundary_conditions"]["right"]["h"] == 15.0
+    assert "T_left" not in args and "T_right" not in args
+
+    # pure-Dirichlet queries keep the reference route
+    p2 = PDEParameters(pde_type="heat", dim=1,
+                       bc_values={"T_left": 20.0, "T_right": 0.0})
+    assert d.route(p2)[0] == "solve_heat_1D"
+
+    # 3D mixed: boundary spec replaces directional keys
+    p3 = PDEParameters(
+        pde_type="heat", dim=3, bc_type="mixed",
+        bc_values={"left": {"type": "neumann", "flux": 500.0},
+                   "T_right": 20.0,
+                   "sides": {"type": "insulated"}},
+        steady=True)
+    name3, args3 = d.route(p3)
+    assert name3 == "solve_heat_3D_mixed"
+    assert args3["boundary_conditions"]["right"] == {
+        "type": "dirichlet", "value": 20.0}
+    assert "T_boundary" not in args3 and "geometry_type" not in args3
+
+
+def test_mixed_nl_end_to_end():
+    """NL convection query through parser → dispatcher → solver → artifact."""
+    from pde_solver_tpu.agents.dispatcher_agent import LocalToolSet
+
+    a = PDEParserAgent()
+    d = DispatcherAgent()
+    p = a.parse("steady 1D heat in a 1 m rod with diffusivity 1, left end "
+                "at 100°C, right end cooled by convection to 0°C air with "
+                "heat transfer coefficient 1")
+    name, args = d.route(p)
+    assert name == "solve_heat_1D_mixed"
+    res = run(d.dispatch(p))
+    assert "error" not in res or not res.get("error")

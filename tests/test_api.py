@@ -160,6 +160,41 @@ def test_solve_heat_3d_cylinder_composite(tmp_path):
     assert c[:, 1].min() == pytest.approx(-0.5) and c[:, 1].max() == pytest.approx(0.5)
 
 
+def test_solve_heat_mixed_artifacts(tmp_path):
+    # 1D: Dirichlet left + Robin right, steady → exact linear profile
+    res = api.solve_heat_1D_mixed(
+        length=1.0, nx=32, steady=True, data_dir=str(tmp_path),
+        boundary_conditions={
+            "left": 100.0,
+            "right": {"type": "robin", "h": 5.0, "T_ambient": 25.0}})
+    f = _check_artifact(res, 1, "temperature", tmp_path, expect_nt=1)
+    x = f.coords_array()[:, 0]
+    c = 5.0 * (25.0 - 100.0) / (1.0 + 5.0)  # h(T∞−T0)/(1+hL/κ)
+    assert np.allclose(f.values_array()[0], 100.0 + c * x, rtol=1e-8)
+    assert f.meta["boundary_conditions"]["right"]["type"] == "robin"
+
+    # 2D transient: convective cooling on all faces
+    res = api.solve_heat_2D_mixed(
+        nx=8, ny=8, num_steps=3, T_initial=90.0, data_dir=str(tmp_path),
+        boundary_conditions={"all": {"type": "convection", "h": 4.0,
+                                     "T_ambient": 20.0}})
+    f = _check_artifact(res, 2, "temperature", tmp_path, expect_nt=4)
+    v = f.values_array()
+    assert v[-1].mean() < v[0].mean() and v[-1].min() > 19.0
+
+    # 3D steady: flux in at left, convection out at right, insulated sides
+    res = api.solve_heat_3D_mixed(
+        nx=6, ny=4, nz=4, steady=True, data_dir=str(tmp_path),
+        boundary_conditions={
+            "left": {"type": "neumann", "flux": 30.0},
+            "right": {"type": "robin", "h": 5.0, "T_ambient": 40.0},
+            "sides": {"type": "insulated"}})
+    f = _check_artifact(res, 3, "temperature", tmp_path, expect_nt=1)
+    x = f.coords_array()[:, 0]
+    uL = 40.0 + 30.0 / 5.0
+    assert np.allclose(f.values_array()[0], uL + 30.0 * (1.0 - x), rtol=1e-6)
+
+
 def test_solve_heat_curvilinear_tools(tmp_path):
     r1 = api.solve_heat_1D_cylindrical(nr=32, steady=True, data_dir=str(tmp_path))
     f1 = load_field(r1.data_file)
