@@ -51,7 +51,7 @@ class LocalToolSet(ToolSet):
             "solve_elasticity_3D_dynamic",
             "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
             "solve_heat_1D_mixed", "solve_heat_2D_mixed",
-            "solve_heat_3D_mixed",
+            "solve_heat_3D_mixed", "solve_heat_radial_mixed",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -183,7 +183,8 @@ def _common_heat_args(params: PDEParameters) -> Dict[str, Any]:
 # legacy directional Dirichlet keys → mixed-tool face names
 _TFACE_TO_FACE = {"T_left": "left", "T_right": "right", "T_side": "sides",
                   "T_top": "top", "T_bottom": "bottom", "T_front": "front",
-                  "T_back": "back", "T_boundary": "all"}
+                  "T_back": "back", "T_boundary": "all",
+                  "T_inner": "inner", "T_outer": "outer"}
 
 
 def _mixed_bc_spec(params: PDEParameters) -> Optional[Dict[str, Any]]:
@@ -201,13 +202,37 @@ def _mixed_bc_spec(params: PDEParameters) -> Optional[Dict[str, Any]]:
     if not has_typed and (params.bc_type or "dirichlet") not in (
             "robin", "neumann", "mixed"):
         return None
+    radial = (params.dim == 1
+              and normalize_geometry(params) in ("cylinder", "sphere"))
+    all_faces = (["outer", "inner"] if radial else
+                 {1: ["left", "right"],
+                  2: ["left", "right", "bottom", "top"],
+                  3: ["left", "right", "front", "back", "bottom", "top"],
+                  }.get(params.dim, ["left", "right"]))
+
+    def expand(name: str):
+        """Group names → concrete faces, so precedence works per PHYSICAL
+        face (a quench rule's T_outer and a convective 'all' spec must
+        collide, not coexist under different keys)."""
+        if name in ("all", "boundary", "everywhere", "surface"):
+            return list(all_faces)
+        if name in ("sides", "side", "lateral", "walls"):
+            return (["outer"] if radial else
+                    [f for f in all_faces if f not in ("left", "right")])
+        return [name]
+
     spec: Dict[str, Any] = {}
+    # two passes: typed specs take precedence over legacy Dirichlet keys
+    # covering the same face (e.g. a quench rule's T_outer vs the convective
+    # outer-surface spec from "with h = 500")
     for k, v in bc.items():
-        face = _TFACE_TO_FACE.get(k, str(k).lower())
+        if isinstance(v, (int, float)):
+            for face in expand(_TFACE_TO_FACE.get(k, str(k).lower())):
+                spec[face] = {"type": "dirichlet", "value": float(v)}
+    for k, v in bc.items():
         if isinstance(v, dict) and v.get("type"):
-            spec[face] = v
-        elif isinstance(v, (int, float)):
-            spec[face] = {"type": "dirichlet", "value": float(v)}
+            for face in expand(_TFACE_TO_FACE.get(k, str(k).lower())):
+                spec[face] = v
     return spec or None
 
 
@@ -237,12 +262,16 @@ class DispatcherAgent:
         if params.pde_type == "heat":
             geometry = normalize_geometry(params)
             # Robin/Neumann/insulated faces route to the *_mixed extension
-            # tools on Cartesian domains (the reference's tools are
-            # Dirichlet-only); curvilinear geometries keep their radial
-            # tools — a convective outer surface there stays a future step.
-            mixed = (_mixed_bc_spec(params)
-                     if geometry not in ("cylinder", "sphere") else None)
+            # tools (the reference's tools are Dirichlet-only): per-face
+            # Cartesian tools, or the radial tool for 1D shells (convective
+            # quenching).  Pure-Dirichlet queries keep the reference routes.
+            mixed = _mixed_bc_spec(params)
             if params.dim == 1:
+                if geometry in ("cylinder", "sphere"):
+                    if mixed:
+                        return ("solve_heat_radial_mixed",
+                                self._radial_mixed_args(params, geometry,
+                                                        mixed))
                 if geometry == "cylinder":
                     return "solve_heat_1D_cylindrical", self._radial_args(params, "cylinder")
                 if geometry == "sphere":
@@ -263,7 +292,9 @@ class DispatcherAgent:
             if params.dim == 3:
                 if geometry == "sphere":
                     return "solve_heat_3D_spherical", self._heat_3d_sph_args(params)
-                if mixed:
+                if mixed and geometry != "cylinder":
+                    # 3D cylinders keep the reference tool (its r-weighted
+                    # box embedding has no per-face mixed analog yet)
                     return ("solve_heat_3D_mixed",
                             self._heat_mixed_args(params, 3, mixed))
                 return "solve_heat_3D", self._heat_3d_args(params, geometry)
@@ -464,6 +495,25 @@ class DispatcherAgent:
             # box-homogeneous (route() only sends geometry == "box" here)
             args.pop("core_radius", None)
             args.pop("core_diffusivity", None)
+        args["boundary_conditions"] = spec
+        return args
+
+    def _radial_mixed_args(self, params: PDEParameters, kind: str,
+                           spec: Dict[str, Any]) -> Dict[str, Any]:
+        """Args for solve_heat_radial_mixed: the radial builder's geometry/
+        stepping with inner/outer Dirichlet keys folded into the spec."""
+        args = self._radial_args(params, kind)
+        # only explicitly-parsed Dirichlet values enter the spec (the radial
+        # builder's 100/20 defaults must not override typed faces)
+        bc = params.bc_values or {}
+        for key, face in (("T_inner", "inner"), ("T_outer", "outer")):
+            if key in bc and face not in spec:
+                spec[face] = {"type": "dirichlet", "value": float(bc[key])}
+        args.pop("T_inner", None)
+        args.pop("T_outer", None)
+        for k in ("initial_type", "initial_amplitude"):
+            args.pop(k, None)  # radial_mixed keeps the constant-IC contract
+        args["kind"] = kind
         args["boundary_conditions"] = spec
         return args
 

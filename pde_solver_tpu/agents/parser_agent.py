@@ -431,9 +431,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # fenics_mcp_server.py:294-297): typed per-face specs ride bc_values and
     # route to the solve_heat_*_mixed tools.
     face_noun = r"(?:\s+(?:end|edge|face|faces|side|surface|wall|boundary))?"
-    face_pat = (r"\b(left|right|top|bottom|front|back|sides|side|walls|wall|"
-                r"lateral|ends|all\s+(?:other\s+)?faces|other\s+faces|"
-                r"all\s+surfaces)" + face_noun)
+    face_pat = (r"\b(left|right|top|bottom|front|back|inner|outer|sides|side|"
+                r"walls|wall|lateral|ends|all\s+(?:other\s+)?faces|"
+                r"other\s+faces|all\s+surfaces|surface)" + face_noun)
 
     def _faces_of(word: str):
         w = re.sub(r"\s+", " ", word.strip())
@@ -441,7 +441,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             return ["sides"]
         if "other" in w:
             return ["sides"]
-        if w.startswith("all"):
+        if w.startswith("all") or w == "surface":
+            # bare "surface"/"all": every exposed face — the radial tool
+            # resolves this to the outer surface (+ inner when hollow)
             return ["all"]
         if w == "ends":
             return ["left", "right"]
@@ -461,18 +463,25 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
 
     conv_cue = (r"convect(?:s|ion|ive|ing)?|cool(?:ed|ing|s)?\s+by\s+"
                 r"(?:convection|(?:the\s+)?air)|exposed\s+to\s+(?:\w+\s+)?"
-                r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to")
+                r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to|"
+                r"quench(?:ed|ing)?")
     for cm in re.finditer(conv_cue, t):
+        is_quench = cm.group(0).startswith("quench")
         faces = _face_near(cm.start(), cm.end()) or ["all"]
         win = t[max(0, cm.start() - 90):cm.end() + 170]
         hm = (re.search(r"(?:heat[-\s]?transfer|convection|convective|film)\s+"
                         r"coefficient\s*(?:of|=|:|is)?\s*" + _NUM, win)
               or re.search(r"\bh\s*(?:=|:)\s*" + _NUM, win))
+        if is_quench and not hm:
+            # no film coefficient → the quench stays the Dirichlet rule
+            # above (reference-compatible immersion at the bath temperature)
+            continue
         am = (re.search(r"(?:ambient|air|fluid|surroundings?|environment|"
-                        r"coolant)(?:\s+temperature)?\s*"
+                        r"coolant|bath|water|oil)(?:\s+temperature)?\s*"
                         r"(?:of|at|=|:|is)?\s*" + _NUM, win)
               or re.search(r"to\s*" + _NUM + r"\s*°?\s*c?\s*"
-                           r"(?:air|ambient|surroundings)", win))
+                           r"(?:air|ambient|surroundings|water|oil|bath|"
+                           r"coolant)", win))
         h_val = float(hm.group(1)) if hm else 10.0
         t_inf = float(am.group(1)) if am else 20.0
         if not hm:

@@ -401,6 +401,94 @@ def solve_heat_3D_mixed(
     return _result(field, data_dir, "heat_3d_mixed")
 
 
+def solve_heat_radial_mixed(
+    kind: str = "cylinder",
+    r_inner: float = 0.0,
+    r_outer: float = 1.0,
+    nr: int = 50,
+    diffusivity: float = 1.0,
+    boundary_conditions: Optional[dict] = None,
+    T_initial: float = 20.0,
+    dt: float = 0.01,
+    num_steps: int = 50,
+    data_dir: str = "data",
+    steady: bool = False,
+    source_type: str = "none",
+    source_value: float = 0.0,
+) -> SolveResult:
+    """Radial cylindrical/spherical heat with mixed inner/outer BCs
+    (extension tool — convective quenching is the canonical use).
+
+    ``boundary_conditions``: {"inner"/"outer": spec} with the same spec
+    format as :func:`solve_heat_1D_mixed` ("all"/"surface" apply to the
+    outer face, plus the inner face of a hollow shell).  The Robin surface
+    term carries the coordinate weight (r or r²), so the convective flux
+    balance holds on the physical curved surface.  An unconstrained face is
+    insulated; the r=0 axis of a solid body needs no condition (weight → 0).
+    """
+    if kind not in ("cylinder", "sphere"):
+        raise ValueError(f"kind must be 'cylinder' or 'sphere', got {kind!r}")
+    wfn = heat.weight_r if kind == "cylinder" else heat.weight_r2
+    mesh = interval_mesh(nr, r_inner, r_outer)
+    hollow = r_inner > 1e-10
+
+    dirichlet, robin, flux = [], [], []
+    for face, spec in (boundary_conditions or {}).items():
+        f = str(face).strip().lower()
+        if f in ("all", "boundary", "surface", "outer surface", "everywhere"):
+            sides = [1] + ([0] if hollow else [])
+        elif f in ("outer", "outside", "right"):
+            sides = [1]
+        elif f in ("inner", "inside", "left"):
+            if not hollow:
+                continue  # solid body: r=0 is an axis, not a surface
+            sides = [0]
+        else:
+            raise ValueError(f"unknown radial face {face!r}; "
+                             "expected inner/outer/all")
+        if isinstance(spec, (int, float)):
+            spec = {"type": "dirichlet", "value": float(spec)}
+        kind_bc = str(spec.get("type", "dirichlet")).strip().lower()
+        for side in sides:
+            if kind_bc in ("dirichlet", "fixed", "temperature"):
+                dirichlet.append((side, float(spec.get("value", 0.0))))
+            elif kind_bc in ("robin", "convection", "convective"):
+                t_inf = spec.get("T_ambient", spec.get("t_ambient",
+                         spec.get("t_inf", spec.get("ambient", 0.0))))
+                robin.append((0, side, float(spec.get("h", 1.0)),
+                              float(t_inf)))
+            elif kind_bc in ("neumann", "flux", "heat_flux"):
+                flux.append((0, side,
+                             float(spec.get("flux", spec.get("value", 0.0)))))
+            elif kind_bc in ("insulated", "adiabatic", "natural"):
+                pass
+            else:
+                raise ValueError(f"unknown BC type {kind_bc!r}")
+
+    def bc_builder(m):
+        return [(m.face_mask(0, side), val) for side, val in dirichlet]
+
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=diffusivity, weight_fn=wfn,
+        weight_quad_degree=3 if kind == "cylinder" else 4,
+        bc_builder=bc_builder, robin_faces=robin, flux_faces=flux,
+        source_type=source_type, source_value=source_value, steady=steady,
+        T_initial=T_initial, curvilinear_ic=True, dt=dt, num_steps=num_steps)
+    times, values, stats = heat.solve_heat_problem(p)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cylindrical" if kind == "cylinder" else "spherical",
+        "geometry_type": (kind if not hollow
+                          else ("annulus" if kind == "cylinder" else "shell")),
+        "r_inner": r_inner, "r_outer": r_outer,
+        "boundary_conditions": _mixed_bc_meta(boundary_conditions),
+        "source_type": source_type, "source_value": source_value,
+        "steady": steady,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, f"heat_radial_{kind}_mixed")
+
+
 # ======================================================================
 # Heat — curvilinear
 # ======================================================================

@@ -170,6 +170,7 @@ def default_tools() -> Dict[str, Callable]:
         # per-face Dirichlet/Robin/Neumann/insulated heat BCs — the
         # reference is Dirichlet-only (fenics_mcp_server.py:294-297)
         "solve_heat_1D_mixed", "solve_heat_2D_mixed", "solve_heat_3D_mixed",
+        "solve_heat_radial_mixed",
     ]
     return {n: getattr(api, n) for n in names}
 

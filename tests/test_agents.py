@@ -925,8 +925,11 @@ def test_mixed_routing_and_args():
         steady=True)
     name3, args3 = d.route(p3)
     assert name3 == "solve_heat_3D_mixed"
-    assert args3["boundary_conditions"]["right"] == {
-        "type": "dirichlet", "value": 20.0}
+    bc3 = args3["boundary_conditions"]
+    assert bc3["right"] == {"type": "dirichlet", "value": 20.0}
+    # the "sides" group expands to the four concrete non-x faces
+    for face in ("front", "back", "bottom", "top"):
+        assert bc3[face] == {"type": "insulated"}
     assert "T_boundary" not in args3 and "geometry_type" not in args3
 
 
@@ -943,3 +946,51 @@ def test_mixed_nl_end_to_end():
     assert name == "solve_heat_1D_mixed"
     res = run(d.dispatch(p))
     assert "error" not in res or not res.get("error")
+
+
+def test_rule_parse_quench_with_h_is_robin():
+    r = rule_based_parse(
+        "temperature history of a steel sphere of diameter 10 cm quenched "
+        "from 800 C to 20 C water with h = 500")
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 500.0,
+                                     "T_ambient": 20.0}
+    assert r["initial_value"] == 800.0
+    # the Dirichlet fallback from the quench rule is still present; the
+    # dispatcher's typed-spec precedence resolves the outer face to Robin
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(
+        {k: v for k, v in r.items()}))
+    assert name == "solve_heat_radial_mixed"
+    assert args["kind"] == "sphere"
+    bc = args["boundary_conditions"]
+    # "all" expands to concrete faces; the typed spec beat the quench
+    # rule's T_outer=20 Dirichlet on the same physical face
+    assert bc["outer"]["type"] == "robin"
+    assert "all" not in bc
+
+
+def test_rule_parse_quench_without_h_stays_dirichlet():
+    r = rule_based_parse(
+        "a sphere of diameter 10 cm quenched from 800 C to 20 C water")
+    assert r["bc_values"].get("T_outer") == 20.0
+    assert not any(isinstance(v, dict) for v in r["bc_values"].values())
+    d = DispatcherAgent()
+    assert d.route(PDEParameters.from_dict(r))[0] == "solve_heat_1D_spherical"
+
+
+def test_radial_mixed_routing_annulus_convective_outer():
+    d = DispatcherAgent()
+    p = PDEParameters(
+        pde_type="heat", dim=1, geometry_type="cylinder",
+        geometry_params={"r_inner": 0.1, "r_outer": 0.5},
+        bc_values={"T_inner": 300.0,
+                   "outer": {"type": "robin", "h": 12.0, "T_ambient": 30.0}},
+        steady=True)
+    name, args = d.route(p)
+    assert name == "solve_heat_radial_mixed"
+    assert args["kind"] == "cylinder"
+    assert args["r_inner"] == 0.1 and args["r_outer"] == 0.5
+    bc = args["boundary_conditions"]
+    assert bc["inner"] == {"type": "dirichlet", "value": 300.0}
+    assert bc["outer"]["h"] == 12.0
+    assert "T_inner" not in args and "T_outer" not in args

@@ -203,3 +203,45 @@ def test_transient_robin_matches_dense_backward_euler():
     # convective cooling must pull the block toward ambient monotonically
     means = values.mean(axis=1)
     assert np.all(np.diff(means) < 0) and means[-1] > t_inf
+
+
+# ----------------------------------------------------------------------
+# Radial (curvilinear) mixed tool
+# ----------------------------------------------------------------------
+
+def test_radial_mixed_sphere_dirichlet_robin_analytic():
+    from pde_solver_tpu import api
+    from pde_solver_tpu.fields import load_field
+    kappa, r1, r2, T0, h, t_inf = 2.0, 0.5, 1.5, 300.0, 8.0, 20.0
+    # u = A + B/r:  A + B/r1 = T0;  kappa B / r2^2 = h (A + B/r2 - t_inf)
+    M = np.array([[1.0, 1.0 / r1],
+                  [h, h / r2 - kappa / r2 ** 2]])
+    A, B = np.linalg.solve(M, np.array([T0, h * t_inf]))
+    res = api.solve_heat_radial_mixed(
+        kind="sphere", r_inner=r1, r_outer=r2, nr=400, diffusivity=kappa,
+        steady=True,
+        boundary_conditions={
+            "inner": T0,
+            "outer": {"type": "robin", "h": h, "T_ambient": t_inf}})
+    f = load_field(res.data_file)
+    r = f.coords_array()[:, 0]
+    np.testing.assert_allclose(f.values_array()[0], A + B / r, rtol=2e-5)
+    assert f.meta["geometry_type"] == "shell"
+
+
+def test_radial_mixed_solid_cylinder_quench_transient():
+    from pde_solver_tpu import api
+    from pde_solver_tpu.fields import load_field
+    res = api.solve_heat_radial_mixed(
+        kind="cylinder", r_inner=0.0, r_outer=1.0, nr=64, diffusivity=1.0,
+        T_initial=400.0, dt=0.02, num_steps=10,
+        boundary_conditions={"all": {"type": "robin", "h": 25.0,
+                                     "T_ambient": 20.0}})
+    f = load_field(res.data_file)
+    v = f.values_array()
+    # convective cooling: monotone decay toward the bath, surface coolest
+    means = v.mean(axis=1)
+    assert np.all(np.diff(means) < 0) and v[-1].min() > 20.0
+    assert v[-1][-1] < v[-1][0]  # outer surface cools first (r ascending)
+    # solid body: the r=0 axis needs no BC and must stay regular/finite
+    assert np.all(np.isfinite(v))
