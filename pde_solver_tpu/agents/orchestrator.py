@@ -351,6 +351,16 @@ class MultiAgentOrchestrator:
                 setattr(merged, attr, val)
         if new.bc_values:
             merged.bc_values.update(new.bc_values)
+        # standalone h/ambient follow-ups ("change the heat transfer
+        # coefficient to 50") apply to every existing robin face spec
+        robin_upd = merged.bc_values.pop("_robin_update", None)
+        if robin_upd:
+            for key, val in list(merged.bc_values.items()):
+                if (isinstance(val, dict) and str(val.get("type", "")).lower()
+                        in ("robin", "convection", "convective")):
+                    patched = dict(val)
+                    patched.update(robin_upd)
+                    merged.bc_values[key] = patched
         if new.material_params:
             merged.material_params.update(new.material_params)
         if new.geometry_params:

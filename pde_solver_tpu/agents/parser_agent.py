@@ -518,7 +518,25 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                     faces.append(f)
         for f in faces:
             bc.setdefault(f, {"type": "insulated"})
-    if any(isinstance(v, dict) for v in bc.values()):
+    # standalone film-coefficient / ambient mentions without a convection
+    # cue ("change the heat transfer coefficient to 50") ride a _robin_update
+    # entry; the follow-up merge applies it to existing robin face specs
+    has_robin = any(isinstance(v, dict) and v.get("type") == "robin"
+                    for v in bc.values())
+    if not has_robin:
+        upd = {}
+        m = re.search(r"(?:heat[-\s]?transfer|convection|convective|film)\s+"
+                      r"coefficient\s*(?:of|to|=|:|is)?\s*" + _NUM, t)
+        if m:
+            upd["h"] = float(m.group(1))
+        m = re.search(r"(?:ambient|surroundings?|bath|coolant)\s*"
+                      r"(?:temperature)?\s*(?:of|to|at|=|:|is)?\s*" + _NUM, t)
+        if m:
+            upd["T_ambient"] = float(m.group(1))
+        if upd:
+            bc["_robin_update"] = upd
+
+    if any(isinstance(v, dict) and v.get("type") for v in bc.values()):
         out["bc_type"] = "mixed"
 
     m = re.search(r"initial(?:\s+temperature| temp| condition)?" + temp.replace("fixed at", "fixed at|initially"), t)

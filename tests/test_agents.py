@@ -994,3 +994,16 @@ def test_radial_mixed_routing_annulus_convective_outer():
     assert bc["inner"] == {"type": "dirichlet", "value": 300.0}
     assert bc["outer"]["h"] == 12.0
     assert "T_inner" not in args and "T_outer" not in args
+
+
+def test_followup_updates_robin_coefficient_and_ambient(orch):
+    run(orch.solve("steady 1D heat in a 1 m rod, left end at 100 C, right "
+                   "end cooled by convection to 25 C air with heat transfer "
+                   "coefficient 15"))
+    r2 = run(orch.solve("change the heat transfer coefficient to 50"))
+    bc = r2["pde_params"]["bc_values"]
+    assert bc["right"]["h"] == 50.0 and bc["right"]["T_ambient"] == 25.0
+    assert "_robin_update" not in bc
+    r3 = run(orch.solve("set the ambient temperature to 40 C"))
+    bc = r3["pde_params"]["bc_values"]
+    assert bc["right"]["h"] == 50.0 and bc["right"]["T_ambient"] == 40.0
