@@ -52,6 +52,8 @@ class LocalToolSet(ToolSet):
             "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
             "solve_heat_1D_mixed", "solve_heat_2D_mixed",
             "solve_heat_3D_mixed", "solve_heat_radial_mixed",
+            "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
+            "solve_elasticity_3D_loaded",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -307,6 +309,10 @@ class DispatcherAgent:
             if params.dim == 3 and "dynamic" in (params.notes or []):
                 return ("solve_elasticity_3D_dynamic",
                         self._elast_3d_dynamic_args(params))
+            loads = self._load_spec(params)
+            if loads and params.dim in (1, 2, 3):
+                return (f"solve_elasticity_{params.dim}D_loaded",
+                        self._elast_loaded_args(params, loads))
             name = f"solve_elasticity_{params.dim}D_static"
             builder = {1: self._elast_1d_args, 2: self._elast_2d_args,
                        3: self._elast_3d_args}.get(params.dim)
@@ -472,6 +478,42 @@ class DispatcherAgent:
                 args["core_diffusivity"] = float(params.core_diffusivity)
         else:
             args["geometry_type"] = "box"
+        return args
+
+    @staticmethod
+    def _load_spec(params: PDEParameters) -> Optional[Dict[str, Any]]:
+        """Per-face surface-load specs (force/traction/pressure/force_axial)
+        from bc_values — routes to the solve_elasticity_*_loaded extension
+        tools; None keeps the reference's body-force-only routing."""
+        bc = params.bc_values or {}
+        out = {k: v for k, v in bc.items()
+               if isinstance(v, dict) and str(v.get("type", "")).lower()
+               in ("force", "traction", "pressure", "force_axial")}
+        return out or None
+
+    def _elast_loaded_args(self, params: PDEParameters,
+                           loads: Dict[str, Any]) -> Dict[str, Any]:
+        if params.dim == 1:
+            args = self._elast_1d_args(params)
+            end = 0.0
+            for spec in loads.values():
+                kind = str(spec.get("type", "")).lower()
+                if kind == "force_axial":
+                    end += float(spec.get("value", 0.0))
+                elif kind == "force":
+                    vec = list(spec.get("vector", [0.0]))
+                    end += float(vec[0]) if vec else 0.0
+            args["end_load"] = end
+            return args
+        builder = {2: self._elast_2d_args, 3: self._elast_3d_args}[params.dim]
+        args = builder(params)
+        d = params.dim
+        args["loads"] = {
+            face: ({"type": "force",
+                    "vector": [float(spec.get("value", 0.0))] + [0.0] * (d - 1)}
+                   if str(spec.get("type", "")).lower() == "force_axial"
+                   else spec)
+            for face, spec in loads.items()}
         return args
 
     def _heat_mixed_args(self, params: PDEParameters, dim: int,

@@ -178,7 +178,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # gravity".  Any temperature/heat word keeps the heat routing.
     if out["pde_type"] == "heat" \
             and re.search(r"\bgravity\b|\bloaded?\b|self[- ]weight"
-                          r"|own\s+weight", t) \
+                          r"|own\s+weight|\btensile\b|\btraction\b"
+                          r"|\bpressure\b|(?:force|load)\s+of\s+\d", t) \
             and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
                               r"|°|degrees|\bcool|\bhot\b|insulat", t):
         out["pde_type"] = "elasticity"
@@ -643,6 +644,66 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             material["plane_stress"] = False
         elif re.search(r"plane\s+stress", t):
             material["plane_stress"] = True
+
+        # --- surface loads (end load / traction / pressure) — extension:
+        # the reference's elasticity accepts body forces only ---
+        def _force_scale(u):
+            return {"kn": 1e3, "mn": 1e6}.get((u or "").strip(), 1.0)
+
+        def _press_scale(u):
+            return {"kpa": 1e3, "mpa": 1e6, "gpa": 1e9}.get(
+                (u or "").strip(), 1.0)
+
+        m = re.search(r"(?:point\s+|tip\s+|end\s+|applied\s+)?"
+                      r"(?:load|force)\s*(?:of|=|:)?\s*" + _NUM
+                      + r"\s*(kn|mn|n)?\b", t)
+        if m and not re.search(r"body\s+forces?", t[:m.start()][-25:]):
+            F = float(m.group(1)) * _force_scale(m.group(2))
+            win = t[max(0, m.start() - 80):m.end() + 100]
+            tip = re.search(r"(?:free\s+end|tip|end|right)", win)
+            axial = re.search(r"\baxial|tension|tensile|pull|stretch"
+                              r"|horizontal", win)
+            compress = re.search(r"compress", win)
+            down = re.search(r"downward|vertical|down\b|transverse"
+                             r"|bending", win)
+            dim_now = out.get("dim", 1)
+            if dim_now == 1 or (axial or compress) and not down:
+                sign = -1.0 if compress else 1.0
+                if dim_now == 1:
+                    bc.setdefault("right", {"type": "force_axial",
+                                            "value": sign * F})
+                else:
+                    vec = [sign * F] + [0.0] * (dim_now - 1)
+                    bc.setdefault("right", {"type": "force", "vector": vec})
+            elif tip or down:
+                # tip/transverse load on a cantilever: bending, gravity-like
+                # orientation (−y in 2D, −z in 3D)
+                vec = [0.0] * dim_now
+                vec[-1] = -abs(F)
+                bc.setdefault("right", {"type": "force", "vector": vec})
+        m = re.search(r"pressure\s*(?:of|=|:)?\s*" + _NUM
+                      + r"\s*(gpa|mpa|kpa|pa)?\b", t)
+        if m:
+            p_val = float(m.group(1)) * _press_scale(m.group(2))
+            faces = _face_near(m.start(), m.end(), prefer_after=True) \
+                or ["top"]
+            for f in faces:
+                bc.setdefault(f, {"type": "pressure", "value": p_val})
+        m = re.search(r"traction\s*(?:of|=|:)?\s*" + _NUM
+                      + r"\s*(gpa|mpa|kpa|pa)?\b", t)
+        if m:
+            t_val = float(m.group(1)) * _press_scale(m.group(2))
+            win = t[max(0, m.start() - 60):m.end() + 100]
+            faces = _face_near(m.start(), m.end(), prefer_after=True) \
+                or ["right"]
+            dim_now = out.get("dim", 1)
+            vec = [0.0] * max(dim_now, 1)
+            if re.search(r"downward|vertical|shear", win) and dim_now > 1:
+                vec[-1] = -t_val
+            else:
+                vec[0] = t_val
+            for f in faces:
+                bc.setdefault(f, {"type": "traction", "vector": vec})
 
     # --- composite core ---
     m = re.search(r"core\s+(?:of\s+)?radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)

@@ -827,6 +827,152 @@ def solve_elasticity_3D_static(
     return _result(field, data_dir, f"elasticity_3d_{quantity}")
 
 
+# ----------------------------------------------------------------------
+# Elasticity with surface loads (extension tools)
+# ----------------------------------------------------------------------
+# Beyond the reference surface: its elasticity tools accept body forces
+# only (fenics_mcp_server.py:1670-1674, :1820-1824); end loads, surface
+# tractions and pressures are the textbook cantilever/plate queries.
+
+def _resolve_face_loads(loads: Optional[dict], mesh) -> list:
+    """Per-face load specs → (axis, side, traction_vector) list.
+
+    Spec per face (faces named as in solve_heat_*_mixed):
+    {"type": "traction", "vector": [..]}  N/m² applied as-is;
+    {"type": "force",    "vector": [..]}  total N, divided by face area;
+    {"type": "pressure", "value": p}      t = −p·n̂ (positive = pushing in).
+    """
+    from pde_solver_tpu.models.heat import _face_keys
+
+    d = mesh.dim
+    out = []
+    for face, spec in (loads or {}).items():
+        for axis, side in _face_keys(d, face):
+            area = 1.0
+            for a in range(d):
+                if a != axis:
+                    area *= mesh.extent[a]
+            kind = str(spec.get("type", "traction")).strip().lower()
+            if kind == "traction":
+                t = np.asarray(spec.get("vector", [0.0] * d), np.float64)
+            elif kind == "force":
+                t = np.asarray(spec.get("vector", [0.0] * d),
+                               np.float64) / area
+            elif kind == "pressure":
+                n = np.zeros(d)
+                n[axis] = 1.0 if side else -1.0
+                t = -float(spec.get("value", 0.0)) * n
+            else:
+                raise ValueError(f"unknown load type {kind!r} for {face!r}")
+            out.append((axis, side, t))
+    return out
+
+
+def solve_elasticity_1D_loaded(
+    L: float = 1.0,
+    nx: int = 50,
+    E: float = 210e9,
+    area: float = 1.0,
+    end_load: float = 0.0,
+    body_force: float = 0.0,
+    quantity: str = "stress",
+    data_dir: str = "data",
+) -> SolveResult:
+    """1D axial bar with an end point-load P at the free end (extension
+    tool): EA u′(L) = P, so σ = P/A and u = P x/(EA) exactly."""
+    x, values, stats = elast.solve_bar_1d(L, nx, E, area, body_force,
+                                          quantity, end_load=end_load)
+    if quantity == "strain":
+        field_name, unit = "axial_strain", "-"
+    else:
+        field_name, unit = "axial_stress", "Pa"
+    coords = np.zeros((len(x), 3))
+    coords[:, 0] = x
+    meta = {
+        "name": field_name, "unit": unit, "pde": "elasticity_1d",
+        "L": L, "E": E, "area": area, "body_force": body_force,
+        "end_load": end_load, "quantity": quantity, "solver_stats": stats,
+    }
+    field = TimeSeriesField(coords=coords, values=values[None, :],
+                            times=np.array([0.0]), dim=1, meta=meta)
+    return _result(field, data_dir, f"elasticity_1d_loaded_{quantity}")
+
+
+def solve_elasticity_2D_loaded(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 30,
+    ny: int = 30,
+    E: float = 210e9,
+    nu: float = 0.3,
+    loads: Optional[dict] = None,
+    body_fx: float = 0.0,
+    body_fy: float = 0.0,
+    quantity: str = "stress",
+    plane_stress: bool = True,
+    data_dir: str = "data",
+) -> SolveResult:
+    """2D static elasticity with per-face surface loads (extension tool);
+    clamped left edge, von Mises output.  See :func:`_resolve_face_loads`
+    for the loads spec."""
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    mode = "plane_stress" if plane_stress else "plane_strain"
+    values, stats = elast.solve_elasticity_nd(
+        mesh, E, nu, np.array([body_fx, body_fy]), mode, quantity,
+        traction_faces=_resolve_face_loads(loads, mesh))
+    if quantity == "strain":
+        field_name, unit = "von_mises_strain", "-"
+    else:
+        field_name, unit = "von_mises_stress", "Pa"
+    meta = {
+        "name": field_name, "unit": unit, "pde": "elasticity_2d",
+        "Lx": Lx, "Ly": Ly, "E": E, "nu": nu,
+        "body_fx": body_fx, "body_fy": body_fy,
+        "loads": _mixed_bc_meta(loads),
+        "quantity": quantity, "plane_stress": plane_stress,
+    }
+    field = _pack(mesh, embed_plane, np.array([0.0]), values[None, :], 2,
+                  meta, stats)
+    return _result(field, data_dir, f"elasticity_2d_loaded_{quantity}")
+
+
+def solve_elasticity_3D_loaded(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    Lz: float = 1.0,
+    nx: int = 10,
+    ny: int = 10,
+    nz: int = 10,
+    E: float = 210e9,
+    nu: float = 0.3,
+    loads: Optional[dict] = None,
+    body_fx: float = 0.0,
+    body_fy: float = 0.0,
+    body_fz: float = 0.0,
+    quantity: str = "stress",
+    data_dir: str = "data",
+) -> SolveResult:
+    """3D static elasticity with per-face surface loads (extension tool);
+    clamped x=0 face, von Mises output."""
+    mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+    values, stats = elast.solve_elasticity_nd(
+        mesh, E, nu, np.array([body_fx, body_fy, body_fz]), "3d", quantity,
+        traction_faces=_resolve_face_loads(loads, mesh))
+    if quantity == "strain":
+        field_name, unit = "von_mises_strain", "-"
+    else:
+        field_name, unit = "von_mises_stress", "Pa"
+    meta = {
+        "name": field_name, "unit": unit, "pde": "elasticity_3d",
+        "Lx": Lx, "Ly": Ly, "Lz": Lz, "E": E, "nu": nu,
+        "body_fx": body_fx, "body_fy": body_fy, "body_fz": body_fz,
+        "loads": _mixed_bc_meta(loads), "quantity": quantity,
+    }
+    field = _pack(mesh, embed_identity3, np.array([0.0]), values[None, :], 3,
+                  meta, stats)
+    return _result(field, data_dir, f"elasticity_3d_loaded_{quantity}")
+
+
 def solve_elasticity_3D_dynamic(
     Lx: float = 1.0,
     Ly: float = 1.0,

@@ -171,6 +171,10 @@ def default_tools() -> Dict[str, Callable]:
         # reference is Dirichlet-only (fenics_mcp_server.py:294-297)
         "solve_heat_1D_mixed", "solve_heat_2D_mixed", "solve_heat_3D_mixed",
         "solve_heat_radial_mixed",
+        # surface loads (end load / traction / pressure) — the reference's
+        # elasticity accepts body forces only (fenics_mcp_server.py:1670-1674)
+        "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
+        "solve_elasticity_3D_loaded",
     ]
     return {n: getattr(api, n) for n in names}
 

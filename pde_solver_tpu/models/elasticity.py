@@ -15,7 +15,7 @@ performs at :1542-1546, :1714, :1862.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -142,13 +142,16 @@ def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: f
 # ----------------------------------------------------------------------
 
 def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
-                 quantity: str = "stress",
+                 quantity: str = "stress", end_load: float = 0.0,
                  config: Optional[SolverConfig] = None
                  ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """1D axial bar: −(EA u′)′ = f, u(0)=0, free at x=L.
 
     Returns (x coords [N], field values [N], stats).  ``quantity`` selects the
     P1-projected axial strain ε=u′ or stress σ=Eε (fenics_mcp_server.py:1541-1546).
+    ``end_load``: axial point force P [N] at the free end (extension beyond
+    the reference's body-force-only loading): EA u′(L) = P enters the weak
+    form as + P v(L), giving the textbook σ = P/A, u = P x/(EA) exactly.
     """
     cfg = config or get_config()
     mesh = interval_mesh(nx, 0.0, L)
@@ -156,6 +159,9 @@ def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
     K = assembly.assemble_scalar_stencil(mesh, "stiffness")
     K = {o: (E * area) * W for o, W in K.items()}
     b = body_force * assembly.assemble_load(mesh, quad_degree=1)
+    if end_load:
+        b = b.copy()
+        b[-1] += float(end_load)
     bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)], mesh.node_shape)
     u, stats = solve_stencil_system(K, mesh, bc, b, config=cfg)
 
@@ -177,11 +183,17 @@ def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
 def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
                         body_force: np.ndarray, mode: str,
                         quantity: str = "stress",
+                        traction_faces: Sequence = (),
                         config: Optional[SolverConfig] = None
                         ) -> Tuple[np.ndarray, Dict]:
     """2D/3D static elasticity with the x=0 face clamped; returns the flat
     von Mises scalar field [N] plus stats.  ``mode``: plane_stress /
-    plane_strain / 3d."""
+    plane_strain / 3d.
+
+    ``traction_faces``: (axis, side, t_vec) surface tractions [N/m² per
+    component], entering the load as the consistent P1 boundary term
+    ∫_Γ t·v ds — beyond the reference, whose elasticity loads are body
+    forces only (fenics_mcp_server.py:1670-1674, :1820-1824)."""
     cfg = config or get_config()
     d = mesh.dim
     lam, mu = lame_parameters(E, nu, mode)
@@ -190,6 +202,10 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
         K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
         b = assembly.assemble_vector_load(mesh,
                                           np.asarray(body_force, dtype=np.float64))
+        for axis, side, tvec in traction_faces:
+            from pde_solver_tpu.ops import surface
+            bsurf = surface.assemble_face_load(mesh, int(axis), int(side))
+            b = b + bsurf[..., None] * np.asarray(tvec, dtype=np.float64)
         bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
                                     mesh.node_shape, vdim=d)
 

@@ -1007,3 +1007,59 @@ def test_followup_updates_robin_coefficient_and_ambient(orch):
     r3 = run(orch.solve("set the ambient temperature to 40 C"))
     bc = r3["pde_params"]["bc_values"]
     assert bc["right"]["h"] == 50.0 and bc["right"]["T_ambient"] == 40.0
+
+
+# ----------------------------------------------------------------------
+# Surface loads (end load / traction / pressure) — elasticity extension
+# ----------------------------------------------------------------------
+
+def test_rule_parse_tip_load_cantilever():
+    r = rule_based_parse(
+        "a 2 m x 0.2 m steel cantilever, E 200 GPa, with a downward tip "
+        "load of 1 kN at the free end")
+    assert r["pde_type"] == "elasticity"
+    spec = r["bc_values"]["right"]
+    assert spec["type"] == "force" and spec["vector"][-1] == -1000.0
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_2D_loaded"
+    assert args["loads"]["right"]["vector"][-1] == -1000.0
+
+
+def test_rule_parse_axial_bar_end_load():
+    r = rule_based_parse(
+        "a 1D steel bar 1.5 m long, cross-sectional area 0.01, with a "
+        "tensile force of 5 kN applied at the free end")
+    assert r["pde_type"] == "elasticity" and r["dim"] == 1
+    assert r["bc_values"]["right"] == {"type": "force_axial", "value": 5000.0}
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_1D_loaded"
+    assert args["end_load"] == 5000.0 and args["area"] == 0.01
+
+
+def test_rule_parse_pressure_on_top():
+    r = rule_based_parse(
+        "plane strain analysis of a 4 m x 1 m concrete slab, E 30 GPa, "
+        "with a pressure of 2 MPa on the top face")
+    spec = r["bc_values"]["top"]
+    assert spec == {"type": "pressure", "value": 2.0e6}
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_2D_loaded"
+    assert args["plane_stress"] is False
+
+
+def test_loaded_nl_end_to_end():
+    a = PDEParserAgent()
+    d = DispatcherAgent()
+    p = a.parse("a steel bar 1 m long, area 0.02, E 200 GPa, with a "
+                "tensile force of 10 kN at the free end")
+    name, args = d.route(p)
+    assert name == "solve_elasticity_1D_loaded"
+    res = run(d.dispatch(p))
+    assert not res.get("error")
+    # sigma = P/A = 10e3/0.02 = 5e5 Pa, constant along the bar
+    from pde_solver_tpu.fields import load_field
+    f = load_field(res["data_file"])
+    np.testing.assert_allclose(f.values_array()[0], 5.0e5, rtol=1e-6)

@@ -32,6 +32,8 @@ def test_initialize_and_tools_list():
         "solve_wave_1D", "solve_wave_2D", "solve_wave_3D",
         "solve_heat_1D_mixed", "solve_heat_2D_mixed", "solve_heat_3D_mixed",
         "solve_heat_radial_mixed",
+        "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
+        "solve_elasticity_3D_loaded",
     }
 
 
@@ -82,7 +84,7 @@ def test_stdio_subprocess_round_trip(tmp_path):
         client = StdioMCPClient([sys.executable, env_script])
         try:
             tools = await client.list_tools()
-            assert len(tools) == 21
+            assert len(tools) == 24
             res = await client.call_tool("solve_heat_1D", {
                 "nx": 8, "num_steps": 2, "data_dir": str(tmp_path)})
             assert os.path.exists(res["data_file"])
