@@ -22,6 +22,8 @@ EXAMPLES = [
     "Steady heat conduction in a cylinder with inner radius 0.1 m and outer radius 1 m, inner surface at 100°C, outer at 20°C",
     "Solve 2D elasticity on a 1m x 1m plate with Young's modulus 210 GPa and gravity",
     "3D elasticity problem on a 1m x 0.2m x 0.2m box with gravity",
+    "A steel sphere of diameter 10 cm quenched from 800°C to 20°C water with h = 500",
+    "Stress in a 2 m x 0.2 m steel cantilever, E 200 GPa, with a downward tip load of 1 kN at the free end",
 ]
 
 

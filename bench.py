@@ -731,13 +731,13 @@ def bench_flagship():
 
     def solve_df2():
         x_hi, x_lo, iters, relres = mg.solve_fcycle_df2(
-            h, ladder, bench_tol, inner_iters=14, max_rounds=12,
+            h, ladder, bench_tol, inner_iters=10, max_rounds=12,
             bnorm=bnorm_host)
         return (x_hi, x_lo), iters, relres
 
     def solve_df():
         x_hi, x_lo, iters, relres = mg.solve_fcycle_df(
-            h, ladder, bench_tol, inner_iters=14, max_rounds=12,
+            h, ladder, bench_tol, inner_iters=10, max_rounds=12,
             bnorm=bnorm_host)
         return (x_hi, x_lo), iters, relres
 

@@ -1405,7 +1405,7 @@ def _jit_ascend_df(h_struct, level_arrays, Whi_m, Wlo_m, scale_m, scale_c,
 
 
 def solve_fcycle_df(h: MGHierarchy, ladder: DFLadder, tol: float,
-                    inner_iters: int = 14, max_rounds: int = 10,
+                    inner_iters: int = 10, max_rounds: int = 10,
                     bnorm: Optional[float] = None):
     """Double-float32 F-cycle rounds; float32-only on device.
 
@@ -1531,10 +1531,17 @@ def _jit_round_df(h_struct, level_arrays, Whi, Wlo, scale32, free32,
 
 
 def solve_fcycle_df2(h: MGHierarchy, ladder: DFLadder, tol: float,
-                     inner_iters: int = 14, max_rounds: int = 12,
+                     inner_iters: int = 10, max_rounds: int = 12,
                      bnorm: Optional[float] = None):
     """Per-round-fused float32 F-cycle: one dispatch + one scalar pull per
     round.  Returns (x_hi, x_lo, iters, relres).
+
+    ``inner_iters`` default from the measured flagship sweep
+    (benchmarks/df2_sweep.py, 2M-DOF cantilever, interleaved A/B): 10 →
+    360 iters / 0.65 s vs 14 → 504 iters / 0.72+ s at the same 5.2e-08
+    residual; lower values (6, 8) converge in fewer iterations still but
+    lose wall-clock to per-round fixed costs (residual pre-check,
+    transfers, coarse solve, host sync).
 
     ``bnorm`` (‖b̂‖, host-computed) lets the caller avoid the entry-point
     device→host pull — with it, nothing synchronizes before the fused

@@ -245,3 +245,26 @@ def test_radial_mixed_solid_cylinder_quench_transient():
     assert v[-1][-1] < v[-1][0]  # outer surface cools first (r ascending)
     # solid body: the r=0 axis needs no BC and must stay regular/finite
     assert np.all(np.isfinite(v))
+
+
+def test_sharded_solve_composes_with_robin():
+    """Robin surface terms ride the same stencil representation, so the
+    domain-decomposed (shard_devices>1) solve must produce the identical
+    closed-form Dirichlet+Robin profile."""
+    import jax
+    import pytest as _pytest
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from pde_solver_tpu.config import config_overrides
+
+    kappa, L, T0, h, t_inf = 1.2, 2.0, 60.0, 4.0, 10.0
+    mesh = rectangle_mesh(13, 6, (0, 0), (L, 1.0))  # 14 x-planes / 8 dev
+    p = HeatProblem(mesh=mesh, diffusivity=kappa, steady=True,
+                    bc_pairs=[(mesh.face_mask(0, 0), T0)],
+                    robin_faces=[(0, 1, h, t_inf)])
+    with config_overrides(shard_devices=8):
+        _, values, info = heat.solve_heat_problem(p)
+    u_exact = _linear_dirichlet_robin(kappa, L, T0, h, t_inf)
+    x = mesh.flat_node_coords()[:, 0]
+    np.testing.assert_allclose(values[0], u_exact(x), rtol=1e-7)
+    assert info["converged"]
