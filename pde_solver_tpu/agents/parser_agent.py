@@ -432,13 +432,16 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # fenics_mcp_server.py:294-297): typed per-face specs ride bc_values and
     # route to the solve_heat_*_mixed tools.
     face_noun = r"(?:\s+(?:end|edge|face|faces|side|surface|wall|boundary))?"
-    face_pat = (r"\b(left|right|top|bottom|front|back|inner|outer|sides|side|"
-                r"walls|wall|lateral|ends|all\s+(?:other\s+)?faces|"
-                r"other\s+faces|all\s+surfaces|surface)" + face_noun)
+    # NOTE: singular "wall" is deliberately NOT a face word — "brick wall"
+    # names the object, not a face ("side wall" still matches via side+noun)
+    face_pat = (r"\b(left|right|top|bottom|front|back|inner|outer|inside|"
+                r"outside|sides|side|walls|lateral|ends|"
+                r"all\s+(?:other\s+)?faces|other\s+faces|all\s+sides|"
+                r"all\s+surfaces|surface)" + face_noun)
 
     def _faces_of(word: str):
         w = re.sub(r"\s+", " ", word.strip())
-        if w in ("side", "sides", "wall", "walls", "lateral"):
+        if w in ("side", "sides", "walls", "lateral"):
             return ["sides"]
         if "other" in w:
             return ["sides"]
@@ -448,6 +451,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             return ["all"]
         if w == "ends":
             return ["left", "right"]
+        if w == "inside":
+            return ["inner"]
+        if w == "outside":
+            return ["outer"]
         return [w]
 
     def _face_near(i: int, j: int, prefer_after: bool = False):
@@ -462,8 +469,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             return _faces_of(after.group(1))
         return None
 
-    conv_cue = (r"convect(?:s|ion|ive|ing)?|cool(?:ed|ing|s)?\s+by\s+"
-                r"(?:convection|(?:the\s+)?air)|exposed\s+to\s+(?:\w+\s+)?"
+    conv_cue = (r"convect(?:s|ion|ive|ing)?|cool(?:ed|ing|s)?\s+(?:by|in)\s+"
+                r"(?:convection|(?:the\s+)?air|water|oil|a\s+bath)"
+                r"|exposed\s+to\s+(?:\w+\s+)?"
                 r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to|"
                 r"quench(?:ed|ing)?")
     for cm in re.finditer(conv_cue, t):
@@ -472,7 +480,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         win = t[max(0, cm.start() - 90):cm.end() + 170]
         hm = (re.search(r"(?:heat[-\s]?transfer|convection|convective|film)\s+"
                         r"coefficient\s*(?:of|=|:|is)?\s*" + _NUM, win)
-              or re.search(r"\bh\s*(?:=|:)\s*" + _NUM, win))
+              or re.search(r"\bh\s*(?:=|:)\s*" + _NUM, win)
+              # bare "h 300 W/m2K" — the trailing unit disambiguates from
+              # the cylinder-height "h 2 m" pattern
+              or re.search(r"\bh\s*(?:of)?\s*" + _NUM
+                           + r"\s*w\s*/?\s*m", win))
         if is_quench and not hm:
             # no film coefficient → the quench stays the Dirichlet rule
             # above (reference-compatible immersion at the bath temperature)
@@ -496,9 +508,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         for f in faces:
             bc.setdefault(f, {"type": "robin", "h": h_val,
                               "T_ambient": t_inf})
-    for fm in re.finditer(r"heat\s+flux\s*(?:of|=|:)?\s*" + _NUM, t):
+    for fm in re.finditer(r"heat\s+flux\s*(?:of|=|:)?\s*" + _NUM
+                          + r"(?:\s*(k|m)?w\s*/?\s*m)?", t):
         faces = _face_near(fm.start(), fm.end(), prefer_after=True) or ["left"]
-        q = float(fm.group(1))
+        q = float(fm.group(1)) * {"k": 1e3, "m": 1e6}.get(fm.group(2) or "",
+                                                         1.0)
         win = t[max(0, fm.start() - 60):fm.end() + 90]
         if re.search(r"\bout(?:ward)?\b|removed|extracted|leav(?:es|ing)|"
                      r"drawn", win):

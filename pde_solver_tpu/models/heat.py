@@ -264,7 +264,13 @@ _FACE_NAMES = {
 }
 _FACE_ALIASES = {"x_min": "left", "x_max": "right", "y_min": "bottom",
                  "y_max": "top", "z_min": "bottom", "z_max": "top",
-                 "start": "left", "end": "right"}
+                 "start": "left", "end": "right",
+                 # wall/slab phrasing on Cartesian domains: inside → the
+                 # x-low face, outside → the x-high face (the same mapping
+                 # the Dirichlet inside/outside rule uses; radial domains
+                 # resolve inner/outer in solve_heat_radial_mixed instead)
+                 "inner": "left", "inside": "left",
+                 "outer": "right", "outside": "right"}
 
 
 def _face_keys(dim: int, name: str):

@@ -1063,3 +1063,35 @@ def test_loaded_nl_end_to_end():
     from pde_solver_tpu.fields import load_field
     f = load_field(res["data_file"])
     np.testing.assert_allclose(f.values_array()[0], 5.0e5, rtol=1e-6)
+
+
+def test_rule_parse_convection_battery_round6():
+    # "all sides" is the whole boundary, not just the lateral faces
+    r = rule_based_parse(
+        "steel plate exposed to air on all sides, h = 12, ambient 22 C")
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 12.0,
+                                     "T_ambient": 22.0}
+    # bare "h 300 W/m2K": the unit disambiguates from cylinder height;
+    # "cooled in oil at 50 C" supplies the bath temperature
+    r = rule_based_parse("sphere cooled in oil at 50 C with h 300 W/m2K")
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 300.0,
+                                     "T_ambient": 50.0}
+    # "brick wall" must NOT be parsed as a face word; inside/outside map
+    # to the wall's two faces
+    r = rule_based_parse("brick wall, outside exposed to cold air at -10 C "
+                         "with heat transfer coefficient 25, inside at 20 C")
+    assert r["bc_values"]["outer"] == {"type": "robin", "h": 25.0,
+                                       "T_ambient": -10.0}
+    assert r["bc_values"]["T_left"] == 20.0
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    # "brick" cues box geometry (dim 3); outer/inside still map onto the
+    # wall's two x faces, other faces naturally insulated — the 3D mixed
+    # solve is the same physical wall problem
+    assert name == "solve_heat_3D_mixed"
+    bc = args["boundary_conditions"]
+    assert bc["outer"]["type"] == "robin" and bc["left"]["value"] == 20.0
+    # kW/m2 flux scaling
+    r = rule_based_parse(
+        "heat flux of 1 kW/m2 applied to the bottom of a steel plate")
+    assert r["bc_values"]["bottom"]["flux"] == 1000.0
