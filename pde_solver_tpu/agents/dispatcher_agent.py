@@ -54,6 +54,7 @@ class LocalToolSet(ToolSet):
             "solve_heat_3D_mixed", "solve_heat_radial_mixed",
             "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
             "solve_elasticity_3D_loaded",
+            "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -329,9 +330,16 @@ class DispatcherAgent:
                 raise ValueError(f"Unsupported dimension: {params.dim}")
             return (f"solve_wave_{params.dim}D",
                     self._wave_args(params, params.dim))
+        if params.pde_type == "advection":
+            # Extension beyond the reference: its schema lists
+            # pde_type="advection" but its dispatcher has no route.
+            if params.dim not in (1, 2, 3):
+                raise ValueError(f"Unsupported dimension: {params.dim}")
+            return (f"solve_advection_{params.dim}D",
+                    self._advection_args(params))
         raise ValueError(
-            "Currently only 'heat', 'elasticity' and 'wave' PDE types are "
-            f"supported, got: {params.pde_type}")
+            "Currently only 'heat', 'elasticity', 'wave' and 'advection' "
+            f"PDE types are supported, got: {params.pde_type}")
 
     # ----- heat arg builders -----
 
@@ -651,6 +659,78 @@ class DispatcherAgent:
         }
 
     # ----- wave arg builder (extension tools) -----
+
+    def _advection_args(self, params: PDEParameters) -> Dict[str, Any]:
+        """Args for the solve_advection_*D extension tools: velocity from
+        material_params (vx/vy/vz or scalar velocity = +x flow), CFL-aware
+        dt default (0.4·h/|v|), transit-time horizon."""
+        dim = params.dim
+        domain = params.domain_size or {}
+        mp = params.material_params or {}
+        args: Dict[str, Any] = {}
+        if dim == 1:
+            length = None
+            for key in ("length", "Length", "L", "l"):
+                if key in domain:
+                    length = float(domain[key])
+                    break
+            length = length if length is not None else 2.0
+            nx = params.nx or 200
+            args.update({"length": length, "nx": nx})
+            sizes, cells = [length], [nx]
+        elif dim == 2:
+            Lx, Ly = self._domain_xy(domain)
+            nx, ny = params.nx or 60, params.ny or 60
+            args.update({"Lx": Lx, "Ly": Ly, "nx": nx, "ny": ny})
+            sizes, cells = [Lx, Ly], [nx, ny]
+        else:
+            Lx, Ly = self._domain_xy(domain)
+            Lz = float(domain.get("Lz") or domain.get("lz")
+                       or domain.get("depth") or 1.0)
+            nx, ny, nz = params.nx or 24, params.ny or 24, params.nz or 24
+            args.update({"Lx": Lx, "Ly": Ly, "Lz": Lz,
+                         "nx": nx, "ny": ny, "nz": nz})
+            sizes, cells = [Lx, Ly, Lz], [nx, ny, nz]
+        vel = [float(mp.get(k, 0.0)) for k in ("vx", "vy", "vz")][:dim]
+        if not any(vel):
+            vel[0] = float(mp.get("velocity", params.wave_speed or 1.0))
+        if dim == 1:
+            args["velocity"] = vel[0]
+        else:
+            for k, val in zip(("vx", "vy", "vz"), vel):
+                args[k] = val
+        speed = float(sum(v * v for v in vel)) ** 0.5 if any(vel) else 1.0
+        h_min = min(s / c for s, c in zip(sizes, cells))
+        kappa = params.diffusivity if params.diffusivity is not None else 0.01
+        dt = params.dt if params.dt is not None else \
+            max(min(0.4 * h_min / speed, 0.01), 1e-5)
+        if params.num_steps is not None:
+            num_steps = params.num_steps
+        elif params.total_time and dt > 0:
+            num_steps = max(int(params.total_time / dt), 10)
+        else:
+            # default horizon: half a domain transit
+            num_steps = int(min(max(0.5 * sizes[0] / (speed * dt), 50), 400))
+        args.update({
+            "diffusivity": kappa,
+            "T_boundary": _bc_get(params.bc_values or {}, "T_boundary",
+                                  default=0.0),
+            "T_initial": (params.initial_value
+                          if params.initial_value is not None else 0.0),
+            "initial_type": ("gaussian" if (params.initial_type or
+                             "gaussian") not in ("constant", "zero")
+                             else params.initial_type),
+            "pulse_width": float(mp.get("pulse_width", 0.1)),
+            "pulse_amplitude": (params.initial_amplitude
+                                if params.initial_amplitude is not None
+                                else 1.0),
+            "dt": dt, "num_steps": num_steps, "data_dir": "data",
+            "source_type": params.source_type or "none",
+            "source_value": params.source_value or 0.0,
+        })
+        if dim == 3:
+            args.pop("pulse_center", None)
+        return args
 
     def _wave_args(self, params: PDEParameters, dim: int) -> Dict[str, Any]:
         domain = params.domain_size or {}

@@ -164,6 +164,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
                  r"|beam bend|vibrat|oscillat|\bclamp|body\s+force", t):
         out["pde_type"] = "elasticity"
+    elif re.search(r"\badvect|convection[-\s]diffusion"
+                   r"|\b(?:pollutant|contaminant|tracer|dye|plume)\b", t):
+        # extension: the reference's schema lists pde_type="advection"
+        # (pde_schema.py:15) but its dispatcher cannot route it
+        out["pde_type"] = "advection"
     elif re.search(r"\bwave\b(?!\s*number)", t):
         # the reference parser emits pde_type="wave" (pde_parser_agent.py:205
         # type list) but its dispatcher has no wave route; here the type
@@ -183,6 +188,28 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
                               r"|°|degrees|\bcool|\bhot\b|insulat", t):
         out["pde_type"] = "elasticity"
+    # flow velocity (advection): tuple "(vx, vy[, vz])" or a scalar speed
+    # (written into the shared `material` dict → material_params)
+    if out["pde_type"] == "advection":
+        m = re.search(r"velocity\s*(?:of|=|:|is)?\s*\(\s*" + _NUM
+                      + r"\s*,\s*" + _NUM + r"(?:\s*,\s*" + _NUM
+                      + r")?\s*\)", t)
+        if m:
+            material["vx"] = float(m.group(1))
+            material["vy"] = float(m.group(2))
+            if m.group(3) is not None:
+                material["vz"] = float(m.group(3))
+                out["dim"] = 3
+            else:
+                out.setdefault("dim", 2)
+        else:
+            m = re.search(r"(?:velocity|flow\s+speed|flow|wind\s+speed|"
+                          r"speed|carried\s+(?:by\s+\w+\s+)?at)\s*"
+                          r"(?:of|=|:|is)?\s*" + _NUM
+                          + r"\s*(?:m\s*/\s*s)?", t)
+            if m:
+                material["velocity"] = float(m.group(1))
+
     m = re.search(r"wave\s+speed\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
     if m:
         out["wave_speed"] = float(m.group(1))

@@ -490,6 +490,132 @@ def solve_heat_radial_mixed(
 
 
 # ======================================================================
+# Advection-diffusion (extension tools)
+# ======================================================================
+# The reference's schema lists pde_type="advection" and its parser emits it
+# (pde_schema.py:15), but its dispatcher has no route — every advection
+# query errors out.  These tools solve u_t + v·∇u = κΔu + f with IMEX
+# θ-stepping (implicit SPD diffusion, explicit Galerkin convection).
+
+def _advection_solve(mesh, embed, dim, velocity, diffusivity, T_boundary,
+                     T_initial, initial_type, pulse_center, pulse_width,
+                     pulse_amplitude, source_type, source_value, dt,
+                     num_steps, data_dir, extra_meta):
+    from pde_solver_tpu.models.advection import (AdvectionProblem,
+                                                 solve_advection_problem)
+    p = AdvectionProblem(
+        mesh=mesh, velocity=velocity, diffusivity=diffusivity,
+        bc_builder=lambda m: [(m.boundary_mask(), T_boundary)],
+        source_type=source_type, source_value=source_value,
+        T_initial=T_initial, initial_type=initial_type,
+        pulse_center=pulse_center, pulse_width=pulse_width,
+        pulse_amplitude=pulse_amplitude, dt=dt, num_steps=num_steps)
+    times, values, stats = solve_advection_problem(p)
+    meta = {
+        "name": "concentration", "unit": "-", "pde": "advection",
+        "coordinate_system": "cartesian",
+        "velocity": list(np.asarray(velocity, dtype=float).ravel()),
+        "diffusivity": diffusivity,
+        "cfl": stats["cfl"], "cell_peclet": stats["cell_peclet"],
+        "source_type": source_type, "source_value": source_value,
+        "steady": False, **extra_meta,
+    }
+    field = _pack(mesh, embed, times, values, dim, meta, stats)
+    return _result(field, data_dir, f"advection_{dim}d")
+
+
+def solve_advection_1D(
+    length: float = 2.0,
+    nx: int = 200,
+    velocity: float = 1.0,
+    diffusivity: float = 0.01,
+    T_boundary: float = 0.0,
+    T_initial: float = 0.0,
+    initial_type: str = "gaussian",
+    pulse_center: Optional[float] = None,
+    pulse_width: float = 0.1,
+    pulse_amplitude: float = 1.0,
+    dt: float = 0.002,
+    num_steps: int = 200,
+    data_dir: str = "data",
+    source_type: str = "none",
+    source_value: float = 0.0,
+) -> SolveResult:
+    """1D advection-diffusion u_t + v u_x = κ u_xx + f on (0, length)
+    (extension tool — see the module note above)."""
+    mesh = interval_mesh(nx, 0.0, length)
+    return _advection_solve(
+        mesh, embed_line, 1, [velocity], diffusivity, T_boundary, T_initial,
+        initial_type, None if pulse_center is None else [pulse_center],
+        pulse_width, pulse_amplitude, source_type, source_value, dt,
+        num_steps, data_dir, {"length": length})
+
+
+def solve_advection_2D(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 60,
+    ny: int = 60,
+    vx: float = 1.0,
+    vy: float = 0.0,
+    diffusivity: float = 0.01,
+    T_boundary: float = 0.0,
+    T_initial: float = 0.0,
+    initial_type: str = "gaussian",
+    pulse_center_x: Optional[float] = None,
+    pulse_center_y: Optional[float] = None,
+    pulse_width: float = 0.1,
+    pulse_amplitude: float = 1.0,
+    dt: float = 0.002,
+    num_steps: int = 200,
+    data_dir: str = "data",
+    source_type: str = "none",
+    source_value: float = 0.0,
+) -> SolveResult:
+    """2D advection-diffusion on [0,Lx]×[0,Ly] (extension tool)."""
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    center = None
+    if pulse_center_x is not None or pulse_center_y is not None:
+        center = [pulse_center_x if pulse_center_x is not None else Lx / 2,
+                  pulse_center_y if pulse_center_y is not None else Ly / 2]
+    return _advection_solve(
+        mesh, embed_plane, 2, [vx, vy], diffusivity, T_boundary, T_initial,
+        initial_type, center, pulse_width, pulse_amplitude, source_type,
+        source_value, dt, num_steps, data_dir, {"Lx": Lx, "Ly": Ly})
+
+
+def solve_advection_3D(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    Lz: float = 1.0,
+    nx: int = 24,
+    ny: int = 24,
+    nz: int = 24,
+    vx: float = 1.0,
+    vy: float = 0.0,
+    vz: float = 0.0,
+    diffusivity: float = 0.01,
+    T_boundary: float = 0.0,
+    T_initial: float = 0.0,
+    initial_type: str = "gaussian",
+    pulse_width: float = 0.15,
+    pulse_amplitude: float = 1.0,
+    dt: float = 0.005,
+    num_steps: int = 100,
+    data_dir: str = "data",
+    source_type: str = "none",
+    source_value: float = 0.0,
+) -> SolveResult:
+    """3D advection-diffusion on a box (extension tool)."""
+    mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+    return _advection_solve(
+        mesh, embed_identity3, 3, [vx, vy, vz], diffusivity, T_boundary,
+        T_initial, initial_type, None, pulse_width, pulse_amplitude,
+        source_type, source_value, dt, num_steps, data_dir,
+        {"Lx": Lx, "Ly": Ly, "Lz": Lz})
+
+
+# ======================================================================
 # Heat — curvilinear
 # ======================================================================
 

@@ -175,6 +175,9 @@ def default_tools() -> Dict[str, Callable]:
         # elasticity accepts body forces only (fenics_mcp_server.py:1670-1674)
         "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
         "solve_elasticity_3D_loaded",
+        # advection-diffusion — the reference parses pde_type="advection"
+        # (pde_schema.py:15) but has no solver for it
+        "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
     ]
     return {n: getattr(api, n) for n in names}
 

@@ -193,6 +193,38 @@ def assemble_load(
     return b
 
 
+def assemble_convection_stencil(
+    mesh: StructuredMesh,
+    velocity: np.ndarray,
+    weight_fn: Optional[WeightFn] = None,
+) -> Stencil:
+    """Assemble the (non-symmetric) convection form C[n,m] = ∫ w (v·∇φ_m) φ_n dx.
+
+    Constant velocity ``v``; P1 gradients are constant per sub-element, so
+    the local matrix is (v·g_b) ∫ w φ_a dx.  Applied EXPLICITLY in IMEX
+    advection-diffusion stepping (the implicit side stays SPD), so the
+    stencil machinery never needs a non-symmetric solve.  Exactly
+    reproduces the Galerkin convection term (no upwinding — stabilization
+    comes from physical diffusion; callers guard the cell-Péclet/CFL).
+    """
+    v = np.asarray(velocity, dtype=np.float64).reshape(mesh.dim)
+    stencil: Stencil = {}
+    for t, sub in enumerate(mesh.subelems):
+        geom = subelem_geometry(mesh, t, 2 if weight_fn is None else 4)
+        wq = _qpt_weight_per_cell(mesh, geom, weight_fn)
+        vg = geom.grads @ v  # [n_loc] — v·∇φ_b, constant per element
+        for a in range(len(sub)):
+            base = geom.qwts * geom.qphi[:, a]  # [nq] → ∫ w φ_a
+            if isinstance(wq, float):
+                phi_a: Union[np.ndarray, float] = float(base.sum()) * wq
+            else:
+                phi_a = np.tensordot(base, wq, axes=(0, 0))
+            for b in range(len(sub)):
+                off = tuple(sb - sa for sa, sb in zip(sub[a], sub[b]))
+                _accum(stencil, mesh, off, sub[a], phi_a * vg[b])
+    return stencil
+
+
 # ----------------------------------------------------------------------
 # Vector operators (linear elasticity)
 # ----------------------------------------------------------------------

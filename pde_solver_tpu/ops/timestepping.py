@@ -224,10 +224,17 @@ def run_transient(
     vdim: int = 1,
     config: Optional[SolverConfig] = None,
     mg_level_builder=None,
+    C_np: Optional[Dict] = None,
 ) -> TransientResult:
     """``mg_level_builder(mesh_c) -> (K_c, M_c, bc_c)`` (optional) enables
     MG-PCG step solves: the implicit operator M + θΔtK is re-assembled per
-    coarse level and each scan step runs a V-cycle-preconditioned CG."""
+    coarse level and each scan step runs a V-cycle-preconditioned CG.
+
+    ``C_np`` (optional): a non-symmetric convection stencil applied
+    EXPLICITLY (IMEX): the step becomes
+    (M + θΔtK) u⁺ = (M − (1−θ)ΔtK − ΔtC) u + Δt b — the implicit solve
+    stays SPD, so CG/MG and the sharded scan work unchanged.  C's offsets
+    must be a subset of K∪M's (true for same-mesh P1 assembly)."""
     import time as _time
 
     cfg = config or get_config()
@@ -246,6 +253,8 @@ def run_transient(
 
     A_np = _combine(K_np, M_np, alpha=theta * dt, beta=1.0)
     B_np = _combine(K_np, M_np, alpha=-(1.0 - theta) * dt, beta=1.0)
+    if C_np:
+        B_np = _combine(C_np, B_np, alpha=-dt, beta=1.0)
 
     # Scaled, masked implicit operator (zero rhs — we only need the weights,
     # the per-step lift happens inside the scan with precomputed A g).

@@ -221,9 +221,11 @@ def test_explicit_zero_bc_preserved():
 
 
 def test_unsupported_pde_type_error_envelope():
+    # advection graduated to a supported family (solve_advection_*); the
+    # envelope contract is checked with a still-unsupported type
     d = DispatcherAgent()
-    res = run(d.dispatch(PDEParameters(pde_type="advection", dim=1)))
-    assert "error" in res and "advection" in res["error"]
+    res = run(d.dispatch(PDEParameters(pde_type="poisson", dim=1)))
+    assert "error" in res and "poisson" in res["error"]
 
 
 # ----------------------------------------------------------------------
