@@ -197,3 +197,22 @@ def test_advection_nl_routing_and_e2e():
     assert not res.get("error")
     import os
     assert os.path.exists(res["html_path"])
+
+
+def test_sharded_advection_matches_single_device():
+    """The convection fold lands in B_list before the shard branch, so the
+    domain-decomposed scan must reproduce the unsharded trajectory."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pde_solver_tpu.config import config_overrides
+
+    mesh = rectangle_mesh(15, 6, (0, 0), (2.0, 1.0))  # 16 x-planes / 8 dev
+    p = AdvectionProblem(mesh=mesh, velocity=[0.9, 0.2], diffusivity=0.02,
+                         initial_type="gaussian", pulse_center=(0.6, 0.5),
+                         pulse_width=0.15, dt=0.01, num_steps=6, theta=1.0)
+    _, base, _ = solve_advection_problem(p)
+    with config_overrides(shard_devices=8):
+        _, sharded, info = solve_advection_problem(p)
+    np.testing.assert_allclose(sharded, base, rtol=2e-5, atol=1e-7)
+    assert info["converged"]
