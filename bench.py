@@ -695,6 +695,17 @@ def bench_flagship():
                  "CinvT": np.asarray(sysm.CinvT)},
                 meta={"ckey": repr(sysm.ckey)})
 
+    # V(2,1) cycle for the flagship df2 rounds: measured 0.600 s vs 0.638 s
+    # for the symmetric V(2,2) at identical iteration count/residual
+    # (BENCH_NOTES "smoothing sweep"; benchmarks/df2_sweep.py).  Same
+    # device arrays — only the static smoothing degrees change.
+    smooth = os.environ.get("PDE_BENCH_SMOOTH", "2,1")
+    if smooth:
+        pre_s, post_s = (int(x) for x in smooth.split(","))
+        if (pre_s, post_s) != (h.pre_smooth, h.post_smooth):
+            h = h._replace(pre_smooth=pre_s, post_smooth=post_s)
+            log(f"[bench] MG cycle: V({pre_s},{post_s})")
+
     solver_start = os.environ.get("PDE_BENCH_SOLVER", "df2")
     ladder = None
     if solver_start != "mgf32":

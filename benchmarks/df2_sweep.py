@@ -60,34 +60,49 @@ def main():
 
     inners = [int(v) for v in
               os.environ.get("PDE_SWEEP_INNER", "10,14,18,22").split(",")]
+    # optional Chebyshev-degree sweep: "pre:post,pre:post,..." — rebuilds
+    # the hierarchy struct (same device arrays, new static pre/post)
+    smooth = os.environ.get("PDE_SWEEP_SMOOTH", "")
+    if smooth:
+        configs = []
+        for token in smooth.split(","):
+            pre, post = (int(x) for x in token.split(":"))
+            for inner in inners:
+                configs.append((inner, pre, post))
+    else:
+        configs = [(i, h.pre_smooth, h.post_smooth) for i in inners]
     tol = 1e-7
 
-    def solve(inner):
+    def solve(cfgt):
+        inner, pre, post = cfgt
+        hh = (h if (pre, post) == (h.pre_smooth, h.post_smooth)
+              else mg.MGHierarchy(h.levels, h.grid_dim, h.vdim, pre, post,
+                                  h.coarse_iters))
         t = time.perf_counter()
         _, _, iters, relres = mg.solve_fcycle_df2(
-            h, ladder, tol, inner_iters=inner, max_rounds=12, bnorm=bnorm)
+            hh, ladder, tol, inner_iters=inner, max_rounds=12, bnorm=bnorm)
         return time.perf_counter() - t, int(iters), float(relres)
 
     # pass 1: compile + warm each config
-    for inner in inners:
-        dt, iters, relres = solve(inner)
-        print(f"[sweep] warm inner={inner}: {dt:.1f}s (incl. compile) "
+    for cfgt in configs:
+        dt, iters, relres = solve(cfgt)
+        print(f"[sweep] warm {cfgt}: {dt:.1f}s (incl. compile) "
               f"iters={iters} relres={relres:.2e}", flush=True)
 
     # pass 2: interleaved timed reps
-    results = {i: [] for i in inners}
+    results = {c: [] for c in configs}
     meta = {}
     for rnd in range(3):
-        for inner in inners:
-            dt, iters, relres = solve(inner)
-            results[inner].append(dt)
-            meta[inner] = (iters, relres)
-            print(f"[sweep] rnd{rnd} inner={inner}: {dt:.3f}s "
+        for cfgt in configs:
+            dt, iters, relres = solve(cfgt)
+            results[cfgt].append(dt)
+            meta[cfgt] = (iters, relres)
+            print(f"[sweep] rnd{rnd} {cfgt}: {dt:.3f}s "
                   f"iters={iters} relres={relres:.2e}", flush=True)
 
-    out = {str(i): {"best_s": min(v), "all_s": [round(x, 3) for x in v],
-                    "iters": meta[i][0], "relres": meta[i][1]}
-           for i, v in results.items()}
+    out = {str(c): {"best_s": min(v), "all_s": [round(x, 3) for x in v],
+                    "iters": meta[c][0], "relres": meta[c][1]}
+           for c, v in results.items()}
     print(json.dumps(out, indent=2), flush=True)
 
 

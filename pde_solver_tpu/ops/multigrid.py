@@ -321,7 +321,18 @@ def build_hierarchy(
     weight coefficients used by this framework).  Returns None when the fine
     mesh cannot coarsen (odd cell counts).  ``use_pallas=False`` keeps dense
     XLA weights at every level (required by parallel.shard_mg — the packed
-    flat layout does not decompose along a grid axis)."""
+    flat layout does not decompose along a grid axis).
+
+    ``PDE_TPU_MG_SMOOTH="pre,post"`` overrides the Chebyshev smoothing
+    degrees for experiments (e.g. the bench's V(2,1) flagship cycle —
+    benchmarks/df2_sweep.py measured 0.600 s vs 0.638 s for V(2,2) at the
+    same iteration count).  The default stays the symmetric V(2,2): an
+    asymmetric cycle is a (mildly) nonsymmetric preconditioner, kept
+    opt-in for the general solver paths."""
+    import os as _os
+    env_smooth = _os.environ.get("PDE_TPU_MG_SMOOTH", "")
+    if env_smooth:
+        pre_smooth, post_smooth = (int(x) for x in env_smooth.split(","))
     if not can_coarsen(mesh):
         return None
     levels = [_to_level(fine_system, mesh, vdim, dtype, use_pallas=use_pallas)]
