@@ -262,6 +262,12 @@ class DispatcherAgent:
     # ------------------------------------------------------------------
 
     def route(self, params: PDEParameters) -> Tuple[str, Dict[str, Any]]:
+        if params.pde_type == "poisson":
+            # Poisson/Laplace −κΔu = f IS the steady diffusion problem —
+            # route onto the steady heat family (extension: the reference's
+            # schema names the type but its dispatcher cannot route it)
+            params = dataclasses.replace(params, pde_type="heat",
+                                         steady=True)
         if params.pde_type == "heat":
             geometry = normalize_geometry(params)
             # Robin/Neumann/insulated faces route to the *_mixed extension

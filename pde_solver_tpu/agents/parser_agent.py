@@ -169,6 +169,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         # extension: the reference's schema lists pde_type="advection"
         # (pde_schema.py:15) but its dispatcher cannot route it
         out["pde_type"] = "advection"
+    elif re.search(r"poisson(?:'s)?\s+equation|laplace(?:'s)?\s+equation"
+                   r"|\bpotential\s+(?:field|problem|equation)\b", t):
+        # extension: pde_type="poisson" (also in the reference's schema
+        # comment) — mathematically the steady diffusion problem; the
+        # dispatcher routes it onto the steady heat solvers
+        out["pde_type"] = "poisson"
+        out["steady"] = True
     elif re.search(r"\bwave\b(?!\s*number)", t):
         # the reference parser emits pde_type="wave" (pde_parser_agent.py:205
         # type list) but its dispatcher has no wave route; here the type

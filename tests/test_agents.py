@@ -221,11 +221,11 @@ def test_explicit_zero_bc_preserved():
 
 
 def test_unsupported_pde_type_error_envelope():
-    # advection graduated to a supported family (solve_advection_*); the
-    # envelope contract is checked with a still-unsupported type
+    # advection and poisson graduated to supported routes; the envelope
+    # contract is checked with a genuinely unsupported type
     d = DispatcherAgent()
-    res = run(d.dispatch(PDEParameters(pde_type="poisson", dim=1)))
-    assert "error" in res and "poisson" in res["error"]
+    res = run(d.dispatch(PDEParameters(pde_type="schrodinger", dim=1)))
+    assert "error" in res and "schrodinger" in res["error"]
 
 
 # ----------------------------------------------------------------------
@@ -1097,3 +1097,16 @@ def test_rule_parse_convection_battery_round6():
     r = rule_based_parse(
         "heat flux of 1 kW/m2 applied to the bottom of a steel plate")
     assert r["bc_values"]["bottom"]["flux"] == 1000.0
+
+
+def test_poisson_routes_to_steady_heat():
+    r = rule_based_parse(
+        "solve the Poisson equation on a 1 m x 1 m plate with a source of "
+        "5 and boundary at 0")
+    assert r["pde_type"] == "poisson" and r["steady"] is True
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_heat_2D"
+    assert args["steady"] is True and args["source_value"] == 5.0
+    res = run(d.dispatch(PDEParameters.from_dict(r)))
+    assert not res.get("error")
