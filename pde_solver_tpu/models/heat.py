@@ -75,6 +75,14 @@ class HeatProblem:
     theta: Optional[float] = None                 # 1 = backward Euler, 0.5 =
                                                   # Crank-Nicolson; None → the
                                                   # SolverConfig.theta policy
+    # sinusoidal driving (extension: the reference's sources/BCs are
+    # constant): Dirichlet data g(t) = g0 + sin(ω t + φ)·amp on the faces
+    # in bc_amp_pairs, and/or source f(t) = f0 + sin(ω t + φ)·source_amp —
+    # both share one (mod_omega, mod_phase) sinusoid
+    bc_amp_pairs: Sequence[Tuple[np.ndarray, float]] = ()
+    source_amp: float = 0.0
+    mod_omega: float = 0.0
+    mod_phase: float = 0.0
 
 
 def _apply_surface_terms(p: HeatProblem, mesh: StructuredMesh,
@@ -215,11 +223,25 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
                     quad_degree=(max(p.weight_quad_degree, 2)
                                  if p.weight_fn is not None else 2))
                 return K_c, M_c, bc_c
+        time_mod = None
+        if p.mod_omega and (len(p.bc_amp_pairs) or p.source_amp):
+            time_mod = {"omega": float(p.mod_omega),
+                        "phase": float(p.mod_phase)}
+            if p.source_amp:
+                time_mod["source_amp"] = p.source_amp * \
+                    assembly.assemble_load(mesh, weight_fn=p.weight_fn,
+                                           quad_degree=p.weight_quad_degree)
+            if len(p.bc_amp_pairs):
+                amp_bc = DirichletBC.from_masks(list(p.bc_amp_pairs),
+                                                mesh.node_shape)
+                time_mod["bc_amp_values"] = np.asarray(
+                    amp_bc.values * (1.0 - amp_bc.free_mask), np.float64)
         with phase_timer(phases, "solve"):
             res = run_transient(K, M, mesh, bc, b, u0, dt=p.dt,
                                 num_steps=p.num_steps,
                                 theta=p.theta if p.theta is not None else cfg.theta,
-                                config=cfg, mg_level_builder=mg_builder_t)
+                                config=cfg, mg_level_builder=mg_builder_t,
+                                time_mod=time_mod)
         values = np.stack([flatten_values(v, mesh.dim) for v in res.values])
         times = res.times
         # explicit per-step target: the worst step residual must meet the

@@ -95,7 +95,8 @@ def _make_scale_ops(s, Ct, CinvT):
                                    "snap32", "h_struct"))
 def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
                     Ag, u0, inner_tol, num_steps, maxiter, refine, grid_dim,
-                    vdim, mode, snap32, h_struct=None, level_arrays=None):
+                    vdim, mode, snap32, h_struct=None, level_arrays=None,
+                    tmod=None, step0=None):
     """One fused scan over implicit steps on the scaled system.
 
     mode: "f64" | "f32" | "mixed".  All weight tuples are aligned with
@@ -104,6 +105,12 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
     With ``h_struct``/``level_arrays`` (a multigrid hierarchy of the
     implicit operator) each step solves with MG-PCG instead of plain CG —
     ~8× fewer inner iterations at 64³ and beyond.
+
+    ``tmod`` (optional): sinusoidal time modulation of the source and/or
+    Dirichlet data — (b1, g1, Ag1, omega, phase, dt, theta); see
+    :func:`run_transient`.  ``step0``: global index of the first step
+    (traced, so checkpoint chunks at different offsets share one compiled
+    program); the carry tracks the step counter for the modulation phase.
     """
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
     u0 = u0.astype(state_dtype)
@@ -113,17 +120,21 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
         carry, u_new = _transient_step_body(
             offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src, Ag,
             inner_tol, maxiter, refine, grid_dim, vdim, mode, h_struct,
-            level_arrays, carry)
+            level_arrays, carry, tmod)
         return carry, u_new.astype(snap_dtype)
 
-    carry0 = (u0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, state_dtype))
-    (u_f, iters, res), snaps = jax.lax.scan(step, carry0, None, length=num_steps)
+    n0 = jnp.asarray(0 if step0 is None else step0, jnp.int32)
+    carry0 = (u0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, state_dtype),
+              n0)
+    (u_f, iters, res, _), snaps = jax.lax.scan(step, carry0, None,
+                                               length=num_steps)
     return snaps, iters, res
 
 
 def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
                          b_src, Ag, inner_tol, maxiter, refine, grid_dim,
-                         vdim, mode, h_struct, level_arrays, carry):
+                         vdim, mode, h_struct, level_arrays, carry,
+                         tmod=None):
     """One implicit θ-step on the scaled system (shared by the plain and
     snapshot-thinned scans).  Returns (new carry, u_new)."""
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
@@ -132,9 +143,24 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
     def B(x):
         return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
 
-    u, iters_acc, res_acc = carry
-    rhs = B(u) + b_src
-    bt = free * (rhs - Ag) + g
+    u, iters_acc, res_acc, n = carry
+    if tmod is None:
+        rhs = B(u) + b_src
+        bt = free * (rhs - Ag) + g
+    else:
+        # sinusoidal driving: b(t) = b0 + sin(ωt+φ)·b1 enters the θ-scheme
+        # as dt·[θ s(t_{n+1}) + (1−θ) s(t_n)]·b1 (b1 arrives pre-scaled by
+        # dt); Dirichlet data g(t) = g0 + sin(ωt+φ)·g1 is enforced at the
+        # NEW time level, with the lift Ag(t) scaling identically.
+        b1, g1, Ag1, omega, phase, dtv, thetav = tmod
+        t_n = n.astype(state_dtype) * dtv
+        s_n = jnp.sin(omega * t_n + phase)
+        s_np1 = jnp.sin(omega * (t_n + dtv) + phase)
+        w = thetav * s_np1 + (1.0 - thetav) * s_n
+        rhs = B(u) + b_src + (w * b1 if b1 is not None else 0.0)
+        Ag_t = Ag + (s_np1 * Ag1 if Ag1 is not None else 0.0)
+        g_t = g + (s_np1 * g1 if g1 is not None else 0.0)
+        bt = free * (rhs - Ag_t) + g_t
     b_hat = to_hat_b(bt)
     x0_hat = to_hat_x(u)
 
@@ -175,7 +201,8 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
 
     u_new = from_hat_x(xh).astype(state_dtype)
     return ((u_new, iters_acc + k,
-             jnp.maximum(res_acc, relres.astype(state_dtype))), u_new)
+             jnp.maximum(res_acc, relres.astype(state_dtype)), n + 1),
+            u_new)
 
 
 @partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
@@ -184,7 +211,7 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
 def _transient_scan_thinned(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
                             b_src, Ag, u0, inner_tol, num_steps, maxiter,
                             refine, grid_dim, vdim, mode, snap32, h_struct,
-                            level_arrays, snap_every):
+                            level_arrays, snap_every, tmod=None, step0=None):
     """Chunked scan: ``snap_every`` steps per emitted snapshot, so the
     stacked trajectory holds num_steps/snap_every frames instead of
     num_steps — the [Nt][N] snapshot buffer is what exceeds HBM for long
@@ -197,16 +224,17 @@ def _transient_scan_thinned(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
             c2, _snap = _transient_step_body(
                 offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src, Ag,
                 inner_tol, maxiter, refine, grid_dim, vdim, mode, h_struct,
-                level_arrays, c)
+                level_arrays, c, tmod)
             return c2, None
         carry, _ = jax.lax.scan(inner, carry, None, length=snap_every)
         snap_dtype = jnp.float32 if snap32 else carry[0].dtype
         return carry, carry[0].astype(snap_dtype)
 
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
+    n0 = jnp.asarray(0 if step0 is None else step0, jnp.int32)
     carry0 = (u0.astype(state_dtype), jnp.asarray(0, jnp.int32),
-              jnp.asarray(0.0, state_dtype))
-    (u_f, iters, res), snaps = jax.lax.scan(
+              jnp.asarray(0.0, state_dtype), n0)
+    (u_f, iters, res, _), snaps = jax.lax.scan(
         chunk, carry0, None, length=num_steps // snap_every)
     return snaps, u_f, iters, res
 
@@ -225,6 +253,7 @@ def run_transient(
     config: Optional[SolverConfig] = None,
     mg_level_builder=None,
     C_np: Optional[Dict] = None,
+    time_mod: Optional[Dict] = None,
 ) -> TransientResult:
     """``mg_level_builder(mesh_c) -> (K_c, M_c, bc_c)`` (optional) enables
     MG-PCG step solves: the implicit operator M + θΔtK is re-assembled per
@@ -234,7 +263,15 @@ def run_transient(
     EXPLICITLY (IMEX): the step becomes
     (M + θΔtK) u⁺ = (M − (1−θ)ΔtK − ΔtC) u + Δt b — the implicit solve
     stays SPD, so CG/MG and the sharded scan work unchanged.  C's offsets
-    must be a subset of K∪M's (true for same-mesh P1 assembly)."""
+    must be a subset of K∪M's (true for same-mesh P1 assembly).
+
+    ``time_mod`` (optional): sinusoidal driving — extension beyond the
+    reference's constant sources/BCs (fenics_mcp_server.py:304-318 rebuild
+    a CONSTANT L every step).  Dict keys: ``omega`` [rad/s], ``phase``
+    (default 0), ``source_amp`` (assembled load-vector amplitude b1:
+    b(t) = b0 + sin(ωt+φ)·b1) and/or ``bc_amp_values`` (node-shaped
+    Dirichlet amplitude: g(t) = g0 + sin(ωt+φ)·g_amp on constrained DOFs).
+    Not supported on the sharded scan path (shard_devices > 1)."""
     import time as _time
 
     cfg = config or get_config()
@@ -270,6 +307,11 @@ def run_transient(
     # axis 0 with identity-row padding, halo-exchange applies, psum-CG step
     # solves (parallel.shard.ShardedThetaScan).
     nshard = cfg.resolved_shard_devices()
+    if nshard > 1 and time_mod:
+        raise ValueError(
+            "time_mod (sinusoidal driving) is not supported on the sharded "
+            "scan path — set shard_devices=1 for periodically driven "
+            "transients")
     if nshard > 1:
         from pde_solver_tpu.parallel.shard import ShardedThetaScan, device_mesh
         from pde_solver_tpu.utils.observability import get_logger
@@ -369,10 +411,32 @@ def run_transient(
         jnp.asarray(Ag_np, dtype=state_dtype),
         jnp.asarray(u0_np, dtype=state_dtype))
     tail = (maxiter, refine, d, vdim, prec, snap32, h_struct, level_arrays)
+
+    tmod = None
+    if time_mod:
+        b1_np = time_mod.get("source_amp")
+        g1_raw = time_mod.get("bc_amp_values")
+        g1_np = Ag1_np = None
+        if g1_raw is not None:
+            # amplitude lives on constrained DOFs only; the matching lift
+            # A·g1 scales with the same sinusoid inside the scan
+            g1_np = (1.0 - free_np) * np.asarray(g1_raw, np.float64)
+            Ag1_np = np_stencil_apply(A_np, g1_np, d, vdim)
+        tmod = (
+            None if b1_np is None else jnp.asarray(dt * np.asarray(b1_np),
+                                                   dtype=state_dtype),
+            None if g1_np is None else jnp.asarray(g1_np, dtype=state_dtype),
+            None if Ag1_np is None else jnp.asarray(Ag1_np,
+                                                    dtype=state_dtype),
+            jnp.asarray(float(time_mod["omega"]), dtype=state_dtype),
+            jnp.asarray(float(time_mod.get("phase", 0.0)),
+                        dtype=state_dtype),
+            jnp.asarray(dt, dtype=state_dtype),
+            jnp.asarray(theta, dtype=state_dtype))
     # scalar-pull fence (the tunnel's block_until_ready is a no-op): one
     # element pull per operand forces every staging upload — scan operands,
     # operator weights, hierarchy levels — to finish inside setup_seconds
-    for a in jax.tree.leaves((scan_args[1:], level_arrays)):
+    for a in jax.tree.leaves((scan_args[1:], level_arrays, tmod)):
         if isinstance(a, jax.Array) and a.size:
             float(jnp.real(a[(0,) * a.ndim]))
     setup_s = _time.perf_counter() - t_setup
@@ -406,13 +470,20 @@ def run_transient(
         for arr in ((u0_np, b_source_np, gvals, Ag_np, free_np)
                     + tuple(scaled) + tuple(B_list)):
             hsh.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
+        if time_mod:
+            hsh.update(repr((float(time_mod["omega"]),
+                             float(time_mod.get("phase", 0.0)))).encode())
+            for key_m in ("source_amp", "bc_amp_values"):
+                if time_mod.get(key_m) is not None:
+                    hsh.update(np.ascontiguousarray(
+                        np.asarray(time_mod[key_m], np.float64)))
         return _run_transient_checkpointed(
             scan_args, tail, inner_tol, int(num_steps), cfg, dt, u0_np,
-            state_dtype, setup_s, hsh.hexdigest(), snap_every)
+            state_dtype, setup_s, hsh.hexdigest(), snap_every, tmod)
 
     if snap_every <= 1:
         snaps, iters, res = _transient_scan(
-            *scan_args, inner_tol, int(num_steps), *tail)
+            *scan_args, inner_tol, int(num_steps), *tail, tmod)
         iters, res = int(iters), float(res)  # scalar pulls: scan complete
         scan_s = _time.perf_counter() - t_scan
         t_fetch = _time.perf_counter()
@@ -424,7 +495,7 @@ def run_transient(
         main = (int(num_steps) // snap_every) * snap_every
         snaps, u_f, iters, res = _transient_scan_thinned(
             *scan_args[:-1], scan_args[-1], inner_tol, main, *tail,
-            snap_every)
+            snap_every, tmod)
         t_list = [0.0] + [dt * snap_every * (j + 1)
                           for j in range(main // snap_every)]
         rem = int(num_steps) - main
@@ -432,7 +503,8 @@ def run_transient(
         if rem > 0:
             snaps2, iters2, res2 = _transient_scan(
                 scan_args[0], *scan_args[1:-1], u_f.astype(state_dtype),
-                inner_tol, rem, *tail)
+                inner_tol, rem, *tail, tmod,
+                jnp.asarray(main, jnp.int32))
             t_list.append(dt * num_steps)
             iters = iters + iters2
             res = jnp.maximum(res, res2)
@@ -461,7 +533,8 @@ _CKPT_TEST_ABORT = 0  # tests: raise after N chunk checkpoints (0 = off)
 
 def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
                                 dt, u0_np, state_dtype, setup_s, key: str,
-                                snap_every: int = 1) -> TransientResult:
+                                snap_every: int = 1,
+                                tmod=None) -> TransientResult:
     """Host-chunked scan with atomic carry+trajectory checkpoints.
 
     Every ``transient_checkpoint_every`` steps the scan carry and the
@@ -535,7 +608,8 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
     while start < main:
         n = min(every, main - start)
         snaps, u_f, k, res = _transient_scan_thinned(
-            *scan_args[:-1], u_cur, inner_tol, n, *tail, snap_every)
+            *scan_args[:-1], u_cur, inner_tol, n, *tail, snap_every, tmod,
+            jnp.asarray(start, jnp.int32))
         iters_acc += int(k)  # scalar pull: chunk scan complete
         res_acc = max(res_acc, float(res))
         t_f = _time.perf_counter()
@@ -564,8 +638,9 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
     if rem > 0:
         # final sub-interval (num_steps not divisible by snap_every): step
         # to the end and keep only the final state, like the plain path.
-        snaps2, k2, res2 = _transient_scan(*scan_args[:-1],
-                                           u_cur, inner_tol, rem, *tail)
+        snaps2, k2, res2 = _transient_scan(
+            *scan_args[:-1], u_cur, inner_tol, rem, *tail, tmod,
+            jnp.asarray(start, jnp.int32))
         iters_acc += int(k2)  # scalar pull: scan complete
         res_acc = max(res_acc, float(res2))
         t_f = _time.perf_counter()

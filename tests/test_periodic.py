@@ -1,0 +1,133 @@
+"""Sinusoidally driven transients (extension: the reference's sources and
+boundary values are constants, fenics_mcp_server.py:304-318).
+
+Validation: dense θ-stepping parity with time-dependent g(t)/b(t), the
+classic semi-infinite thermal-wave solution (penetration depth √(2κ/ω)),
+checkpoint/resume phase continuity (the step0 plumbing), and the sharded
+rejection contract.
+"""
+
+import numpy as np
+import pytest
+
+from pde_solver_tpu.mesh import flatten_values, interval_mesh, rectangle_mesh
+from pde_solver_tpu.models import heat
+from pde_solver_tpu.models.heat import HeatProblem
+from pde_solver_tpu.ops import assembly
+
+
+def test_periodic_matches_dense_stepping():
+    mesh = rectangle_mesh(6, 5, (0, 0), (1.0, 1.0))
+    kappa, dt, nsteps, theta = 0.4, 0.02, 9, 1.0
+    omega, phase, amp_bc, amp_src = 3.0, 0.4, 7.0, 2.5
+    left = mesh.face_mask(0, 0)
+    p = HeatProblem(mesh=mesh, diffusivity=kappa, T_initial=5.0,
+                    dt=dt, num_steps=nsteps, theta=theta,
+                    bc_pairs=[(left, 20.0)],
+                    bc_amp_pairs=[(left, amp_bc)],
+                    source_type="constant", source_value=1.0,
+                    source_amp=amp_src, mod_omega=omega, mod_phase=phase)
+    _, values, info = heat.solve_heat_problem(p)
+
+    # independent dense stepping of the identical scheme
+    K = {o: kappa * W for o, W in assembly.assemble_scalar_stencil(
+        mesh, "stiffness").items()}
+    A = assembly.stencil_to_dense(mesh, K)
+    M = assembly.stencil_to_dense(
+        mesh, assembly.assemble_scalar_stencil(mesh, "mass"))
+    load = flatten_values(assembly.assemble_load(mesh), 2)
+    from pde_solver_tpu.ops.bc import DirichletBC
+    bc = DirichletBC.from_masks([(left, 20.0)], mesh.node_shape)
+    free = flatten_values(np.asarray(bc.free_mask), 2).astype(bool)
+    gflat = flatten_values(np.asarray(bc.values), 2)
+    g_amp = flatten_values(np.where(left, amp_bc, 0.0), 2)
+    u = np.where(free, 5.0, gflat)  # IC with BC applied at t=0
+    lhs = M + theta * dt * A
+    for n in range(nsteps):
+        t_n = n * dt
+        s_n, s_np1 = np.sin(omega * t_n + phase), \
+            np.sin(omega * (t_n + dt) + phase)
+        w = theta * s_np1 + (1 - theta) * s_n
+        b_t = (1.0 + 0.0) * load + (amp_src * w) * load  # f0=1, amp
+        g_t = gflat + s_np1 * g_amp
+        rhs = M @ u - (1 - theta) * dt * (A @ u) + dt * b_t
+        un = g_t.copy()
+        un[free] = np.linalg.solve(
+            lhs[np.ix_(free, free)],
+            rhs[free] - lhs[np.ix_(free, ~free)] @ g_t[~free])
+        u = un
+    np.testing.assert_allclose(values[-1], u, rtol=2e-5, atol=1e-7)
+    assert info["converged"]
+
+
+def test_thermal_wave_analytic():
+    # semi-infinite solid, surface T(0,t) = A sin(ωt): the quasi-steady
+    # response is u = A e^{-kx} sin(ωt - kx) with k = sqrt(ω/2κ) — THE
+    # textbook periodic-conduction solution (daily/annual ground cycles)
+    kappa, omega, A = 1.0, 2.0 * np.pi, 10.0
+    k = np.sqrt(omega / (2.0 * kappa))     # ≈ 1.772
+    L, nx = 4.0, 512                       # ≈ 7 decay lengths
+    period = 2.0 * np.pi / omega
+    nper, steps_per = 4, 256
+    dt = period / steps_per
+    mesh = interval_mesh(nx, 0.0, L)
+    p = HeatProblem(mesh=mesh, diffusivity=kappa, T_initial=0.0,
+                    dt=dt, num_steps=nper * steps_per, theta=0.5,
+                    bc_pairs=[(mesh.face_mask(0, 0), 0.0),
+                              (mesh.face_mask(0, 1), 0.0)],
+                    bc_amp_pairs=[(mesh.face_mask(0, 0), A)],
+                    mod_omega=omega)
+    times, values, info = heat.solve_heat_problem(p)
+    x = mesh.flat_node_coords()[:, 0]
+    t_f = times[-1]
+    exact = A * np.exp(-k * x) * np.sin(omega * t_f - k * x)
+    # after 4 periods the start-up transient has decayed; compare where the
+    # wave lives (first ~2.5 decay lengths)
+    zone = x < 2.5 / k
+    err = np.max(np.abs(values[-1][zone] - exact[zone]))
+    assert err < 0.05 * A, err
+    # penetration depth: amplitude at k·x = 1 is ≈ A/e (sample a full
+    # period of snapshots to estimate the local amplitude)
+    per_idx = [i for i, t in enumerate(times)
+               if t > t_f - period - 1e-12]
+    j = int(np.argmin(np.abs(k * x - 1.0)))
+    amp_j = 0.5 * (values[per_idx, j].max() - values[per_idx, j].min())
+    np.testing.assert_allclose(amp_j, A * np.exp(-1.0), rtol=0.08)
+    assert info["converged"]
+
+
+def test_periodic_checkpoint_resume_phase(tmp_path):
+    """Chunked (checkpointed) stepping must agree with the plain scan —
+    the chunks enter the scan at nonzero step offsets, so this pins the
+    step0/phase plumbing."""
+    from pde_solver_tpu.config import config_overrides
+
+    mesh = interval_mesh(24, 0.0, 1.0)
+    common = dict(mesh=mesh, diffusivity=1.0, T_initial=0.0,
+                  dt=0.01, num_steps=12, theta=1.0,
+                  bc_pairs=[(mesh.face_mask(0, 0), 0.0),
+                            (mesh.face_mask(0, 1), 0.0)],
+                  bc_amp_pairs=[(mesh.face_mask(0, 0), 5.0)],
+                  mod_omega=9.0, mod_phase=0.3)
+    _, base, _ = heat.solve_heat_problem(HeatProblem(**common))
+    with config_overrides(transient_checkpoint_every=5,
+                          checkpoint_dir=str(tmp_path)):
+        _, chunked, _ = heat.solve_heat_problem(HeatProblem(**common))
+    np.testing.assert_allclose(chunked[-1], base[-1], rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_periodic_sharded_rejected():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pde_solver_tpu.config import config_overrides
+
+    mesh = interval_mesh(15, 0.0, 1.0)
+    p = HeatProblem(mesh=mesh, T_initial=0.0, dt=0.01, num_steps=3,
+                    bc_pairs=[(mesh.face_mask(0, 0), 0.0)],
+                    bc_amp_pairs=[(mesh.face_mask(0, 0), 1.0)],
+                    mod_omega=1.0)
+    with config_overrides(shard_devices=8):
+        with pytest.raises(ValueError, match="time_mod"):
+            heat.solve_heat_problem(p)
