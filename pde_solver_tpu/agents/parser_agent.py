@@ -567,6 +567,42 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                     faces.append(f)
         for f in faces:
             bc.setdefault(f, {"type": "insulated"})
+    # --- sinusoidal boundary driving ("varies between 10 and 30 °C with a
+    # period of 60 s", "daily temperature cycle between -5 and 15") —
+    # extension: the reference's BCs are constant ---
+    m = re.search(r"(?:varies|oscillat\w*|swings?|cycl\w*)\s*"
+                  r"(?:sinusoidally\s+)?between\s*" + _NUM
+                  + r"\s*°?\s*c?\s*and\s*" + _NUM, t)
+    if m is None:
+        m = re.search(r"(?:daily|diurnal|annual|seasonal)\s+"
+                      r"(?:temperature\s+)?cycle\s+between\s*" + _NUM
+                      + r"\s*°?\s*c?\s*and\s*" + _NUM, t)
+    if m:
+        lo, hi = float(m.group(1)), float(m.group(2))
+        base, amp = 0.5 * (lo + hi), 0.5 * abs(hi - lo)
+        pm = re.search(r"period\s*(?:of)?\s*" + _NUM
+                       + r"\s*(days?|hours?|h\b|min(?:utes)?|s(?:ec(?:onds)?)?)?",
+                       t)
+        if pm:
+            scale = {"day": 86400.0, "days": 86400.0, "hour": 3600.0,
+                     "hours": 3600.0, "h": 3600.0, "min": 60.0,
+                     "minutes": 60.0}.get((pm.group(2) or "s").strip(), 1.0)
+            period = float(pm.group(1)) * scale
+        elif re.search(r"daily|diurnal", t):
+            period = 86400.0
+        elif re.search(r"annual|seasonal", t):
+            period = 365.25 * 86400.0
+        else:
+            period = 1.0
+            out.setdefault("notes", []).append(
+                "oscillating boundary requested without a period - "
+                "using 1 s")
+        faces = _face_near(m.start(), m.end()) or ["left"]
+        for f in faces:
+            bc[f] = {"type": "dirichlet", "value": base,
+                     "amplitude": amp, "period": period}
+        out["steady"] = False
+
     # standalone film-coefficient / ambient mentions without a convection
     # cue ("change the heat transfer coefficient to 50") ride a _robin_update
     # entry; the follow-up merge applies it to existing robin face specs

@@ -256,15 +256,26 @@ def _mixed_heat_problem(mesh, dim, diffusivity, boundary_conditions,
                         source_type, source_value, steady, T_initial,
                         initial_type, initial_amplitude, initial_wavenumber,
                         dt, num_steps):
-    dirichlet, robin, flux = heat.parse_face_bcs(boundary_conditions, dim)
+    dirichlet, robin, flux, modulated = heat.parse_face_bcs(
+        boundary_conditions, dim)
 
     def bc_builder(m):
         return [(m.face_mask(axis, side), val)
                 for axis, side, val in dirichlet]
 
+    # sinusoidal Dirichlet driving: one shared (omega, phase) sinusoid —
+    # the first modulated face sets it (mixed periods are not supported)
+    bc_amp_pairs, mod_omega, mod_phase = (), 0.0, 0.0
+    if modulated and not steady:
+        mod_omega, mod_phase = modulated[0][3], modulated[0][4]
+        bc_amp_pairs = [(mesh.face_mask(axis, side), amp)
+                        for axis, side, amp, _, _ in modulated]
+
     return heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, bc_builder=bc_builder,
         robin_faces=robin, flux_faces=flux,
+        bc_amp_pairs=bc_amp_pairs, mod_omega=mod_omega,
+        mod_phase=mod_phase,
         source_type=source_type, source_value=source_value, steady=steady,
         T_initial=T_initial, initial_type=initial_type,
         initial_amplitude=initial_amplitude,

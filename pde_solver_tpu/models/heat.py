@@ -323,12 +323,15 @@ def parse_face_bcs(boundary_conditions, dim: int):
     Spec: ``{face: {"type": "dirichlet"|"robin"|"neumann"|"insulated", ...}}``
     where robin carries ``h`` + ``T_ambient`` (aliases ``t_inf``/``ambient``),
     neumann carries ``flux`` (inward W/m²; ``insulated`` ≡ flux 0), and a bare
-    number is shorthand for a Dirichlet value.  Unnamed faces default to the
-    natural (insulated) condition.  Returns
-    ``(dirichlet_list, robin_faces, flux_faces)`` with dirichlet entries as
-    ``(axis, side, value)``.
+    number is shorthand for a Dirichlet value.  A Dirichlet spec may add
+    ``amplitude`` + ``period`` (or ``omega``) [+ ``phase``] for sinusoidal
+    driving: T(t) = value + amplitude·sin(ωt+φ).  Unnamed faces default to
+    the natural (insulated) condition.  Returns
+    ``(dirichlet_list, robin_faces, flux_faces, modulated)`` with dirichlet
+    entries as ``(axis, side, value)`` and modulated entries as
+    ``(axis, side, amplitude, omega, phase)``.
     """
-    dirichlet, robin, flux = [], [], []
+    dirichlet, robin, flux, modulated = [], [], [], []
     for face, spec in (boundary_conditions or {}).items():
         keys = _face_keys(dim, face)
         if isinstance(spec, (int, float)):
@@ -337,6 +340,15 @@ def parse_face_bcs(boundary_conditions, dim: int):
         for axis, side in keys:
             if kind in ("dirichlet", "fixed", "temperature"):
                 dirichlet.append((axis, side, float(spec.get("value", 0.0))))
+                if spec.get("amplitude"):
+                    omega = spec.get("omega")
+                    if omega is None:
+                        period = float(spec.get("period", 1.0))
+                        omega = 2.0 * np.pi / period if period else 0.0
+                    modulated.append((axis, side,
+                                      float(spec["amplitude"]),
+                                      float(omega),
+                                      float(spec.get("phase", 0.0))))
             elif kind in ("robin", "convection", "convective"):
                 t_inf = spec.get("T_ambient", spec.get("t_ambient",
                          spec.get("t_inf", spec.get("ambient", 0.0))))
@@ -349,7 +361,7 @@ def parse_face_bcs(boundary_conditions, dim: int):
                 pass  # natural BC: no term
             else:
                 raise ValueError(f"unknown BC type {kind!r} for face {face!r}")
-    return dirichlet, robin, flux
+    return dirichlet, robin, flux, modulated
 
 
 # ----------------------------------------------------------------------

@@ -131,3 +131,59 @@ def test_periodic_sharded_rejected():
     with config_overrides(shard_devices=8):
         with pytest.raises(ValueError, match="time_mod"):
             heat.solve_heat_problem(p)
+
+
+# ----------------------------------------------------------------------
+# API + NL routing
+# ----------------------------------------------------------------------
+
+def test_mixed_tool_accepts_periodic_dirichlet(tmp_path):
+    from pde_solver_tpu import api
+    from pde_solver_tpu.fields import load_field
+    period = 0.5
+    res = api.solve_heat_1D_mixed(
+        length=1.0, nx=64, dt=period / 50, num_steps=100,
+        data_dir=str(tmp_path),
+        boundary_conditions={
+            "left": {"type": "dirichlet", "value": 20.0, "amplitude": 5.0,
+                     "period": period},
+            "right": {"type": "dirichlet", "value": 20.0}})
+    f = load_field(res.data_file)
+    v = f.values_array()
+    # the boundary node oscillates around 20 with amplitude ~5
+    left_trace = v[:, 0]
+    assert left_trace.max() > 24.0 and left_trace.min() < 16.0
+    assert abs(np.mean(left_trace[1:]) - 20.0) < 1.0
+    assert f.meta["boundary_conditions"]["left"]["amplitude"] == 5.0
+
+
+def test_rule_parse_periodic_boundary_and_e2e():
+    import asyncio
+
+    from pde_solver_tpu.agents.dispatcher_agent import DispatcherAgent
+    from pde_solver_tpu.agents.parser_agent import rule_based_parse
+    from pde_solver_tpu.schema import PDEParameters
+
+    r = rule_based_parse(
+        "1D heat in a 0.5 m concrete wall, right face at 20 C, the left "
+        "surface temperature varies sinusoidally between 10 and 30 C with "
+        "a period of 60 s")
+    spec = r["bc_values"]["left"]
+    assert spec["value"] == 20.0 and spec["amplitude"] == 10.0
+    assert spec["period"] == 60.0
+    assert r["steady"] is False
+
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_heat_1D_mixed"
+    assert args["boundary_conditions"]["left"]["amplitude"] == 10.0
+    res = asyncio.new_event_loop().run_until_complete(
+        d.dispatch(PDEParameters.from_dict(r)))
+    assert not res.get("error")
+
+    # "daily temperature cycle" implies the 86400 s period
+    r2 = rule_based_parse(
+        "ground temperature under a daily cycle between -5 and 15 C at "
+        "the top surface, 2 m deep domain")
+    spec2 = r2["bc_values"]["top"]
+    assert spec2["amplitude"] == 10.0 and spec2["period"] == 86400.0
