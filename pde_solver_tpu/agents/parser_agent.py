@@ -834,11 +834,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if re.search(r"crank[\s–-]*nicol?son|trapezoidal\s+(?:rule|scheme|stepping)", t):
         out.setdefault("notes", []).append("time_scheme:crank_nicolson")
 
+    # --- modal analysis opt-in (framework extension: natural frequencies
+    # and mode shapes via subspace iteration, ops/eigen.py) ---
+    if re.search(r"natural\s+frequenc|eigen\s*frequenc|eigenmode"
+                 r"|modal\s+analysis|(?:vibration|normal)\s+modes?"
+                 r"|mode\s+shapes?|resonant?\s+frequenc", t):
+        out["pde_type"] = "elasticity"
+        out.setdefault("notes", []).append("modal")
+        m = re.search(r"(?:first|lowest)\s+(\d+)\s+(?:natural\s+|vibration"
+                      r"\s+|eigen\s*|normal\s+)?(?:modes?|frequenc)", t)
+        if m:
+            material["num_modes"] = int(m.group(1))
     # --- elastodynamics opt-in (framework extension: the reference's
     # elasticity is static-only) — only explicit vibration/dynamic phrasing
     # routes to the Newmark solver, so reference-style queries are untouched ---
     if out.get("pde_type") == "elasticity" and re.search(
-            r"vibrat|oscillat|\bdynamic|elastodynamic", t):
+            r"vibrat|oscillat|\bdynamic|elastodynamic", t) \
+            and "modal" not in (out.get("notes") or []):
         out.setdefault("notes", []).append("dynamic")
         out["steady"] = False
 

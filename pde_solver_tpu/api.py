@@ -18,7 +18,9 @@ from typing import Optional
 import numpy as np
 
 from pde_solver_tpu.fields import PlotResult, SolveResult, TimeSeriesField, save_field
-from pde_solver_tpu.mesh import StructuredMesh, box_mesh, interval_mesh, rectangle_mesh
+from pde_solver_tpu.mesh import (StructuredMesh, box_mesh, flatten_values,
+                                 interval_mesh, rectangle_mesh)
+from pde_solver_tpu.ops import assembly
 from pde_solver_tpu.models import elasticity as elast
 from pde_solver_tpu.models import heat
 from pde_solver_tpu.models import wave
@@ -1108,6 +1110,66 @@ def solve_elasticity_3D_loaded(
     field = _pack(mesh, embed_identity3, np.array([0.0]), values[None, :], 3,
                   meta, stats)
     return _result(field, data_dir, f"elasticity_3d_loaded_{quantity}")
+
+
+def solve_elasticity_3D_modal(
+    Lx: float = 1.0,
+    Ly: float = 0.2,
+    Lz: float = 0.2,
+    nx: int = 16,
+    ny: int = 6,
+    nz: int = 6,
+    E: float = 210e9,
+    nu: float = 0.3,
+    rho: float = 7800.0,
+    num_modes: int = 4,
+    data_dir: str = "data",
+) -> SolveResult:
+    """Natural frequencies + mode shapes of a clamped-free box (extension
+    tool — the reference has no eigen capability).
+
+    Solves K φ = ω² M φ with Rayleigh–Ritz subspace iteration
+    (ops/eigen.py).  The artifact packs one frame per mode — the
+    displacement magnitude |φ| — with the frame "times" carrying the
+    frequencies in Hz, so the standard animated plotters page through the
+    mode shapes.  ``meta.frequencies_hz`` holds the list.
+    """
+    from pde_solver_tpu.ops.bc import DirichletBC
+    from pde_solver_tpu.ops.eigen import smallest_modes
+
+    mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
+    lam_p, mu = elast.lame_parameters(E, nu, "3d")
+    K = assembly.assemble_elasticity_stencil(mesh, lam_p, mu)
+    M = elast.assemble_vector_mass(mesh, rho)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+
+    def mg_builder(mesh_c):
+        K_c = assembly.assemble_elasticity_stencil(mesh_c, lam_p, mu)
+        bc_c = DirichletBC.from_masks([(mesh_c.face_mask(0, 0), 0.0)],
+                                      mesh_c.node_shape, vdim=3)
+        return K_c, bc_c
+
+    lams, modes, stats = smallest_modes(K, M, mesh, bc,
+                                        num_modes=num_modes, vdim=3,
+                                        mg_level_builder=mg_builder)
+    freqs = np.sqrt(np.maximum(lams, 0.0)) / (2.0 * np.pi)
+    # per-mode displacement magnitude, normalized to unit max for display
+    frames = []
+    for j in range(len(lams)):
+        mag = np.linalg.norm(modes[j], axis=-1)
+        frames.append(flatten_values(mag / max(mag.max(), 1e-300),
+                                     mesh.dim))
+    values = np.stack(frames)
+    meta = {
+        "name": "mode_shape", "unit": "-", "pde": "elasticity_modal",
+        "coordinate_system": "cartesian",
+        "Lx": Lx, "Ly": Ly, "Lz": Lz, "E": E, "nu": nu, "rho": rho,
+        "frequencies_hz": [float(f) for f in freqs],
+        "num_modes": int(num_modes),
+    }
+    field = _pack(mesh, embed_identity3, freqs, values, 3, meta, stats)
+    return _result(field, data_dir, "elasticity_3d_modal")
 
 
 def solve_elasticity_3D_dynamic(

@@ -178,6 +178,9 @@ def default_tools() -> Dict[str, Callable]:
         # advection-diffusion — the reference parses pde_type="advection"
         # (pde_schema.py:15) but has no solver for it
         "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
+        # modal analysis (natural frequencies/mode shapes) — the reference
+        # has no eigen capability
+        "solve_elasticity_3D_modal",
     ]
     return {n: getattr(api, n) for n in names}
 
