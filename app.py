@@ -24,6 +24,8 @@ EXAMPLES = [
     "3D elasticity problem on a 1m x 0.2m x 0.2m box with gravity",
     "A steel sphere of diameter 10 cm quenched from 800°C to 20°C water with h = 500",
     "Stress in a 2 m x 0.2 m steel cantilever, E 200 GPa, with a downward tip load of 1 kN at the free end",
+    "First 4 natural frequencies of a 2 m x 0.3 m x 0.3 m steel beam",
+    "Pollutant transport in a 2 m channel with flow speed 1.5 m/s and diffusivity 0.02",
 ]
 
 
