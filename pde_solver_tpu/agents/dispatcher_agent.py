@@ -55,7 +55,7 @@ class LocalToolSet(ToolSet):
             "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
             "solve_elasticity_3D_loaded",
             "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
-            "solve_elasticity_3D_modal",
+            "solve_elasticity_2D_modal", "solve_elasticity_3D_modal",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -314,6 +314,9 @@ class DispatcherAgent:
             # modes" contains a vibration word): an explicit "modal" note
             # routes to the eigen tool.
             if "modal" in (params.notes or []):
+                if params.dim == 2:
+                    return ("solve_elasticity_2D_modal",
+                            self._elast_modal_args(params, dim=2))
                 return ("solve_elasticity_3D_modal",
                         self._elast_modal_args(params))
             # Dynamics is OPT-IN via an explicit "dynamic" note (set by the
@@ -537,29 +540,36 @@ class DispatcherAgent:
             for face, spec in loads.items()}
         return args
 
-    def _elast_modal_args(self, params: PDEParameters) -> Dict[str, Any]:
+    def _elast_modal_args(self, params: PDEParameters,
+                          dim: int = 3) -> Dict[str, Any]:
         domain = params.domain_size or {}
         Lx, Ly = self._domain_xy(domain)
-        Lz = float(domain.get("Lz") or domain.get("lz")
-                   or domain.get("depth") or (0.2 if "Lx" in domain
-                                              or "length" in domain else Ly))
         if not domain:
-            Lx, Ly, Lz = 1.0, 0.2, 0.2  # default slender beam
+            Lx, Ly = 1.0, 0.2  # default slender beam
         mp = params.material_params or {}
-        num_modes = int(mp.get("num_modes", 4))
-        return {
+        args: Dict[str, Any] = {
             "Lx": float(domain.get("Lx") or domain.get("length")
                         or domain.get("L") or Lx),
-            "Ly": Ly if domain else 0.2, "Lz": Lz,
-            "nx": params.nx or 16, "ny": params.ny or 6,
-            "nz": params.nz or 6,
+            "Ly": Ly if domain else 0.2,
+            "nx": params.nx or (16 if dim == 3 else 24),
+            "ny": params.ny or 6,
             "E": params.young_modulus if params.young_modulus is not None
             else 210e9,
             "nu": params.poisson_ratio if params.poisson_ratio is not None
             else 0.3,
             "rho": params.density if params.density is not None else 7800.0,
-            "num_modes": num_modes, "data_dir": "data",
+            "num_modes": int(mp.get("num_modes", 4)), "data_dir": "data",
         }
+        if dim == 3:
+            Lz = float(domain.get("Lz") or domain.get("lz")
+                       or domain.get("depth")
+                       or (0.2 if not domain else Ly))
+            args["Lz"] = Lz
+            args["nz"] = params.nz or 6
+        else:
+            ps = mp.get("plane_stress")
+            args["plane_stress"] = True if ps is None else bool(ps)
+        return args
 
     def _heat_mixed_args(self, params: PDEParameters, dim: int,
                          spec: Dict[str, Any]) -> Dict[str, Any]:

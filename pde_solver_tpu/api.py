@@ -1112,6 +1112,59 @@ def solve_elasticity_3D_loaded(
     return _result(field, data_dir, f"elasticity_3d_loaded_{quantity}")
 
 
+def solve_elasticity_2D_modal(
+    Lx: float = 1.0,
+    Ly: float = 0.2,
+    nx: int = 24,
+    ny: int = 6,
+    E: float = 210e9,
+    nu: float = 0.3,
+    rho: float = 7800.0,
+    num_modes: int = 4,
+    plane_stress: bool = True,
+    data_dir: str = "data",
+) -> SolveResult:
+    """2D in-plane natural frequencies + mode shapes, clamped left edge
+    (extension tool; see :func:`solve_elasticity_3D_modal`)."""
+    from pde_solver_tpu.ops.bc import DirichletBC
+    from pde_solver_tpu.ops.eigen import smallest_modes
+
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+    mode = "plane_stress" if plane_stress else "plane_strain"
+    lam_p, mu = elast.lame_parameters(E, nu, mode)
+    K = assembly.assemble_elasticity_stencil(mesh, lam_p, mu)
+    M = elast.assemble_vector_mass(mesh, rho)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=2)
+
+    def mg_builder(mesh_c):
+        K_c = assembly.assemble_elasticity_stencil(mesh_c, lam_p, mu)
+        bc_c = DirichletBC.from_masks([(mesh_c.face_mask(0, 0), 0.0)],
+                                      mesh_c.node_shape, vdim=2)
+        return K_c, bc_c
+
+    lams, modes, stats = smallest_modes(K, M, mesh, bc,
+                                        num_modes=num_modes, vdim=2,
+                                        mg_level_builder=mg_builder)
+    freqs = np.sqrt(np.maximum(lams, 0.0)) / (2.0 * np.pi)
+    frames = []
+    for j in range(len(lams)):
+        mag = np.linalg.norm(modes[j], axis=-1)
+        frames.append(flatten_values(mag / max(mag.max(), 1e-300),
+                                     mesh.dim))
+    values = np.stack(frames)
+    meta = {
+        "name": "mode_shape", "unit": "-", "pde": "elasticity_modal",
+        "coordinate_system": "cartesian",
+        "Lx": Lx, "Ly": Ly, "E": E, "nu": nu, "rho": rho,
+        "plane_stress": plane_stress,
+        "frequencies_hz": [float(f) for f in freqs],
+        "num_modes": int(num_modes),
+    }
+    field = _pack(mesh, embed_plane, freqs, values, 2, meta, stats)
+    return _result(field, data_dir, "elasticity_2d_modal")
+
+
 def solve_elasticity_3D_modal(
     Lx: float = 1.0,
     Ly: float = 0.2,

@@ -180,7 +180,7 @@ def default_tools() -> Dict[str, Callable]:
         "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
         # modal analysis (natural frequencies/mode shapes) — the reference
         # has no eigen capability
-        "solve_elasticity_3D_modal",
+        "solve_elasticity_2D_modal", "solve_elasticity_3D_modal",
     ]
     return {n: getattr(api, n) for n in names}
 

@@ -149,3 +149,25 @@ def test_modal_nl_routing_and_e2e():
     r2 = rule_based_parse("simulate the vibration of a 1 m steel "
                           "cantilever in 3d, 20 steps")
     assert "dynamic" in r2["notes"] and "modal" not in r2.get("notes", [])
+
+
+def test_modal_2d_api_and_routing(tmp_path):
+    from pde_solver_tpu import api
+    from pde_solver_tpu.agents.dispatcher_agent import DispatcherAgent
+    from pde_solver_tpu.agents.parser_agent import rule_based_parse
+    from pde_solver_tpu.fields import load_field
+    from pde_solver_tpu.schema import PDEParameters
+
+    res = api.solve_elasticity_2D_modal(nx=12, ny=4, num_modes=2,
+                                        data_dir=str(tmp_path))
+    f = load_field(res.data_file)
+    assert len(f.meta["frequencies_hz"]) == 2 and f.dim == 2
+    assert f.meta["solver_stats"]["converged"]
+
+    r = rule_based_parse("modal analysis of a 2D plate 1 m x 0.2 m, "
+                         "plane strain, first 2 modes")
+    r["dim"] = 2
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_2D_modal"
+    assert args["num_modes"] == 2 and args["plane_stress"] is False

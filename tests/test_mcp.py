@@ -35,7 +35,7 @@ def test_initialize_and_tools_list():
         "solve_elasticity_1D_loaded", "solve_elasticity_2D_loaded",
         "solve_elasticity_3D_loaded",
         "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
-        "solve_elasticity_3D_modal",
+        "solve_elasticity_2D_modal", "solve_elasticity_3D_modal",
     }
 
 
@@ -86,7 +86,7 @@ def test_stdio_subprocess_round_trip(tmp_path):
         client = StdioMCPClient([sys.executable, env_script])
         try:
             tools = await client.list_tools()
-            assert len(tools) == 28
+            assert len(tools) == 29
             res = await client.call_tool("solve_heat_1D", {
                 "nx": 8, "num_steps": 2, "data_dir": str(tmp_path)})
             assert os.path.exists(res["data_file"])
