@@ -56,6 +56,7 @@ class LocalToolSet(ToolSet):
             "solve_elasticity_3D_loaded",
             "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
             "solve_elasticity_2D_modal", "solve_elasticity_3D_modal",
+            "solve_heat_1D_nonlinear", "solve_heat_2D_nonlinear",
             "plot_time_series_field_from_file", "plot_time_series_field",
         )]
 
@@ -276,6 +277,14 @@ class DispatcherAgent:
             # Cartesian tools, or the radial tool for 1D shells (convective
             # quenching).  Pure-Dirichlet queries keep the reference routes.
             mixed = _mixed_bc_spec(params)
+            # nonlinear κ(T): steady Cartesian 1D/2D queries with the
+            # parser's nonlinear_kappa note route to the Picard tools
+            if ("nonlinear_kappa" in (params.notes or [])
+                    and params.steady and params.dim in (1, 2)
+                    and geometry not in ("cylinder", "sphere")
+                    and not mixed):
+                return (f"solve_heat_{params.dim}D_nonlinear",
+                        self._heat_nonlinear_args(params))
             if params.dim == 1:
                 if geometry in ("cylinder", "sphere"):
                     if mixed:
@@ -570,6 +579,29 @@ class DispatcherAgent:
             ps = mp.get("plane_stress")
             args["plane_stress"] = True if ps is None else bool(ps)
         return args
+
+    def _heat_nonlinear_args(self, params: PDEParameters) -> Dict[str, Any]:
+        mp = params.material_params or {}
+        beta = float(mp.get("beta", 0.01))
+        kappa0 = params.diffusivity if params.diffusivity is not None else 1.0
+        if params.dim == 1:
+            args = self._heat_1d_args(params)
+            keep = {k: args[k] for k in ("length", "nx", "T_left",
+                                         "T_right", "source_type",
+                                         "source_value", "data_dir")}
+            keep["T_initial"] = 0.5 * (keep["T_left"] + keep["T_right"])
+        else:
+            args = self._heat_2d_args(params)
+            keep = {k: args[k] for k in ("Lx", "Ly", "nx", "ny",
+                                         "T_boundary", "source_type",
+                                         "source_value", "data_dir")}
+            t_left = _bc_get(params.bc_values or {}, "T_left", "left")
+            if t_left is not None:
+                keep["T_left"] = float(t_left)
+            keep["T_initial"] = keep["T_boundary"]
+        keep["kappa0"] = float(kappa0)
+        keep["beta"] = beta
+        return keep
 
     def _heat_mixed_args(self, params: PDEParameters, dim: int,
                          spec: Dict[str, Any]) -> Dict[str, Any]:

@@ -815,6 +815,22 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["source_value"] = float(m.group(1))
     if re.search(r"steady[- ]?state|\bsteady\b|equilibrium", t):
         out["steady"] = True
+
+    # --- temperature-dependent conductivity κ(T) = κ0(1+βT) (nonlinear
+    # extension; the reference is linear-only) ---
+    if re.search(r"temperature[-\s]dependent\s+(?:thermal\s+)?"
+                 r"(?:conductivity|diffusivity)"
+                 r"|(?:conductivity|diffusivity)\s+(?:that\s+)?"
+                 r"(?:increases|decreases|varies|depends)\s+(?:with|on)\s+"
+                 r"temperature"
+                 r"|nonlinear\s+(?:heat\s+)?conduct", t):
+        out.setdefault("notes", []).append("nonlinear_kappa")
+        m = re.search(r"(?:beta|temperature\s+coefficient)\s*"
+                      r"(?:of|=|:)?\s*" + _NUM, t)
+        if m:
+            material["beta"] = float(m.group(1))
+        if re.search(r"decreases\s+(?:with|on)\s+temperature", t):
+            material["beta"] = -abs(material.get("beta", 0.01))
     m = re.search(r"(?:dt|time step)\s*(?:of|=|:|to)?\s*" + _NUM, t)
     if m:
         out["dt"] = float(m.group(1))

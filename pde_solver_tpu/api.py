@@ -503,6 +503,83 @@ def solve_heat_radial_mixed(
 
 
 # ======================================================================
+# Nonlinear conductivity (extension tools)
+# ======================================================================
+
+def solve_heat_1D_nonlinear(
+    length: float = 2.0,
+    nx: int = 100,
+    kappa0: float = 1.0,
+    beta: float = 0.01,
+    T_left: float = 100.0,
+    T_right: float = 0.0,
+    T_initial: float = 50.0,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    data_dir: str = "data",
+) -> SolveResult:
+    """Steady 1D heat with κ(T) = κ0(1+βT), Picard-iterated (extension
+    tool — the reference's solvers are linear-only).  Validated against
+    the Kirchhoff-transform closed form."""
+    mesh = interval_mesh(nx, 0.0, length)
+    p = heat.HeatProblem(
+        mesh=mesh, steady=True, T_initial=T_initial,
+        bc_builder=lambda m: [(m.face_mask(0, 0), T_left),
+                              (m.face_mask(0, 1), T_right)],
+        source_type=source_type, source_value=source_value)
+    times, values, stats = heat.solve_heat_nonlinear(p, kappa0, beta)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "length": length,
+        "kappa0": kappa0, "beta": beta, "nonlinear": True,
+        "source_type": source_type, "source_value": source_value,
+        "steady": True,
+    }
+    field = _pack(mesh, embed_line, times, values, 1, meta, stats)
+    return _result(field, data_dir, "heat_1d_nonlinear")
+
+
+def solve_heat_2D_nonlinear(
+    Lx: float = 1.0,
+    Ly: float = 1.0,
+    nx: int = 40,
+    ny: int = 40,
+    kappa0: float = 1.0,
+    beta: float = 0.01,
+    T_boundary: float = 0.0,
+    T_left: Optional[float] = None,
+    T_initial: float = 50.0,
+    source_type: str = "none",
+    source_value: float = 0.0,
+    data_dir: str = "data",
+) -> SolveResult:
+    """Steady 2D heat with κ(T) = κ0(1+βT) (extension tool).  ``T_left``
+    optionally overrides the uniform boundary on the x=0 edge."""
+    mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
+
+    def bc_builder(m):
+        pairs = [(m.boundary_mask(), T_boundary)]
+        if T_left is not None:
+            pairs.append((m.face_mask(0, 0), float(T_left)))
+        return pairs
+
+    p = heat.HeatProblem(mesh=mesh, steady=True, T_initial=T_initial,
+                         bc_builder=bc_builder,
+                         source_type=source_type,
+                         source_value=source_value)
+    times, values, stats = heat.solve_heat_nonlinear(p, kappa0, beta)
+    meta = {
+        "name": "temperature", "unit": "°C", "pde": "heat",
+        "coordinate_system": "cartesian", "Lx": Lx, "Ly": Ly,
+        "kappa0": kappa0, "beta": beta, "nonlinear": True,
+        "source_type": source_type, "source_value": source_value,
+        "steady": True,
+    }
+    field = _pack(mesh, embed_plane, times, values, 2, meta, stats)
+    return _result(field, data_dir, "heat_2d_nonlinear")
+
+
+# ======================================================================
 # Advection-diffusion (extension tools)
 # ======================================================================
 # The reference's schema lists pde_type="advection" and its parser emits it

@@ -181,6 +181,8 @@ def default_tools() -> Dict[str, Callable]:
         # modal analysis (natural frequencies/mode shapes) — the reference
         # has no eigen capability
         "solve_elasticity_2D_modal", "solve_elasticity_3D_modal",
+        # nonlinear conductivity k(T) — the reference is linear-only
+        "solve_heat_1D_nonlinear", "solve_heat_2D_nonlinear",
     ]
     return {n: getattr(api, n) for n in names}
 

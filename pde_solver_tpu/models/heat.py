@@ -271,6 +271,88 @@ def solve_heat_problem(p: HeatProblem, config: Optional[SolverConfig] = None
 
 
 # ----------------------------------------------------------------------
+# Nonlinear conductivity (extension: the reference is linear-only)
+# ----------------------------------------------------------------------
+
+def _cell_average(T_nodes: np.ndarray, dim: int) -> np.ndarray:
+    """Average the 2^d corner nodes of every cell (shape [*cell_shape])."""
+    out = None
+    for corner in np.ndindex(*([2] * dim)):
+        sl = tuple(slice(c, (None if c else -1)) for c in corner)
+        out = T_nodes[sl] if out is None else out + T_nodes[sl]
+    return out / (2 ** dim)
+
+
+def solve_heat_nonlinear(p: HeatProblem, kappa0: float, beta: float,
+                         config: Optional[SolverConfig] = None,
+                         picard_tol: float = 1e-8, max_picard: int = 40,
+                         ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Steady heat with κ(T) = κ0 (1 + β T) by Picard iteration.
+
+    Each iteration evaluates κ at the per-cell average of the current
+    iterate and re-solves the linearized SPD system through the standard
+    stack; convergence is the relative iterate change.  Validated against
+    the Kirchhoff-transform closed form (tests/test_nonlinear.py):
+    θ = κ0 (T + βT²/2) is harmonic, so 1D profiles are the inverted
+    quadratic of a straight line.  β must keep κ positive over the
+    temperature range (checked per iteration).
+    """
+    from pde_solver_tpu.ops.linsolve import solve_stencil_system
+
+    cfg = config or get_config()
+    mesh = p.mesh
+    if not p.steady:
+        raise ValueError("solve_heat_nonlinear handles steady problems; "
+                         "transient κ(T) is not supported yet")
+    pairs = list(p.bc_pairs) if p.bc_pairs else (
+        list(p.bc_builder(mesh)) if p.bc_builder else [])
+    bc = DirichletBC.from_masks(pairs, mesh.node_shape)
+    if p.source_type == "constant" and p.source_value != 0.0:
+        b = p.source_value * assembly.assemble_load(
+            mesh, weight_fn=p.weight_fn, quad_degree=p.weight_quad_degree)
+    else:
+        b = np.zeros(mesh.node_shape, dtype=np.float64)
+
+    # initial iterate: the linearization point is the BC-consistent field
+    T = np.asarray(bc.apply_values(
+        np.full(mesh.node_shape, float(p.T_initial))), np.float64)
+    total_cg = 0
+    rel = np.inf
+    it = 0
+    for it in range(1, max_picard + 1):
+        kcells = kappa0 * (1.0 + beta * _cell_average(T, mesh.dim))
+        if kcells.min() <= 0.0:
+            raise ValueError(
+                f"kappa(T) became non-positive (min {kcells.min():.3g}) — "
+                "beta is too large for this temperature range")
+        K = assembly.assemble_scalar_stencil(
+            mesh, "stiffness", weight_fn=p.weight_fn, cell_coeff=kcells,
+            quad_degree=(p.weight_quad_degree
+                         if p.weight_fn is not None else 2))
+        T_new, stats = solve_stencil_system(K, mesh, bc, b, config=cfg)
+        T_new = np.asarray(T_new, np.float64)
+        total_cg += int(stats.iterations)
+        rel = (np.linalg.norm((T_new - T).ravel())
+               / max(np.linalg.norm(T_new.ravel()), 1e-300))
+        T = T_new
+        if rel < picard_tol:
+            break
+    get_logger().info(
+        "nonlinear heat: %d Picard iterations (%d CG total), change %.2e",
+        it, total_cg, rel)
+    values = flatten_values(T, mesh.dim)[None, :]
+    info = {
+        "steady": True, "nonlinear": True,
+        "picard_iterations": it, "cg_iterations": total_cg,
+        "relative_residual": float(rel),
+        "converged": bool(rel < picard_tol),
+        "convergence_target": picard_tol,
+        "num_dofs": mesh.num_nodes,
+    }
+    return np.array([0.0]), values, info
+
+
+# ----------------------------------------------------------------------
 # Per-face mixed boundary conditions (extension beyond the reference's
 # Dirichlet-only heat tools)
 # ----------------------------------------------------------------------

@@ -36,6 +36,7 @@ def test_initialize_and_tools_list():
         "solve_elasticity_3D_loaded",
         "solve_advection_1D", "solve_advection_2D", "solve_advection_3D",
         "solve_elasticity_2D_modal", "solve_elasticity_3D_modal",
+        "solve_heat_1D_nonlinear", "solve_heat_2D_nonlinear",
     }
 
 
@@ -86,7 +87,7 @@ def test_stdio_subprocess_round_trip(tmp_path):
         client = StdioMCPClient([sys.executable, env_script])
         try:
             tools = await client.list_tools()
-            assert len(tools) == 29
+            assert len(tools) == 31
             res = await client.call_tool("solve_heat_1D", {
                 "nx": 8, "num_steps": 2, "data_dir": str(tmp_path)})
             assert os.path.exists(res["data_file"])
