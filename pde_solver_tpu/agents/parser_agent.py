@@ -668,9 +668,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["density"] = float(m.group(1))
     if re.search(r"\bgravity\b|self[- ]weight|own weight", t):
         material["gravity"] = True
-    m = re.search(r"(?:cross[- ]?sectional\s+)?area\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
+    m = re.search(r"(?:cross[- ]?sectional\s+)?area\s*(?:of|=|:|is|to)?\s*"
+                  + _NUM + r"\s*(mm|cm|m)?\s*(?:\^?2|²)?", t)
     if m:
-        material["area"] = float(m.group(1))
+        scale = {"mm": 1e-6, "cm": 1e-4}.get(m.group(2), 1.0)
+        material["area"] = float(m.group(1)) * scale
     # body-force component forms first (reference material_params contract:
     # body_fx/body_fy/body_fz for 2D/3D, pde_parser_agent.py:313-314):
     #   tuple "(fx, fy[, fz])" / "in the negative z direction" / "downward"
@@ -741,6 +743,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(r"(?:point\s+|tip\s+|end\s+|applied\s+)?"
                       r"(?:load|force)\s*(?:of|=|:)?\s*" + _NUM
                       + r"\s*(kn|mn|n)?\b", t)
+        if m is None:
+            # number-first phrasing: "stretched by a 20 kN tensile force"
+            # (the unit is REQUIRED here to avoid matching bare counts)
+            m = re.search(_NUM + r"\s*(kn|mn|n)\s+(?:tensile\s+|axial\s+|"
+                          r"compressive\s+|downward\s+|vertical\s+|"
+                          r"transverse\s+|point\s+|tip\s+|end\s+)?"
+                          r"(?:load|force)\b", t)
         if m and not re.search(r"body\s+forces?", t[:m.start()][-25:]):
             F = float(m.group(1)) * _force_scale(m.group(2))
             win = t[max(0, m.start() - 80):m.end() + 100]

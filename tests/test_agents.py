@@ -1110,3 +1110,19 @@ def test_poisson_routes_to_steady_heat():
     assert args["steady"] is True and args["source_value"] == 5.0
     res = run(d.dispatch(PDEParameters.from_dict(r)))
     assert not res.get("error")
+
+
+def test_rule_parse_number_first_force_and_area_units():
+    r = rule_based_parse(
+        "steel rod 1 m long stretched by a 20 kN tensile force, area 5 cm2")
+    assert r["bc_values"]["right"] == {"type": "force_axial",
+                                       "value": 20000.0}
+    assert r["material_params"]["area"] == pytest.approx(5e-4)
+    d = DispatcherAgent()
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_1D_loaded"
+    assert args["end_load"] == 20000.0 and args["area"] == pytest.approx(5e-4)
+    # bare "3 forces" must NOT match (unit required in number-first form)
+    r2 = rule_based_parse("an elastic beam subject to 3 forces")
+    assert not any(isinstance(v, dict) and v.get("type", "").startswith("force")
+                   for v in (r2.get("bc_values") or {}).values())
