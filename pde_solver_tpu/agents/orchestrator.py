@@ -337,6 +337,20 @@ class MultiAgentOrchestrator:
             # pde_type unless explicitly mentioned" — this IS the mention)
             merged.pde_type = "heat"
 
+        # A geometry switch means a NEW problem's shape — inheriting the
+        # previous shape's per-face boundary data onto a different geometry
+        # is never right (r4 CLI battery: a self-contained sphere-quench
+        # query classified as follow-up by the 'with' keyword dragged a
+        # slab's flux/Dirichlet faces along).  Start geometry-coupled
+        # fields from the new parse alone.
+        if (new.geometry_type
+                and new.geometry_type != prev.get("geometry_type")):
+            merged.bc_values = {}
+            merged.geometry_params = {}
+            merged.domain_size = {}
+            merged.core_radius = None
+            merged.core_diffusivity = None
+
         if new.domain_size:
             dim_for_norm = new.dim if new.dim is not None else merged.dim
             merged.domain_size = self._normalize_domain_size(

@@ -610,8 +610,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                     for v in bc.values())
     if not has_robin:
         upd = {}
-        m = re.search(r"(?:heat[-\s]?transfer|convection|convective|film)\s+"
-                      r"coefficient\s*(?:of|to|=|:|is)?\s*" + _NUM, t)
+        m = (re.search(r"(?:heat[-\s]?transfer|convection|convective|film)"
+                       r"\s+coefficient\s*(?:of|to|=|:|is)?\s*" + _NUM, t)
+             or re.search(r"\bh\s*(?:=|:)\s*" + _NUM, t)
+             or re.search(r"\bh\s*(?:of)?\s*" + _NUM + r"\s*w\s*/?\s*m", t))
         if m:
             upd["h"] = float(m.group(1))
         m = re.search(r"(?:ambient|surroundings?|bath|coolant)\s*"

@@ -1126,3 +1126,21 @@ def test_rule_parse_number_first_force_and_area_units():
     r2 = rule_based_parse("an elastic beam subject to 3 forces")
     assert not any(isinstance(v, dict) and v.get("type", "").startswith("force")
                    for v in (r2.get("bc_values") or {}).values())
+
+
+def test_geometry_switch_followup_resets_stale_bcs(orch):
+    """A 'with'-keyword query is follow-up-classified, but a geometry
+    switch means a new problem: the slab's flux/Dirichlet faces must not
+    leak onto the sphere, and the bare 'h = N' follow-up must patch the
+    convective spec."""
+    run(orch.solve("steady heat conduction through a 20 cm concrete slab "
+                   "with a heat flux of 100 W/m2 entering the left face "
+                   "and the right face held at 5 C"))
+    r2 = run(orch.solve("how hot does a 1 cm steel sphere get when "
+                        "quenched from 900 C into 25 C oil with h = 400?"))
+    bc = r2["pde_params"]["bc_values"]
+    assert bc == {"all": {"type": "robin", "h": 400.0, "T_ambient": 25.0}}
+    assert r2["pde_params"]["geometry_type"] == "sphere"
+    r3 = run(orch.solve("now use h = 1000"))
+    assert r3["pde_params"]["bc_values"]["all"]["h"] == 1000.0
+    assert not (r3.get("dispatch_result") or {}).get("error")
