@@ -234,6 +234,14 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if re.search(r"\bcylind|\bpipe\b|\btube\b|\bcolumn\b|\bannul"
                  r"|\bcircular\b|\btunnel\b", t):
         out["geometry_type"] = "cylinder"
+    elif re.search(r"\b(?:rod|wire|cable|bar)\b", t) \
+            and re.search(r"\bradius\b|\bdiameter\b", t) \
+            and not re.search(r"elastic|stress|strain|force|load|tensile",
+                              t):
+        # "a fuel rod of radius 1 cm": a rod WITH a radius is a cylinder
+        # (bare "rod" stays the 1D Cartesian cue; elastic bars keep their
+        # 1D axial route regardless)
+        out["geometry_type"] = "cylinder"
     elif re.search(r"\bspher|\bball\b|\bshell\b", t):
         out["geometry_type"] = "sphere"
     elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
@@ -504,7 +512,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         return None
 
     conv_cue = (r"convect(?:s|ion|ive|ing)?|cool(?:ed|ing|s)?\s+(?:by|in)\s+"
-                r"(?:convection|(?:the\s+)?air|water|oil|a\s+bath)"
+                r"(?:a\s+)?(?:[\d.]+\s*°?\s*c\s+)?"
+                r"(?:convection|(?:the\s+)?air|water|oil|bath|furnace|oven)"
                 r"|exposed\s+to\s+(?:\w+\s+)?"
                 r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to|"
                 r"quench(?:ed|ing)?")
@@ -524,11 +533,16 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # above (reference-compatible immersion at the bath temperature)
             continue
         am = (re.search(r"(?:ambient|air|fluid|surroundings?|environment|"
-                        r"coolant|bath|water|oil)(?:\s+temperature)?\s*"
+                        r"coolant|bath|water|oil|furnace|oven)"
+                        r"(?:\s+temperature)?\s*"
                         r"(?:of|at|=|:|is)?\s*" + _NUM, win)
               or re.search(r"to\s*" + _NUM + r"\s*°?\s*c?\s*"
                            r"(?:air|ambient|surroundings|water|oil|bath|"
-                           r"coolant)", win))
+                           r"coolant)", win)
+              # number-first: "a 30 C furnace", "25 C oil"
+              or re.search(_NUM + r"\s*°?\s*c\s+(?:air|furnace|oven|water|"
+                           r"oil|bath|coolant|environment|surroundings)",
+                           win))
         h_val = float(hm.group(1)) if hm else 10.0
         t_inf = float(am.group(1)) if am else 20.0
         if not hm:
@@ -778,6 +792,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                 bc.setdefault("right", {"type": "force", "vector": vec})
         m = re.search(r"pressure\s*(?:of|=|:)?\s*" + _NUM
                       + r"\s*(gpa|mpa|kpa|pa)?\b", t)
+        if m is None:
+            # number-first: "under 1 kPa pressure" (unit required)
+            m = re.search(_NUM + r"\s*(gpa|mpa|kpa|pa)\s+pressure\b", t)
         if m:
             p_val = float(m.group(1)) * _press_scale(m.group(2))
             faces = _face_near(m.start(), m.end(), prefer_after=True) \
@@ -821,6 +838,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                       + _NUM, t)
     if not m:
         m = re.search(r"\bheating\s+of\s+" + _NUM, t)
+    if not m:
+        # "generating 5e7 W/m3" (volumetric generation phrasing)
+        m = re.search(r"generat(?:ing|es|e)\s+" + _NUM
+                      + r"\s*(?:w\s*/?\s*m\s*[³3]?)?", t)
     if m:
         out["source_type"] = "constant"
         out["source_value"] = float(m.group(1))

@@ -1144,3 +1144,34 @@ def test_geometry_switch_followup_resets_stale_bcs(orch):
     r3 = run(orch.solve("now use h = 1000"))
     assert r3["pde_params"]["bc_values"]["all"]["h"] == 1000.0
     assert not (r3.get("dispatch_result") or {}).get("error")
+
+
+def test_rule_parse_battery_round9():
+    d = DispatcherAgent()
+    # a rod WITH a radius is a cylinder; "generating X W/m3" is a source
+    r = rule_based_parse(
+        "steady temperature profile of a nuclear fuel rod 1 cm radius "
+        "generating 5e7 W/m3, surface held at 300 C")
+    assert r["geometry_type"] == "cylinder"
+    assert r["source_value"] == 5e7
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_heat_1D_cylindrical"
+    assert args["r_outer"] == pytest.approx(0.01)
+    assert args["T_outer"] == 300.0
+    # "cools in a 30 C furnace" is convection with number-first ambient
+    r2 = rule_based_parse(
+        "a steel block 10 cm cube initially at 800 C cools in a 30 C "
+        "furnace, h = 25")
+    spec = r2["bc_values"]["all"]
+    assert spec["h"] == 25.0 and spec["T_ambient"] == 30.0
+    # number-first pressure phrasing
+    r3 = rule_based_parse(
+        "displacement of a rubber sheet 50 cm x 50 cm under 1 kPa "
+        "pressure, E 0.1 GPa, plane stress")
+    assert r3["bc_values"]["top"] == {"type": "pressure", "value": 1000.0}
+    name3, args3 = d.route(PDEParameters.from_dict(r3))
+    assert name3 == "solve_elasticity_2D_loaded"
+    # elastic bars with a radius keep their 1D axial route
+    r4 = rule_based_parse("a steel bar of radius 1 cm under a tensile "
+                          "force of 5 kN")
+    assert r4.get("geometry_type") != "cylinder"
