@@ -227,17 +227,20 @@ def _mixed_bc_spec(params: PDEParameters) -> Optional[Dict[str, Any]]:
         return [name]
 
     spec: Dict[str, Any] = {}
-    # two passes: typed specs take precedence over legacy Dirichlet keys
-    # covering the same face (e.g. a quench rule's T_outer vs the convective
-    # outer-surface spec from "with h = 500")
+    # precedence (lowest → highest): legacy Dirichlet numbers, then typed
+    # GROUP specs ("sides"/"all"), then typed specs on specifically-named
+    # faces — "bottom at 25 C, other faces insulated" must keep the bottom
+    # Dirichlet even though the sides group expands over bottom too
     for k, v in bc.items():
         if isinstance(v, (int, float)):
             for face in expand(_TFACE_TO_FACE.get(k, str(k).lower())):
                 spec[face] = {"type": "dirichlet", "value": float(v)}
-    for k, v in bc.items():
-        if isinstance(v, dict) and v.get("type"):
-            for face in expand(_TFACE_TO_FACE.get(k, str(k).lower())):
-                spec[face] = v
+    typed = [(expand(_TFACE_TO_FACE.get(k, str(k).lower())), v)
+             for k, v in bc.items()
+             if isinstance(v, dict) and v.get("type")]
+    for faces, v in sorted(typed, key=lambda fv: -len(fv[0])):
+        for face in faces:
+            spec[face] = v
     return spec or None
 
 

@@ -189,7 +189,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # "a steel beam ... under gravity", "fixed at the left face, loaded by
     # gravity".  Any temperature/heat word keeps the heat routing.
     if out["pde_type"] == "heat" \
-            and re.search(r"\bgravity\b|\bloaded?\b|self[- ]weight"
+            and re.search(r"\bgravity\b|\bload(?:ed|s|ing)?\b|self[- ]weight"
                           r"|own\s+weight|\btensile\b|\btraction\b"
                           r"|\bpressure\b|(?:force|load)\s+of\s+\d", t) \
             and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
@@ -617,6 +617,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                      "amplitude": amp, "period": period}
         out["steady"] = False
 
+    # A singular named-face Dirichlet ("bottom at 25 C") is folded into
+    # T_boundary by the reference-parity rule above — right for the
+    # reference's uniform-boundary tools, wrong when the query ALSO names
+    # typed faces ("other faces insulated"): the catch-all would spread the
+    # value to every face the typed specs don't cover.  With typed specs
+    # present, reinterpret it as that one face's Dirichlet value.
+    if "T_boundary" in bc and any(isinstance(v, dict) and v.get("type")
+                                  for v in bc.values()):
+        m = re.search(r"\b(top|bottom|front|back)\b"
+                      r"(?:\s+(?:face|surface|edge))?" + temp, t)
+        if m and float(m.group(2)) == bc["T_boundary"] \
+                and not re.search(r"\b(?:top|bottom)\s+and\s+"
+                                  r"(?:top|bottom)\b|all\s+(?:faces|sides)",
+                                  t):
+            bc[m.group(1)] = {"type": "dirichlet",
+                              "value": bc.pop("T_boundary")}
+
     # standalone film-coefficient / ambient mentions without a convection
     # cue ("change the heat transfer coefficient to 50") ride a _robin_update
     # entry; the follow-up merge applies it to existing robin face specs
@@ -839,9 +856,15 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if not m:
         m = re.search(r"\bheating\s+of\s+" + _NUM, t)
     if not m:
-        # "generating 5e7 W/m3" (volumetric generation phrasing)
-        m = re.search(r"generat(?:ing|es|e)\s+" + _NUM
-                      + r"\s*(?:w\s*/?\s*m\s*[³3]?)?", t)
+        # "generating 5e7 W/m3", "dissipating 50 W/cm3" (volumetric
+        # generation phrasing; cm³/mm³ units scale to W/m³)
+        m = re.search(r"(?:generat(?:ing|es|e)|dissipat(?:ing|es|e))\s+"
+                      + _NUM + r"\s*(?:w\s*/?\s*(m|cm|mm)\s*[³3]?)?", t)
+        if m:
+            scale = {"cm": 1e6, "mm": 1e9}.get(m.group(2), 1.0)
+            out["source_type"] = "constant"
+            out["source_value"] = float(m.group(1)) * scale
+            m = None  # handled (incl. units); skip the generic setter
     if m:
         out["source_type"] = "constant"
         out["source_value"] = float(m.group(1))

@@ -1175,3 +1175,31 @@ def test_rule_parse_battery_round9():
     r4 = rule_based_parse("a steel bar of radius 1 cm under a tensile "
                           "force of 5 kN")
     assert r4.get("geometry_type") != "cylinder"
+
+
+def test_rule_parse_battery_round10():
+    d = DispatcherAgent()
+    # bare "load" cues elasticity (the old \bloaded?\b regex required
+    # 'loade' and silently never matched 'load')
+    r = rule_based_parse("a 1.5 m long aluminum column with 10 cm diameter "
+                         "carrying 500 kN compressive load, area 0.00785")
+    assert r["pde_type"] == "elasticity"
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_1D_loaded"
+    assert args["end_load"] == -500000.0  # compressive
+    # singular-face Dirichlet + typed specs: bottom stays Dirichlet while
+    # the "other faces" insulated group expands around it
+    r2 = rule_based_parse(
+        "steady state temperature of a chip dissipating 50 W/cm3 in a "
+        "1 cm x 1 cm x 0.1 cm die, bottom at 25 C, other faces insulated")
+    assert r2["source_value"] == pytest.approx(5e7)  # W/cm3 -> W/m3
+    name2, args2 = d.route(PDEParameters.from_dict(r2))
+    assert name2 == "solve_heat_3D_mixed"
+    bc = args2["boundary_conditions"]
+    assert bc["bottom"] == {"type": "dirichlet", "value": 25.0}
+    assert bc["top"] == {"type": "insulated"}
+    # reference parity: bottom-only Dirichlet WITHOUT typed specs keeps
+    # the uniform-boundary rule and the reference tool
+    r3 = rule_based_parse("2D heat in a 50 cm square plate, bottom at 0 C")
+    assert r3["bc_values"] == {"T_boundary": 0.0}
+    assert d.route(PDEParameters.from_dict(r3))[0] == "solve_heat_2D"
