@@ -193,7 +193,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                           r"|own\s+weight|\btensile\b|\btraction\b"
                           r"|\bpressure\b|(?:force|load)\s+of\s+\d", t) \
             and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
-                              r"|°|degrees|\bcool|\bhot\b|insulat", t):
+                              r"|°|degrees|\bcool|\bhot\b|insulat"
+                              r"|\d\s*°?\s*c\b|quench", t):
         out["pde_type"] = "elasticity"
     # flow velocity (advection): tuple "(vx, vy[, vz])" or a scalar speed
     # (written into the shared `material` dict → material_params)
@@ -420,7 +421,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
 
     # --- temperatures ---
     temp = (r"\s*(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
-            r"kept at|set to)?\s*" + _NUM + r"\s*°?\s*c?\b")
+            r"kept at|set to|stays? at|remains? at|maintained at)?\s*"
+            + _NUM + r"\s*°?\s*c?\b")
     pairs = [
         (r"left(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_left"),
         (r"right(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_right"),
@@ -435,6 +437,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(pat, t)
         if m and key not in bc:
             bc[key] = float(m.group(1))
+    # mathematical notation: u(0)=1, u(L)=0, du/dt = α d²u/dx², on [0, L]
+    m = re.search(r"u\s*\(\s*0\s*\)\s*=\s*" + _NUM, t)
+    if m:
+        bc.setdefault("T_left", float(m.group(1)))
+    for m in re.finditer(r"u\s*\(\s*" + _NUM + r"\s*\)\s*=\s*" + _NUM, t):
+        if float(m.group(1)) != 0.0:  # u(L) = value (u(0) handled above)
+            bc.setdefault("T_right", float(m.group(2)))
+            domain.setdefault("length", float(m.group(1)))
+            break
+    m = re.search(r"d\s*u\s*/\s*d\s*t\s*=\s*" + _NUM
+                  + r"\s*\*?\s*d\s*[²2]?\s*u", t)
+    if m:
+        out.setdefault("diffusivity", float(m.group(1)))
+    m = re.search(r"\bon\s*\[\s*0\s*,\s*" + _NUM + r"\s*\]", t)
+    if m:
+        domain.setdefault("length", float(m.group(1)))
+
     # "both ends at 0" → symmetric 1D Dirichlet pair
     m = re.search(r"both\s+ends" + temp, t)
     if m:
@@ -456,9 +475,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     for word, curv_key, cart_key in (("inside", "T_inner", "T_left"),
                                      ("outside", "T_outer", "T_right")):
         m = re.search(r"\b" + word + temp, t)
+        if m is None:
+            # number-first: "water at 80 C inside", "20 C on the outside"
+            m = re.search(r"(?:at\s+)?" + _NUM + r"\s*°?\s*c?\s+"
+                          r"(?:on\s+the\s+)?" + word + r"\b", t)
         if m:
             bc.setdefault(curv_key if curvilinear else cart_key,
                           float(m.group(1)))
+    # "air at 20 C outside with h = 6": a convective outer surface — the
+    # ambient fluid named with a temperature, an outside marker, and a
+    # film coefficient right after
+    m = re.search(r"(?:air|gas|surroundings)\s*(?:at)?\s*" + _NUM
+                  + r"\s*°?\s*c?\s*(?:on\s+the\s+)?out(?:side|er)\b"
+                  r"[^.;]{0,25}?\bh\s*(?:=|:|of)?\s*" + _NUM, t)
+    if m:
+        bc["outer"] = {"type": "robin", "h": float(m.group(2)),
+                       "T_ambient": float(m.group(1))}
+        bc.pop("T_outer", None)
     # "quenched from 800 C to 20 C" → initial 800, boundary 20
     m = re.search(r"quench(?:ed|ing)?\s+from\s*" + _NUM
                   + r"\s*°?\s*[cf]?\s*(?:down\s+)?to\s*" + _NUM, t)
@@ -565,6 +598,17 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         if re.search(r"\bout(?:ward)?\b|removed|extracted|leav(?:es|ing)|"
                      r"drawn", win):
             q = -abs(q)
+        for f in faces:
+            bc.setdefault(f, {"type": "neumann", "flux": q})
+    # flux given as a bare power density near a face ("heat a rod from the
+    # left with 1000 W/m2"); the (?!\s*k) guard rejects film-coefficient
+    # units (W/m²K)
+    for fm in re.finditer(r"(?:with|of|applying|apply|deliver(?:s|ing)?|"
+                          r"input\s+of)\s+" + _NUM
+                          + r"\s*(k|m)?w\s*/?\s*m\s*[²2]?(?!\s*k)\b", t):
+        faces = _face_near(fm.start(), fm.end()) or ["left"]
+        q = float(fm.group(1)) * {"k": 1e3, "m": 1e6}.get(fm.group(2) or "",
+                                                          1.0)
         for f in faces:
             bc.setdefault(f, {"type": "neumann", "flux": q})
     for im in re.finditer(r"\binsulated\b|\badiabatic\b", t):
@@ -679,7 +723,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["initial_wavenumber"] = float(m.group(1))
 
     # --- material: heat ---
-    m = re.search(r"(?:diffusivity|thermal\s+conductivity)\s*(?:of|=|:|is|to)?\s*"
+    m = re.search(r"(?:diffusivity|(?<!core )(?:thermal\s+)?conductivity)\s*(?:of|=|:|is|to)?\s*"
                   + _NUM, t)
     if m:
         out["diffusivity"] = float(m.group(1))

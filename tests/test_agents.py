@@ -1203,3 +1203,43 @@ def test_rule_parse_battery_round10():
     r3 = rule_based_parse("2D heat in a 50 cm square plate, bottom at 0 C")
     assert r3["bc_values"] == {"T_boundary": 0.0}
     assert d.route(PDEParameters.from_dict(r3))[0] == "solve_heat_2D"
+
+
+def test_rule_parse_battery_round11():
+    d = DispatcherAgent()
+    # dual-fluid pipe: inner Dirichlet (hot water), outer convective (air
+    # named with temperature + film coefficient right after)
+    r = rule_based_parse(
+        "cooling of a hot water pipe: inner radius 1 cm, outer radius "
+        "1.2 cm, water at 80 C inside, air at 20 C outside with h = 6")
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_heat_radial_mixed"
+    bc = args["boundary_conditions"]
+    assert bc["inner"] == {"type": "dirichlet", "value": 80.0}
+    assert bc["outer"] == {"type": "robin", "h": 6.0, "T_ambient": 20.0}
+    # "pressure vessel" with temperature data is a HEAT problem (the
+    # pressure cue must not beat the NUM-°C thermal cue)
+    r2 = rule_based_parse(
+        "pressure vessel wall: sphere inner radius 0.5 m outer radius "
+        "0.6 m, inside 300 C, outside 50 C, steady")
+    assert r2["pde_type"] == "heat"
+    assert d.route(PDEParameters.from_dict(r2))[0] == "solve_heat_1D_spherical"
+    # mathematical notation
+    r3 = rule_based_parse(
+        "1D heat equation du/dt = 0.5 d2u/dx2 on [0, 2] with u(0)=1, "
+        "u(2)=0")
+    assert r3["diffusivity"] == 0.5
+    assert r3["bc_values"] == {"T_left": 1.0, "T_right": 0.0}
+    assert r3["domain_size"]["length"] == 2.0
+    # bare power-density flux with face + "stays at" Dirichlet connector
+    r4 = rule_based_parse(
+        "heat a 2 m rod from the left with 1000 W/m2 while the right end "
+        "stays at 20 C, conductivity 50")
+    assert r4["bc_values"]["left"] == {"type": "neumann", "flux": 1000.0}
+    assert r4["bc_values"]["T_right"] == 20.0
+    assert r4["diffusivity"] == 50.0
+    # W/m2K must NOT parse as a flux (film-coefficient unit)
+    r5 = rule_based_parse("plate cooled by convection with h of 40 W/m2K "
+                          "to 20 C air")
+    assert not any(isinstance(v, dict) and v.get("type") == "neumann"
+                   for v in (r5.get("bc_values") or {}).values())
