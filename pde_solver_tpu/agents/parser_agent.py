@@ -162,10 +162,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
 
     # --- PDE type ---
     if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
-                 r"|beam bend|vibrat|oscillat|\bclamp|body\s+force", t):
+                 r"|beam bend|vibrat|oscillat|\bclamp|body\s+force"
+                 r"|\bbends?\b|\bbending\b|deflect", t):
         out["pde_type"] = "elasticity"
     elif re.search(r"\badvect|convection[-\s]diffusion"
-                   r"|\b(?:pollutant|contaminant|tracer|dye|plume)\b", t):
+                   r"|\b(?:pollutant|contaminant|tracer|dye|plume|smoke)\b"
+                   r"|\bdispers\w+", t):
         # extension: the reference's schema lists pde_type="advection"
         # (pde_schema.py:15) but its dispatcher cannot route it
         out["pde_type"] = "advection"
@@ -212,7 +214,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                 out.setdefault("dim", 2)
         else:
             m = re.search(r"(?:velocity|flow\s+speed|flow|wind\s+speed|"
-                          r"speed|carried\s+(?:by\s+\w+\s+)?at)\s*"
+                          r"speed|carried\s+(?:by\s+\w+\s+)?at|"
+                          r"(?:air|water|wind|current|fluid)?\s*"
+                          r"(?:moving|flowing)\s+at)\s*"
                           r"(?:of|=|:|is)?\s*" + _NUM
                           + r"\s*(?:m\s*/\s*s)?", t)
             if m:
@@ -825,7 +829,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # (the unit is REQUIRED here to avoid matching bare counts)
             m = re.search(_NUM + r"\s*(kn|mn|n)\s+(?:tensile\s+|axial\s+|"
                           r"compressive\s+|downward\s+|vertical\s+|"
-                          r"transverse\s+|point\s+|tip\s+|end\s+)?"
+                          r"transverse\s+|sideways\s+|lateral\s+|"
+                          r"point\s+|tip\s+|end\s+)?"
                           r"(?:load|force)\b", t)
         if m and not re.search(r"body\s+forces?", t[:m.start()][-25:]):
             F = float(m.group(1)) * _force_scale(m.group(2))
@@ -835,8 +840,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                               r"|horizontal", win)
             compress = re.search(r"compress", win)
             down = re.search(r"downward|vertical|down\b|transverse"
-                             r"|bending", win)
+                             r"|bending|sideways|lateral", win)
             dim_now = out.get("dim", 1)
+            if dim_now == 1 and down and not (axial or compress):
+                # a transverse/sideways load on a 1D-shaped member is a
+                # BENDING problem — the 1D bar is axial-only, so upgrade
+                # to the 2D cantilever plane
+                out["dim"] = dim_now = 2
             if dim_now == 1 or (axial or compress) and not down:
                 sign = -1.0 if compress else 1.0
                 if dim_now == 1:
@@ -900,14 +910,22 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if not m:
         m = re.search(r"\bheating\s+of\s+" + _NUM, t)
     if not m:
-        # "generating 5e7 W/m3", "dissipating 50 W/cm3" (volumetric
-        # generation phrasing; cm³/mm³ units scale to W/m³)
-        m = re.search(r"(?:generat(?:ing|es|e)|dissipat(?:ing|es|e))\s+"
-                      + _NUM + r"\s*(?:w\s*/?\s*(m|cm|mm)\s*[³3]?)?", t)
+        # "generating 5e7 W/m3", "dissipating 50 W/cm3", "a 5000 W/m3
+        # source" — the volumetric power-density unit is unambiguous
+        m = (re.search(r"(?:generat(?:ing|es|e)|dissipat(?:ing|es|e))\s+"
+                       + _NUM + r"\s*(?:w\s*/?\s*(m|cm|mm)\s*[³3]?)?", t)
+             or re.search(_NUM + r"\s*(?:(k|m)?w)\s*/?\s*(m|cm|mm)\s*[³3]",
+                          t))
         if m:
-            scale = {"cm": 1e6, "mm": 1e9}.get(m.group(2), 1.0)
+            gs = m.groups()
+            if len(gs) == 2:      # verb-cued form: (value, length-unit)
+                val, p_unit, l_unit = float(gs[0]), "", gs[1]
+            else:                 # unit-cued form: (value, kW/MW, unit)
+                val, p_unit, l_unit = float(gs[0]), gs[1] or "", gs[2]
+            val *= {"k": 1e3, "m": 1e6}.get(p_unit, 1.0)
+            val *= {"cm": 1e6, "mm": 1e9}.get(l_unit, 1.0)
             out["source_type"] = "constant"
-            out["source_value"] = float(m.group(1)) * scale
+            out["source_value"] = val
             m = None  # handled (incl. units); skip the generic setter
     if m:
         out["source_type"] = "constant"

@@ -1243,3 +1243,25 @@ def test_rule_parse_battery_round11():
                           "to 20 C air")
     assert not any(isinstance(v, dict) and v.get("type") == "neumann"
                    for v in (r5.get("bc_values") or {}).values())
+
+
+def test_rule_parse_battery_round12():
+    d = DispatcherAgent()
+    # smoke/dispersion cues advection; "air moving at 0.5 m/s" is velocity
+    r = rule_based_parse("smoke dispersing in a 10 m corridor, air moving "
+                         "at 0.5 m/s, diffusivity 0.1")
+    assert r["pde_type"] == "advection"
+    name, args = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_advection_1D" and args["velocity"] == 0.5
+    # number-first volumetric source with explicit unit
+    r2 = rule_based_parse("a 1 m bar heated by a 5000 W/m3 source, "
+                          "ends insulated")
+    assert r2["source_value"] == 5000.0
+    # a sideways load on a 1D member is bending: dim upgrades to the 2D
+    # cantilever and the tip force points transverse
+    r3 = rule_based_parse("how much does a 3 m steel flagpole bend under "
+                          "a 300 N sideways force at the tip?")
+    assert r3["pde_type"] == "elasticity" and r3["dim"] == 2
+    name3, args3 = d.route(PDEParameters.from_dict(r3))
+    assert name3 == "solve_elasticity_2D_loaded"
+    assert args3["loads"]["right"]["vector"] == [0.0, -300.0]
