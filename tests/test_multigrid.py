@@ -161,3 +161,41 @@ def test_fcycle_df_variants_reach_deep_accuracy(variant):
     true_rel = np.linalg.norm(r.reshape(-1)) / np.linalg.norm(
         sysm.b_hat.reshape(-1))
     assert true_rel < 5e-7, true_rel
+
+
+def test_mg_smooth_env_override(monkeypatch):
+    """PDE_TPU_MG_SMOOTH overrides the Chebyshev degrees (the bench's
+    V(2,1) flagship cycle rides this knob) without touching the default."""
+    import numpy as np
+
+    from pde_solver_tpu.mesh import rectangle_mesh
+    from pde_solver_tpu.ops import assembly
+    from pde_solver_tpu.ops import multigrid as mg
+    from pde_solver_tpu.ops.bc import DirichletBC
+    from pde_solver_tpu.ops.linsolve import prepare_system
+
+    mesh = rectangle_mesh(16, 16, (0, 0), (1.0, 1.0))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    bc = DirichletBC.from_masks([(mesh.boundary_mask(), 0.0)],
+                                mesh.node_shape)
+    sysm = prepare_system(K, mesh, bc, np.zeros(mesh.node_shape), 1)
+
+    def builder(mc):
+        return (assembly.assemble_scalar_stencil(mc, "stiffness"),
+                DirichletBC.from_masks([(mc.boundary_mask(), 0.0)],
+                                       mc.node_shape))
+
+    h_default = mg.build_hierarchy(mesh, sysm, builder)
+    assert (h_default.pre_smooth, h_default.post_smooth) == (2, 2)
+    monkeypatch.setenv("PDE_TPU_MG_SMOOTH", "2,1")
+    h_21 = mg.build_hierarchy(mesh, sysm, builder)
+    assert (h_21.pre_smooth, h_21.post_smooth) == (2, 1)
+    # the asymmetric cycle must still solve the system
+    b = np.zeros(mesh.node_shape)
+    b[8, 8] = 1.0
+    sys_b = prepare_system(K, mesh, bc, b, 1)
+    import jax.numpy as jnp
+    x, iters, relres = mg.mg_pcg(
+        h_21, jnp.asarray(np.asarray(sys_b.b_hat), jnp.float32),
+        jnp.zeros(mesh.node_shape, jnp.float32), 1e-6, 200)
+    assert float(relres) < 1e-6
