@@ -209,9 +209,23 @@ class MultiAgentOrchestrator:
 
     def _validate_pde_query(self, description: str) -> Tuple[bool, str]:
         """LLM validation with lenient fallback
-        (multi_agent_orchestrator.py:372-440); skipped in rule-based mode."""
+        (multi_agent_orchestrator.py:372-440); in keyless rule-based mode a
+        keyword screen stands in — a query with not one physics word would
+        otherwise be "solved" as the default problem."""
         if self.llm is None:
-            return True, "rule-based mode: validation skipped"
+            t = description.lower()
+            physics = re.search(
+                r"heat|thermal|temperatur|diffus|conduct|cool|quench|"
+                r"insulat|convect|flux|elastic|stress|strain|deform|load|"
+                r"force|pressure|beam|cantilever|vibrat|oscillat|wave|"
+                r"advect|pollutant|tracer|plume|smoke|poisson|laplace|"
+                r"\bpde\b|equation|solve|simulat|\brod\b|plate|cylinder|"
+                r"sphere|membrane|bend|frequenc|modal|°|degrees|\bbar\b|"
+                r"\bu\s*\(", t)
+            if physics is None:
+                return False, ("no heat/elasticity/wave/advection vocabulary "
+                               "found (rule-based screen)")
+            return True, "rule-based mode: physics keywords present"
         try:
             reply = self.llm.invoke([
                 {"role": "system",

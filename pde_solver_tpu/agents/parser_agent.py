@@ -161,7 +161,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     dim_radial_default = False  # geometry-defaulted dim=1 (upgradable)
 
     # --- PDE type ---
-    if re.search(r"elastic|stress|strain|displacement|deform|cantilever"
+    if re.search(r"navier[-\s]?stokes|turbulen|\breynolds\b|schr(?:ö|o)dinger"
+                 r"|maxwell", t):
+        # honestly unsupported physics: route to the dispatcher's clean
+        # error envelope instead of silently "solving" a default problem
+        out["pde_type"] = "other"
+    elif re.search(r"elastic|stress|strain|displacement|deform|cantilever"
                  r"|beam bend|vibrat|oscillat|\bclamp|body\s+force"
                  r"|\bbends?\b|\bbending\b|deflect", t):
         out["pde_type"] = "elasticity"

@@ -1265,3 +1265,18 @@ def test_rule_parse_battery_round12():
     name3, args3 = d.route(PDEParameters.from_dict(r3))
     assert name3 == "solve_elasticity_2D_loaded"
     assert args3["loads"]["right"]["vector"] == [0.0, -300.0]
+
+
+def test_keyless_validation_screen_and_unsupported_physics(orch):
+    # keyless mode: a query with zero physics vocabulary is rejected
+    # instead of being "solved" as the default problem
+    r = run(orch.solve("what's the weather like?"))
+    assert r.get("status") == "not_pde"
+    # honestly-unsupported physics reaches the clean error envelope
+    r2 = run(orch.solve("solve navier-stokes flow past a cylinder at "
+                        "Re 1000"))
+    err = r2.get("error") or (r2.get("dispatch_result") or {}).get("error")
+    assert err and "other" in err
+    # plain PDE asks still go through
+    r3 = run(orch.solve("solve the heat equation"))
+    assert r3.get("html_path")
