@@ -438,6 +438,9 @@ def solve_heat_radial_mixed(
     term carries the coordinate weight (r or r²), so the convective flux
     balance holds on the physical curved surface.  An unconstrained face is
     insulated; the r=0 axis of a solid body needs no condition (weight → 0).
+    A Dirichlet spec may add ``amplitude`` + ``period`` (or ``omega``)
+    [+ ``phase``] for sinusoidal driving T(t) = value + amplitude·sin(ωt+φ)
+    — e.g. a daily surface-temperature cycle on a buried pipe.
     """
     if kind not in ("cylinder", "sphere"):
         raise ValueError(f"kind must be 'cylinder' or 'sphere', got {kind!r}")
@@ -445,7 +448,7 @@ def solve_heat_radial_mixed(
     mesh = interval_mesh(nr, r_inner, r_outer)
     hollow = r_inner > 1e-10
 
-    dirichlet, robin, flux = [], [], []
+    dirichlet, robin, flux, modulated = [], [], [], []
     for face, spec in (boundary_conditions or {}).items():
         f = str(face).strip().lower()
         if f in ("all", "boundary", "surface", "outer surface", "everywhere"):
@@ -465,6 +468,14 @@ def solve_heat_radial_mixed(
         for side in sides:
             if kind_bc in ("dirichlet", "fixed", "temperature"):
                 dirichlet.append((side, float(spec.get("value", 0.0))))
+                if spec.get("amplitude"):
+                    omega = spec.get("omega")
+                    if omega is None:
+                        period = float(spec.get("period", 1.0))
+                        omega = 2.0 * np.pi / period if period else 0.0
+                    modulated.append((side, float(spec["amplitude"]),
+                                      float(omega),
+                                      float(spec.get("phase", 0.0))))
             elif kind_bc in ("robin", "convection", "convective"):
                 t_inf = spec.get("T_ambient", spec.get("t_ambient",
                          spec.get("t_inf", spec.get("ambient", 0.0))))
@@ -481,10 +492,19 @@ def solve_heat_radial_mixed(
     def bc_builder(m):
         return [(m.face_mask(0, side), val) for side, val in dirichlet]
 
+    # sinusoidal Dirichlet driving: one shared (omega, phase) sinusoid —
+    # the first modulated face sets it (matching _mixed_heat_problem)
+    bc_amp_pairs, mod_omega, mod_phase = (), 0.0, 0.0
+    if modulated and not steady:
+        mod_omega, mod_phase = modulated[0][2], modulated[0][3]
+        bc_amp_pairs = [(mesh.face_mask(0, side), amp)
+                        for side, amp, _, _ in modulated]
+
     p = heat.HeatProblem(
         mesh=mesh, diffusivity=diffusivity, weight_fn=wfn,
         weight_quad_degree=3 if kind == "cylinder" else 4,
         bc_builder=bc_builder, robin_faces=robin, flux_faces=flux,
+        bc_amp_pairs=bc_amp_pairs, mod_omega=mod_omega, mod_phase=mod_phase,
         source_type=source_type, source_value=source_value, steady=steady,
         T_initial=T_initial, curvilinear_ic=True, dt=dt, num_steps=num_steps)
     times, values, stats = heat.solve_heat_problem(p)
@@ -590,7 +610,7 @@ def solve_heat_2D_nonlinear(
 def _advection_solve(mesh, embed, dim, velocity, diffusivity, T_boundary,
                      T_initial, initial_type, pulse_center, pulse_width,
                      pulse_amplitude, source_type, source_value, dt,
-                     num_steps, data_dir, extra_meta):
+                     num_steps, data_dir, extra_meta, scheme="cnab2"):
     from pde_solver_tpu.models.advection import (AdvectionProblem,
                                                  solve_advection_problem)
     p = AdvectionProblem(
@@ -599,7 +619,8 @@ def _advection_solve(mesh, embed, dim, velocity, diffusivity, T_boundary,
         source_type=source_type, source_value=source_value,
         T_initial=T_initial, initial_type=initial_type,
         pulse_center=pulse_center, pulse_width=pulse_width,
-        pulse_amplitude=pulse_amplitude, dt=dt, num_steps=num_steps)
+        pulse_amplitude=pulse_amplitude, dt=dt, num_steps=num_steps,
+        scheme=scheme)
     times, values, stats = solve_advection_problem(p)
     meta = {
         "name": "concentration", "unit": "-", "pde": "advection",
@@ -607,6 +628,7 @@ def _advection_solve(mesh, embed, dim, velocity, diffusivity, T_boundary,
         "velocity": list(np.asarray(velocity, dtype=float).ravel()),
         "diffusivity": diffusivity,
         "cfl": stats["cfl"], "cell_peclet": stats["cell_peclet"],
+        "scheme": stats["scheme"],
         "source_type": source_type, "source_value": source_value,
         "steady": False, **extra_meta,
     }
@@ -630,6 +652,7 @@ def solve_advection_1D(
     data_dir: str = "data",
     source_type: str = "none",
     source_value: float = 0.0,
+    scheme: str = "cnab2",
 ) -> SolveResult:
     """1D advection-diffusion u_t + v u_x = κ u_xx + f on (0, length)
     (extension tool — see the module note above)."""
@@ -638,7 +661,7 @@ def solve_advection_1D(
         mesh, embed_line, 1, [velocity], diffusivity, T_boundary, T_initial,
         initial_type, None if pulse_center is None else [pulse_center],
         pulse_width, pulse_amplitude, source_type, source_value, dt,
-        num_steps, data_dir, {"length": length})
+        num_steps, data_dir, {"length": length}, scheme=scheme)
 
 
 def solve_advection_2D(
@@ -661,6 +684,7 @@ def solve_advection_2D(
     data_dir: str = "data",
     source_type: str = "none",
     source_value: float = 0.0,
+    scheme: str = "cnab2",
 ) -> SolveResult:
     """2D advection-diffusion on [0,Lx]×[0,Ly] (extension tool)."""
     mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
@@ -671,7 +695,8 @@ def solve_advection_2D(
     return _advection_solve(
         mesh, embed_plane, 2, [vx, vy], diffusivity, T_boundary, T_initial,
         initial_type, center, pulse_width, pulse_amplitude, source_type,
-        source_value, dt, num_steps, data_dir, {"Lx": Lx, "Ly": Ly})
+        source_value, dt, num_steps, data_dir, {"Lx": Lx, "Ly": Ly},
+        scheme=scheme)
 
 
 def solve_advection_3D(
@@ -695,6 +720,7 @@ def solve_advection_3D(
     data_dir: str = "data",
     source_type: str = "none",
     source_value: float = 0.0,
+    scheme: str = "cnab2",
 ) -> SolveResult:
     """3D advection-diffusion on a box (extension tool)."""
     mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
@@ -702,7 +728,7 @@ def solve_advection_3D(
         mesh, embed_identity3, 3, [vx, vy, vz], diffusivity, T_boundary,
         T_initial, initial_type, None, pulse_width, pulse_amplitude,
         source_type, source_value, dt, num_steps, data_dir,
-        {"Lx": Lx, "Ly": Ly, "Lz": Lz})
+        {"Lx": Lx, "Ly": Ly, "Lz": Lz}, scheme=scheme)
 
 
 # ======================================================================

@@ -4,9 +4,12 @@ The reference's schema lists ``pde_type="advection"``
 (/root/reference/pde_schema.py:15 comment) and its parser will happily emit
 it, but its dispatcher has no route — every advection query errors out.
 Here: u_t + v·∇u = κΔu + f on Cartesian boxes, constant velocity v,
-Dirichlet boundaries, via IMEX θ-stepping — diffusion implicit (the SPD
+Dirichlet boundaries, via IMEX stepping — diffusion implicit (the SPD
 CG/MG scan machinery unchanged), Galerkin convection explicit
-(``assembly.assemble_convection_stencil``).  Stability guards: the solver
+(``assembly.assemble_convection_stencil``).  The default scheme is CNAB2
+(Crank-Nicolson diffusion + Adams-Bashforth-2 convection, O(Δt²) overall);
+``scheme="ab1"`` keeps the first-order fold of C into the explicit-side
+operator.  Stability guards: the solver
 records the advective CFL number v·Δt/h and the cell Péclet v·h/(2κ) in its
 info dict and logs a warning when either exceeds its stable/oscillation-free
 range (explicit centered convection needs CFL ≲ 1; Galerkin diffusion needs
@@ -47,6 +50,10 @@ class AdvectionProblem:
     dt: float = 0.01
     num_steps: int = 50
     theta: Optional[float] = None
+    # convection scheme: "cnab2" (Crank-Nicolson/Adams-Bashforth-2, the
+    # standard 2nd-order IMEX pair — theta defaults to 1/2 with it) or
+    # "ab1" (the original O(Δt) fold of C into the explicit operator)
+    scheme: str = "cnab2"
 
 
 def _initial_field(p: AdvectionProblem) -> np.ndarray:
@@ -103,10 +110,16 @@ def solve_advection_problem(p: AdvectionProblem,
             "cell Péclet %.2f > 2 — centered Galerkin convection may "
             "oscillate; refine the mesh or raise diffusivity", peclet)
 
+    scheme = {"imex1": "ab1"}.get(p.scheme, p.scheme)
+    if scheme not in ("ab1", "cnab2"):
+        raise ValueError(f"unknown advection scheme {p.scheme!r}")
+    # CNAB2 pairs AB2 convection with Crank-Nicolson diffusion for O(Δt²)
+    # overall; an explicit theta always wins.
+    theta = p.theta if p.theta is not None else (
+        0.5 if scheme == "cnab2" else cfg.theta)
     res = run_transient(K, M, mesh, bc, b, u0, dt=p.dt,
-                        num_steps=p.num_steps,
-                        theta=p.theta if p.theta is not None else cfg.theta,
-                        config=cfg, C_np=C)
+                        num_steps=p.num_steps, theta=theta,
+                        config=cfg, C_np=C, convection_scheme=scheme)
     values = np.stack([flatten_values(u, mesh.dim) for u in res.values])
     step_target = max(cfg.transient_inner_tol, cfg.accuracy_target)
     info = {
@@ -115,7 +128,7 @@ def solve_advection_problem(p: AdvectionProblem,
         "relative_residual": float(res.max_relative_residual),
         "converged": bool(res.max_relative_residual <= step_target),
         "convergence_target": step_target,
-        "cfl": cfl, "cell_peclet": peclet,
+        "cfl": cfl, "cell_peclet": peclet, "scheme": scheme,
         "num_dofs": mesh.num_nodes,
         "scan_seconds": float(res.scan_seconds),
         "setup_seconds": float(res.setup_seconds),

@@ -96,7 +96,7 @@ def _make_scale_ops(s, Ct, CinvT):
 def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
                     Ag, u0, inner_tol, num_steps, maxiter, refine, grid_dim,
                     vdim, mode, snap32, h_struct=None, level_arrays=None,
-                    tmod=None, step0=None):
+                    tmod=None, step0=None, Cw=None, u_prev0=None):
     """One fused scan over implicit steps on the scaled system.
 
     mode: "f64" | "f32" | "mixed".  All weight tuples are aligned with
@@ -111,6 +111,12 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
     :func:`run_transient`.  ``step0``: global index of the first step
     (traced, so checkpoint chunks at different offsets share one compiled
     program); the carry tracks the step counter for the modulation phase.
+
+    ``Cw`` (optional): dt-scaled convection stencil for CNAB2 — the carry
+    gains the previous state and the explicit side subtracts the
+    Adams-Bashforth-2 extrapolation Δt·(3/2 C uⁿ − 1/2 C uⁿ⁻¹).
+    ``u_prev0`` seeds that history (None → u0, which makes the first step
+    exactly AB1 — the standard self-starting bootstrap).
     """
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
     u0 = u0.astype(state_dtype)
@@ -120,12 +126,18 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
         carry, u_new = _transient_step_body(
             offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src, Ag,
             inner_tol, maxiter, refine, grid_dim, vdim, mode, h_struct,
-            level_arrays, carry, tmod)
+            level_arrays, carry, tmod, Cw)
         return carry, u_new.astype(snap_dtype)
 
     n0 = jnp.asarray(0 if step0 is None else step0, jnp.int32)
     carry0 = (u0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, state_dtype),
               n0)
+    if Cw is not None:
+        up0 = u0 if u_prev0 is None else u_prev0.astype(state_dtype)
+        carry0 = (u0, up0) + carry0[1:]
+        (u_f, _up, iters, res, _), snaps = jax.lax.scan(
+            step, carry0, None, length=num_steps)
+        return snaps, iters, res
     (u_f, iters, res, _), snaps = jax.lax.scan(step, carry0, None,
                                                length=num_steps)
     return snaps, iters, res
@@ -134,7 +146,7 @@ def _transient_scan(offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src,
 def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
                          b_src, Ag, inner_tol, maxiter, refine, grid_dim,
                          vdim, mode, h_struct, level_arrays, carry,
-                         tmod=None):
+                         tmod=None, Cw=None):
     """One implicit θ-step on the scaled system (shared by the plain and
     snapshot-thinned scans).  Returns (new carry, u_new)."""
     state_dtype = jnp.float64 if mode in ("f64", "mixed") else jnp.float32
@@ -143,10 +155,14 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
     def B(x):
         return _stencil_apply(offsets, B_w, x, grid_dim, vdim)
 
-    u, iters_acc, res_acc, n = carry
+    if Cw is not None:
+        u, u_prev, iters_acc, res_acc, n = carry
+    else:
+        u, iters_acc, res_acc, n = carry
+        u_prev = None
     if tmod is None:
         rhs = B(u) + b_src
-        bt = free * (rhs - Ag) + g
+        Ag_t, g_t = Ag, g
     else:
         # sinusoidal driving: b(t) = b0 + sin(ωt+φ)·b1 enters the θ-scheme
         # as dt·[θ s(t_{n+1}) + (1−θ) s(t_n)]·b1 (b1 arrives pre-scaled by
@@ -160,7 +176,15 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
         rhs = B(u) + b_src + (w * b1 if b1 is not None else 0.0)
         Ag_t = Ag + (s_np1 * Ag1 if Ag1 is not None else 0.0)
         g_t = g + (s_np1 * g1 if g1 is not None else 0.0)
-        bt = free * (rhs - Ag_t) + g_t
+    if Cw is not None:
+        # CNAB2: explicit Adams-Bashforth-2 extrapolation of the convection
+        # term (Cw arrives pre-scaled by Δt); with u_prev seeded to u0 the
+        # first step degenerates to AB1 — the standard bootstrap.
+        def C(x):
+            return _stencil_apply(offsets, Cw, x, grid_dim, vdim)
+
+        rhs = rhs - (1.5 * C(u) - 0.5 * C(u_prev))
+    bt = free * (rhs - Ag_t) + g_t
     b_hat = to_hat_b(bt)
     x0_hat = to_hat_x(u)
 
@@ -200,9 +224,11 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
         relres = jnp.sqrt(jnp.vdot(r.reshape(-1), r.reshape(-1))) / bn
 
     u_new = from_hat_x(xh).astype(state_dtype)
-    return ((u_new, iters_acc + k,
-             jnp.maximum(res_acc, relres.astype(state_dtype)), n + 1),
-            u_new)
+    tail_carry = (iters_acc + k,
+                  jnp.maximum(res_acc, relres.astype(state_dtype)), n + 1)
+    if Cw is not None:
+        return (u_new, u) + tail_carry, u_new
+    return (u_new,) + tail_carry, u_new
 
 
 @partial(jax.jit, static_argnames=("offsets", "num_steps", "maxiter",
@@ -211,20 +237,25 @@ def _transient_step_body(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
 def _transient_scan_thinned(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
                             b_src, Ag, u0, inner_tol, num_steps, maxiter,
                             refine, grid_dim, vdim, mode, snap32, h_struct,
-                            level_arrays, snap_every, tmod=None, step0=None):
+                            level_arrays, snap_every, tmod=None, step0=None,
+                            Cw=None, u_prev0=None):
     """Chunked scan: ``snap_every`` steps per emitted snapshot, so the
     stacked trajectory holds num_steps/snap_every frames instead of
     num_steps — the [Nt][N] snapshot buffer is what exceeds HBM for long
     transients at multi-M DOF (the plotter caps animations at ~30 frames
     anyway, matching the reference's fenics_mcp_server.py:3042-3048).
     num_steps must be divisible by snap_every (caller pads the step count).
+
+    With ``Cw`` (CNAB2 convection, see :func:`_transient_scan`) the second
+    return value is the final (u, u_prev) pair so chunked/checkpointed
+    callers can reseed the AB2 history exactly.
     """
     def chunk(carry, _):
         def inner(c, _):
             c2, _snap = _transient_step_body(
                 offsets, A32, A64, B_w, free, g, s, Ct, CinvT, b_src, Ag,
                 inner_tol, maxiter, refine, grid_dim, vdim, mode, h_struct,
-                level_arrays, c, tmod)
+                level_arrays, c, tmod, Cw)
             return c2, None
         carry, _ = jax.lax.scan(inner, carry, None, length=snap_every)
         snap_dtype = jnp.float32 if snap32 else carry[0].dtype
@@ -234,6 +265,12 @@ def _transient_scan_thinned(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
     n0 = jnp.asarray(0 if step0 is None else step0, jnp.int32)
     carry0 = (u0.astype(state_dtype), jnp.asarray(0, jnp.int32),
               jnp.asarray(0.0, state_dtype), n0)
+    if Cw is not None:
+        up0 = u0 if u_prev0 is None else u_prev0
+        carry0 = (carry0[0], up0.astype(state_dtype)) + carry0[1:]
+        (u_f, up_f, iters, res, _), snaps = jax.lax.scan(
+            chunk, carry0, None, length=num_steps // snap_every)
+        return snaps, (u_f, up_f), iters, res
     (u_f, iters, res, _), snaps = jax.lax.scan(
         chunk, carry0, None, length=num_steps // snap_every)
     return snaps, u_f, iters, res
@@ -254,16 +291,26 @@ def run_transient(
     mg_level_builder=None,
     C_np: Optional[Dict] = None,
     time_mod: Optional[Dict] = None,
+    convection_scheme: str = "ab1",
 ) -> TransientResult:
     """``mg_level_builder(mesh_c) -> (K_c, M_c, bc_c)`` (optional) enables
     MG-PCG step solves: the implicit operator M + θΔtK is re-assembled per
     coarse level and each scan step runs a V-cycle-preconditioned CG.
 
     ``C_np`` (optional): a non-symmetric convection stencil applied
-    EXPLICITLY (IMEX): the step becomes
-    (M + θΔtK) u⁺ = (M − (1−θ)ΔtK − ΔtC) u + Δt b — the implicit solve
-    stays SPD, so CG/MG and the sharded scan work unchanged.  C's offsets
-    must be a subset of K∪M's (true for same-mesh P1 assembly).
+    EXPLICITLY (IMEX) — the implicit solve stays SPD, so CG/MG and the
+    sharded scan work unchanged.  C's offsets must be a subset of K∪M's
+    (true for same-mesh P1 assembly).  ``convection_scheme`` picks the
+    explicit treatment:
+
+    * ``"ab1"``: (M + θΔtK) u⁺ = (M − (1−θ)ΔtK − ΔtC) u + Δt b — C folds
+      into the explicit-side operator, O(Δt) splitting.
+    * ``"cnab2"``: Adams-Bashforth-2 extrapolation
+      (M + θΔtK) u⁺ = (M − (1−θ)ΔtK) u − Δt(3/2 C u − 1/2 C u⁻) + Δt b —
+      O(Δt²) overall with θ=1/2 (Crank-Nicolson/Adams-Bashforth, the
+      standard IMEX pair).  The scan carries the previous state; the first
+      step self-starts as AB1, and checkpoints persist the history so
+      resumes stay bitwise.
 
     ``time_mod`` (optional): sinusoidal driving — extension beyond the
     reference's constant sources/BCs (fenics_mcp_server.py:304-318 rebuild
@@ -271,7 +318,7 @@ def run_transient(
     (default 0), ``source_amp`` (assembled load-vector amplitude b1:
     b(t) = b0 + sin(ωt+φ)·b1) and/or ``bc_amp_values`` (node-shaped
     Dirichlet amplitude: g(t) = g0 + sin(ωt+φ)·g_amp on constrained DOFs).
-    Not supported on the sharded scan path (shard_devices > 1)."""
+    Composes with the sharded scan path (shard_devices > 1)."""
     import time as _time
 
     cfg = config or get_config()
@@ -288,9 +335,12 @@ def run_transient(
     n = int(np.prod(mesh.node_shape)) * vdim
     maxiter = cfg.resolved_maxiter(n)
 
+    if convection_scheme not in ("ab1", "cnab2"):
+        raise ValueError(f"unknown convection_scheme {convection_scheme!r}")
+    cnab2 = bool(C_np) and convection_scheme == "cnab2"
     A_np = _combine(K_np, M_np, alpha=theta * dt, beta=1.0)
     B_np = _combine(K_np, M_np, alpha=-(1.0 - theta) * dt, beta=1.0)
-    if C_np:
+    if C_np and not cnab2:
         B_np = _combine(C_np, B_np, alpha=-dt, beta=1.0)
 
     # Scaled, masked implicit operator (zero rhs — we only need the weights,
@@ -301,17 +351,36 @@ def run_transient(
     free_np = np.asarray(bc.free_mask, dtype=np.float64)
     B_list = [np.asarray(B_np.get(o, np.zeros_like(scaled[i])), dtype=np.float64)
               for i, o in enumerate(offsets)]
+    C_list = None
+    if cnab2:
+        C_list = [dt * np.asarray(C_np.get(o, np.zeros_like(B_list[i])),
+                                  dtype=np.float64)
+                  for i, o in enumerate(offsets)]
+
+    # Sinusoidal-driving operands in numpy form (shared by the sharded and
+    # single-device scans; b1 pre-scaled by dt, g1 restricted to
+    # constrained DOFs with its matching lift A·g1).
+    tmod_np = None
+    if time_mod:
+        b1_raw = time_mod.get("source_amp")
+        g1_raw = time_mod.get("bc_amp_values")
+        g1_np = Ag1_np = None
+        if g1_raw is not None:
+            g1_np = (1.0 - free_np) * np.asarray(g1_raw, np.float64)
+            Ag1_np = np_stencil_apply(A_np, g1_np, d, vdim)
+        tmod_np = {
+            "b1": None if b1_raw is None else dt * np.asarray(b1_raw,
+                                                              np.float64),
+            "g1": g1_np, "Ag1": Ag1_np,
+            "omega": float(time_mod["omega"]),
+            "phase": float(time_mod.get("phase", 0.0)),
+            "dt": float(dt), "theta": float(theta)}
 
     # Domain-decomposed stepping (SolverConfig.shard_devices): the whole
     # θ-scheme scan runs inside one shard_map — grid arrays sharded along
     # axis 0 with identity-row padding, halo-exchange applies, psum-CG step
     # solves (parallel.shard.ShardedThetaScan).
     nshard = cfg.resolved_shard_devices()
-    if nshard > 1 and time_mod:
-        raise ValueError(
-            "time_mod (sinusoidal driving) is not supported on the sharded "
-            "scan path — set shard_devices=1 for periodically driven "
-            "transients")
     if nshard > 1:
         from pde_solver_tpu.parallel.shard import ShardedThetaScan, device_mesh
         from pde_solver_tpu.utils.observability import get_logger
@@ -329,7 +398,8 @@ def run_transient(
                                 dt * np.asarray(b_source_np, np.float64),
                                 u0_np.shape, d, vdim, device_mesh(nshard),
                                 dtype=sh_dtype, inner_tol=sh_tol,
-                                maxiter=maxiter)
+                                maxiter=maxiter, C_list=C_list,
+                                tmod=tmod_np)
         setup_s = _time.perf_counter() - t_setup
         t_scan = _time.perf_counter()
         snaps, iters, res = scan.run(u0_np, int(num_steps))
@@ -370,6 +440,8 @@ def run_transient(
                 A32 = FlatStencilOperator(offsets, scaled, mesh.node_shape,
                                           vdim=vdim)
     B_w = tuple(jnp.asarray(W, dtype=state_dtype) for W in B_list)
+    Cw = None if C_list is None else tuple(
+        jnp.asarray(W, dtype=state_dtype) for W in C_list)
 
     inner_tol = cfg.tol if prec == "f64" else cfg.transient_inner_tol
     refine = cfg.transient_refine_rounds if prec == "mixed" else 0
@@ -413,30 +485,20 @@ def run_transient(
     tail = (maxiter, refine, d, vdim, prec, snap32, h_struct, level_arrays)
 
     tmod = None
-    if time_mod:
-        b1_np = time_mod.get("source_amp")
-        g1_raw = time_mod.get("bc_amp_values")
-        g1_np = Ag1_np = None
-        if g1_raw is not None:
-            # amplitude lives on constrained DOFs only; the matching lift
-            # A·g1 scales with the same sinusoid inside the scan
-            g1_np = (1.0 - free_np) * np.asarray(g1_raw, np.float64)
-            Ag1_np = np_stencil_apply(A_np, g1_np, d, vdim)
-        tmod = (
-            None if b1_np is None else jnp.asarray(dt * np.asarray(b1_np),
-                                                   dtype=state_dtype),
-            None if g1_np is None else jnp.asarray(g1_np, dtype=state_dtype),
-            None if Ag1_np is None else jnp.asarray(Ag1_np,
-                                                    dtype=state_dtype),
-            jnp.asarray(float(time_mod["omega"]), dtype=state_dtype),
-            jnp.asarray(float(time_mod.get("phase", 0.0)),
-                        dtype=state_dtype),
-            jnp.asarray(dt, dtype=state_dtype),
-            jnp.asarray(theta, dtype=state_dtype))
+    if tmod_np is not None:
+        # amplitude lives on constrained DOFs only; the matching lift
+        # A·g1 scales with the same sinusoid inside the scan (both built
+        # in numpy above, shared with the sharded path)
+        tmod = tuple(
+            [None if tmod_np[k] is None else jnp.asarray(tmod_np[k],
+                                                         dtype=state_dtype)
+             for k in ("b1", "g1", "Ag1")]
+            + [jnp.asarray(tmod_np[k], dtype=state_dtype)
+               for k in ("omega", "phase", "dt", "theta")])
     # scalar-pull fence (the tunnel's block_until_ready is a no-op): one
     # element pull per operand forces every staging upload — scan operands,
     # operator weights, hierarchy levels — to finish inside setup_seconds
-    for a in jax.tree.leaves((scan_args[1:], level_arrays, tmod)):
+    for a in jax.tree.leaves((scan_args[1:], level_arrays, tmod, Cw)):
         if isinstance(a, jax.Array) and a.size:
             float(jnp.real(a[(0,) * a.ndim]))
     setup_s = _time.perf_counter() - t_setup
@@ -477,13 +539,19 @@ def run_transient(
                 if time_mod.get(key_m) is not None:
                     hsh.update(np.ascontiguousarray(
                         np.asarray(time_mod[key_m], np.float64)))
+        if cnab2:
+            # AB1's C folds into B_list (hashed above); the CNAB2 history
+            # scheme and its separate C operand must key distinctly.
+            hsh.update(b"cnab2")
+            for arr in C_list:
+                hsh.update(np.ascontiguousarray(arr))
         return _run_transient_checkpointed(
             scan_args, tail, inner_tol, int(num_steps), cfg, dt, u0_np,
-            state_dtype, setup_s, hsh.hexdigest(), snap_every, tmod)
+            state_dtype, setup_s, hsh.hexdigest(), snap_every, tmod, Cw)
 
     if snap_every <= 1:
         snaps, iters, res = _transient_scan(
-            *scan_args, inner_tol, int(num_steps), *tail, tmod)
+            *scan_args, inner_tol, int(num_steps), *tail, tmod, None, Cw)
         iters, res = int(iters), float(res)  # scalar pulls: scan complete
         scan_s = _time.perf_counter() - t_scan
         t_fetch = _time.perf_counter()
@@ -495,7 +563,10 @@ def run_transient(
         main = (int(num_steps) // snap_every) * snap_every
         snaps, u_f, iters, res = _transient_scan_thinned(
             *scan_args[:-1], scan_args[-1], inner_tol, main, *tail,
-            snap_every, tmod)
+            snap_every, tmod, None, Cw)
+        u_prev_f = None
+        if Cw is not None:
+            u_f, u_prev_f = u_f
         t_list = [0.0] + [dt * snap_every * (j + 1)
                           for j in range(main // snap_every)]
         rem = int(num_steps) - main
@@ -504,7 +575,7 @@ def run_transient(
             snaps2, iters2, res2 = _transient_scan(
                 scan_args[0], *scan_args[1:-1], u_f.astype(state_dtype),
                 inner_tol, rem, *tail, tmod,
-                jnp.asarray(main, jnp.int32))
+                jnp.asarray(main, jnp.int32), Cw, u_prev_f)
             t_list.append(dt * num_steps)
             iters = iters + iters2
             res = jnp.maximum(res, res2)
@@ -534,7 +605,7 @@ _CKPT_TEST_ABORT = 0  # tests: raise after N chunk checkpoints (0 = off)
 def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
                                 dt, u0_np, state_dtype, setup_s, key: str,
                                 snap_every: int = 1,
-                                tmod=None) -> TransientResult:
+                                tmod=None, Cw=None) -> TransientResult:
     """Host-chunked scan with atomic carry+trajectory checkpoints.
 
     Every ``transient_checkpoint_every`` steps the scan carry and the
@@ -572,6 +643,7 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
     iters_acc = 0
     res_acc = 0.0
     u_cur = scan_args[-1]
+    u_prev = None   # CNAB2 history (Cw paths): None → AB1 bootstrap from u0
     if os.path.exists(path):
         try:
             with np.load(path) as z:
@@ -581,6 +653,8 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
                 iters_acc = int(z["iters"])
                 res_acc = float(z["res"])
                 u_cur = jnp.asarray(z["carry"], dtype=state_dtype)
+                if "u_prev" in z.files:
+                    u_prev = jnp.asarray(z["u_prev"], dtype=state_dtype)
             if start > num_steps:
                 # The checkpoint is AHEAD of this (shorter) request: the
                 # stored carry can't produce u(num_steps), so recompute
@@ -592,6 +666,7 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
                     num_steps)
                 start, iters_acc, res_acc = 0, 0, 0.0
                 u_cur = scan_args[-1]
+                u_prev = None
             else:
                 frames.append(snaps_prev.astype(np.float64))
                 snap_steps.extend(steps_prev)
@@ -602,6 +677,7 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
             snap_steps = []
             start, iters_acc, res_acc = 0, 0, 0.0
             u_cur = scan_args[-1]
+            u_prev = None
     chunks_done = 0
     fetch_acc = 0.0
     main = start + ((num_steps - start) // snap_every) * snap_every
@@ -609,7 +685,10 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
         n = min(every, main - start)
         snaps, u_f, k, res = _transient_scan_thinned(
             *scan_args[:-1], u_cur, inner_tol, n, *tail, snap_every, tmod,
-            jnp.asarray(start, jnp.int32))
+            jnp.asarray(start, jnp.int32), Cw, u_prev)
+        if Cw is not None:
+            u_f, u_prev_f = u_f
+            u_prev = u_prev_f.astype(state_dtype)
         iters_acc += int(k)  # scalar pull: chunk scan complete
         res_acc = max(res_acc, float(res))
         t_f = _time.perf_counter()
@@ -620,15 +699,17 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
         u_cur = u_f.astype(state_dtype)
         start += n
         # atomic checkpoint: carry + the (thinned, budget-bounded) frames
+        # (+ the AB2 history on CNAB2 paths, so resumes stay bitwise)
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cfg.checkpoint_dir, suffix=".tmp.npz")
         os.close(fd)
         all_snaps = np.concatenate([f for f in frames[1:]], axis=0)
+        extra_npz = {} if u_prev is None else {"u_prev": np.asarray(u_prev)}
         np.savez(tmp, snaps=all_snaps.astype(
             np.float32 if tail[5] else np.float64),
             snap_steps=np.asarray(snap_steps, np.int64),
             carry=np.asarray(u_cur), step=start, iters=iters_acc,
-            res=res_acc)
+            res=res_acc, **extra_npz)
         os.replace(tmp, path)
         chunks_done += 1
         if _CKPT_TEST_ABORT and chunks_done >= _CKPT_TEST_ABORT \
@@ -640,7 +721,7 @@ def _run_transient_checkpointed(scan_args, tail, inner_tol, num_steps, cfg,
         # to the end and keep only the final state, like the plain path.
         snaps2, k2, res2 = _transient_scan(
             *scan_args[:-1], u_cur, inner_tol, rem, *tail, tmod,
-            jnp.asarray(start, jnp.int32))
+            jnp.asarray(start, jnp.int32), Cw, u_prev)
         iters_acc += int(k2)  # scalar pull: scan complete
         res_acc = max(res_acc, float(res2))
         t_f = _time.perf_counter()

@@ -339,7 +339,7 @@ class ShardedThetaScan:
     def __init__(self, sysm, B_list, free_np, Ag_np, b_src_np, u0_shape,
                  grid_dim: int, vdim: int, mesh_dev: Mesh,
                  dtype=jnp.float32, inner_tol: float = 1e-6,
-                 maxiter: int = 500):
+                 maxiter: int = 500, C_list=None, tmod=None):
         self.grid_dim, self.vdim = grid_dim, vdim
         self.mesh_dev = mesh_dev
         self.offsets = sysm.offsets
@@ -361,6 +361,22 @@ class ShardedThetaScan:
         self.g = pad(sysm.gvals)
         self.Ag = pad(Ag_np)
         self.b_src = pad(b_src_np)
+        # CNAB2 convection (C_list pre-scaled by Δt, aligned with offsets):
+        # the scan carry gains the previous state for the AB2 extrapolation.
+        self.C_w = None if C_list is None else tuple(pad(W) for W in C_list)
+        # sinusoidal driving: grid-shaped amplitudes are sharded like the
+        # state; the (ω, φ, Δt, θ) scalars close over the compiled step —
+        # one ShardedThetaScan is built per run_transient call, so baking
+        # them in costs nothing.
+        self.tmod_grids = None
+        self.tmod_scalars = None
+        if tmod is not None:
+            self.tmod_grids = tuple(
+                None if a is None else pad(a)
+                for a in (tmod.get("b1"), tmod.get("g1"), tmod.get("Ag1")))
+            self.tmod_scalars = (float(tmod["omega"]),
+                                 float(tmod.get("phase", 0.0)),
+                                 float(tmod["dt"]), float(tmod["theta"]))
         if sysm.scale_kind == "scalar":
             s = _pad0(np.asarray(sysm.s), self.n_pad)
             if self.n_pad:
@@ -378,13 +394,22 @@ class ShardedThetaScan:
         offsets, vdim, d = self.offsets, self.vdim, self.grid_dim
         scalar = len(self.scale) == 1
         inner_tol, maxiter = self.inner_tol, self.maxiter
+        has_C = self.C_w is not None
+        has_tmod = self.tmod_grids is not None
+        tmod_scalars = self.tmod_scalars
 
         grid_spec = P(AXIS, *([None] * (d - 1 + (1 if vdim > 1 else 0))))
         w_spec = P(AXIS, *([None] * (d - 1 + (2 if vdim > 1 else 0))))
         scale_spec = ((grid_spec,) if scalar
                       else (w_spec, w_spec))
+        extra_specs = ()
+        if has_C:
+            extra_specs += (tuple(w_spec for _ in offsets),)
+        if has_tmod:
+            extra_specs += (tuple(None if a is None else grid_spec
+                                  for a in self.tmod_grids),)
 
-        def local(u0, A_w, B_w, free, g, Ag, b_src, scale):
+        def local(u0, A_w, B_w, free, g, Ag, b_src, scale, *extra):
             if scalar:
                 s = scale[0]
                 to_hat_b = lambda v: s * v
@@ -395,6 +420,9 @@ class ShardedThetaScan:
                 to_hat_b = lambda v: jnp.einsum("...ji,...j->...i", CinvT, v)
                 to_hat_x = lambda v: jnp.einsum("...ij,...j->...i", Ct, v)
                 from_hat_x = lambda v: jnp.einsum("...ij,...j->...i", CinvT, v)
+            it_extra = iter(extra)
+            C_w = next(it_extra) if has_C else None
+            tmodg = next(it_extra) if has_tmod else None
 
             def A(x):
                 return local_stencil_apply(offsets, A_w, x, vdim)
@@ -405,25 +433,56 @@ class ShardedThetaScan:
             one = jnp.ones((), u0.dtype)
 
             def step(carry, _):
-                u, it, res = carry
-                bt = free * (B(u) + b_src - Ag) + g
+                if has_C:
+                    u, u_prev, it, res, n = carry
+                else:
+                    u, it, res, n = carry
+                rhs = B(u) + b_src
+                Ag_t, g_t = Ag, g
+                if has_tmod:
+                    # same θ-scheme weighting as the single-device scan
+                    # (ops.timestepping._transient_step_body)
+                    b1, g1, Ag1 = tmodg
+                    omega, phase, dtv, thetav = tmod_scalars
+                    t_n = n.astype(u0.dtype) * dtv
+                    s_n = jnp.sin(omega * t_n + phase)
+                    s_np1 = jnp.sin(omega * (t_n + dtv) + phase)
+                    w = thetav * s_np1 + (1.0 - thetav) * s_n
+                    if b1 is not None:
+                        rhs = rhs + w * b1
+                    if Ag1 is not None:
+                        Ag_t = Ag + s_np1 * Ag1
+                    if g1 is not None:
+                        g_t = g + s_np1 * g1
+                if has_C:
+                    def C(x):
+                        return local_stencil_apply(offsets, C_w, x, vdim)
+
+                    rhs = rhs - (1.5 * C(u) - 0.5 * C(u_prev))
+                bt = free * (rhs - Ag_t) + g_t
                 xh, k, relres = sharded_pcg(A, to_hat_b(bt), one,
                                             tol=inner_tol, maxiter=maxiter,
                                             x0=to_hat_x(u))
                 u_new = from_hat_x(xh)
-                return (u_new, it + k, jnp.maximum(res, relres)), u_new
+                tail = (it + k, jnp.maximum(res, relres), n + 1)
+                if has_C:
+                    return (u_new, u) + tail, u_new
+                return (u_new,) + tail, u_new
 
             carry0 = (u0, jnp.asarray(0, jnp.int32),
-                      jnp.asarray(0.0, u0.dtype))
-            (u_f, iters, res), snaps = jax.lax.scan(step, carry0, None,
-                                                    length=num_steps)
-            return snaps, iters, res
+                      jnp.asarray(0.0, u0.dtype),
+                      jnp.asarray(0, jnp.int32))
+            if has_C:
+                carry0 = (u0, u0) + carry0[1:]
+            carry_f, snaps = jax.lax.scan(step, carry0, None,
+                                          length=num_steps)
+            return snaps, carry_f[-3], carry_f[-2]
 
         fn = shard_map(
             local, mesh=self.mesh_dev,
             in_specs=(grid_spec, tuple(w_spec for _ in offsets),
                       tuple(w_spec for _ in offsets), grid_spec, grid_spec,
-                      grid_spec, grid_spec, scale_spec),
+                      grid_spec, grid_spec, scale_spec) + extra_specs,
             out_specs=(P(None, AXIS,
                          *([None] * max(0, d - 2 + (1 if vdim > 1 else 0)))),
                        P(), P()),
@@ -437,8 +496,13 @@ class ShardedThetaScan:
             fn = self._build(num_steps)
             self._runs[num_steps] = fn
         u0 = jnp.asarray(_pad0(np.asarray(u0_np), self.n_pad), self.dtype)
+        extra = ()
+        if self.C_w is not None:
+            extra += (self.C_w,)
+        if self.tmod_grids is not None:
+            extra += (self.tmod_grids,)
         snaps, iters, res = fn(u0, self.A_w, self.B_w, self.free, self.g,
-                               self.Ag, self.b_src, self.scale)
+                               self.Ag, self.b_src, self.scale, *extra)
         return snaps[:, :self.nx], int(iters), float(res)
 
 

@@ -42,8 +42,9 @@ def test_imex_matches_dense_stepping():
     p = AdvectionProblem(mesh=mesh, velocity=v, diffusivity=kappa,
                          initial_type="gaussian", pulse_center=(0.4, 0.6),
                          pulse_width=0.15, dt=dt, num_steps=nsteps,
-                         theta=theta)
+                         theta=theta, scheme="ab1")
     times, values, info = solve_advection_problem(p)
+    assert info["scheme"] == "ab1"
 
     # independent dense IMEX: (M + θ dt K) u+ = (M − (1−θ)dt K − dt C) u
     K = {o: kappa * W for o, W in assembly.assemble_scalar_stencil(
@@ -71,6 +72,70 @@ def test_imex_matches_dense_stepping():
     assert info["converged"]
 
 
+def test_cnab2_matches_dense_stepping():
+    # Independent dense CNAB2 recurrence with the AB1 bootstrap:
+    #   (M + θ dt K) u+ = (M − (1−θ)dt K) u − dt(3/2 C u − 1/2 C u⁻)
+    # with u⁻ seeded to u0 on the first step.
+    mesh = rectangle_mesh(6, 5, (0, 0), (1.0, 1.0))
+    kappa, v, dt, nsteps, theta = 0.05, [0.8, -0.3], 0.01, 8, 0.5
+    p = AdvectionProblem(mesh=mesh, velocity=v, diffusivity=kappa,
+                         initial_type="gaussian", pulse_center=(0.4, 0.6),
+                         pulse_width=0.15, dt=dt, num_steps=nsteps)
+    times, values, info = solve_advection_problem(p)
+    assert info["scheme"] == "cnab2"
+
+    K = {o: kappa * W for o, W in assembly.assemble_scalar_stencil(
+        mesh, "stiffness").items()}
+    A = assembly.stencil_to_dense(mesh, K)
+    M = assembly.stencil_to_dense(
+        mesh, assembly.assemble_scalar_stencil(mesh, "mass"))
+    C = assembly.stencil_to_dense(
+        mesh, assembly.assemble_convection_stencil(mesh, v))
+    from pde_solver_tpu.models.advection import _initial_field
+    from pde_solver_tpu.ops.bc import DirichletBC
+    bc = DirichletBC.from_masks([(mesh.boundary_mask(), 0.0)],
+                                mesh.node_shape)
+    u = flatten_values(np.asarray(bc.apply_values(_initial_field(p))), 2)
+    free = flatten_values(np.asarray(bc.free_mask), 2).astype(bool)
+    lhs = M + theta * dt * A
+    rhs_op = M - (1 - theta) * dt * A
+    u_prev = u.copy()
+    for _ in range(nsteps):
+        r = rhs_op @ u - dt * (1.5 * (C @ u) - 0.5 * (C @ u_prev))
+        un = np.zeros_like(u)
+        un[free] = np.linalg.solve(lhs[np.ix_(free, free)], r[free])
+        u_prev, u = u, un
+    np.testing.assert_allclose(values[-1], u, rtol=2e-5, atol=1e-8)
+    assert info["converged"]
+
+
+def test_cnab2_second_order_in_dt():
+    # dt self-convergence on a fixed mesh (removes the spatial floor): the
+    # error vs a dt/8 reference must shrink ~4× when dt halves for CNAB2,
+    # vs ~2× for the first-order AB1 fold.
+    mesh = interval_mesh(128, 0.0, 3.0)
+    kappa, v, s0, x0, T = 0.005, 1.0, 0.1, 0.7, 0.3
+
+    def solve(nsteps, scheme):
+        p = AdvectionProblem(mesh=mesh, velocity=[v], diffusivity=kappa,
+                             initial_type="gaussian", pulse_center=[x0],
+                             pulse_width=s0, dt=T / nsteps,
+                             num_steps=nsteps, theta=0.5, scheme=scheme)
+        _, values, info = solve_advection_problem(p)
+        assert info["converged"]
+        return values[-1]
+
+    ref = solve(400, "cnab2")
+    e1 = np.linalg.norm(solve(50, "cnab2") - ref)
+    e2 = np.linalg.norm(solve(100, "cnab2") - ref)
+    assert e2 < 0.32 * e1, (e1, e2)          # ~0.25 for O(Δt²)
+    a1 = np.linalg.norm(solve(50, "ab1") - solve(400, "ab1"))
+    a2 = np.linalg.norm(solve(100, "ab1") - solve(400, "ab1"))
+    assert a2 > 0.38 * a1, (a1, a2)          # ~0.5 for O(Δt)
+    # and CNAB2 is strictly more accurate than AB1 at the same dt
+    assert e1 < a1
+
+
 def test_gaussian_transport_1d_analytic():
     # free-space solution: amplitude/width evolve by diffusion while the
     # center advects: u = A0·s0/s(t) · exp(−(x−x0−vt)²/(2 s(t)²)),
@@ -89,7 +154,7 @@ def test_gaussian_transport_1d_analytic():
         p = AdvectionProblem(mesh=mesh, velocity=[v], diffusivity=kappa,
                              initial_type="gaussian", pulse_center=[x0],
                              pulse_width=s0, dt=T / nsteps,
-                             num_steps=nsteps, theta=0.5)
+                             num_steps=nsteps, theta=0.5, scheme="ab1")
         _, values, info = solve_advection_problem(p)
         assert info["cfl"] < 1.0 and info["converged"]
         peak = x[np.argmax(values[-1])]

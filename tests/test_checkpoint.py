@@ -206,3 +206,68 @@ def test_wave_model_checkpoint_roundtrip(tmp_path):
                           checkpoint_dir=str(tmp_path)):
         _, ck, _ = solve_wave_problem(p)
     np.testing.assert_array_equal(ck, ref)
+
+
+def test_cnab2_interrupted_run_resumes_bitwise(tmp_path, monkeypatch):
+    """CNAB2's AB2 history (u_prev) persists in the checkpoint: an
+    interrupted run resumes with the exact convection extrapolation, so the
+    trajectory matches the uninterrupted scan bitwise."""
+    mesh = rectangle_mesh(12, 10, (0.0, 0.0), (1.0, 1.0))
+    K = {o: 0.05 * W for o, W in assembly.assemble_scalar_stencil(
+        mesh, "stiffness").items()}
+    M = assembly.assemble_scalar_stencil(mesh, "mass")
+    C = assembly.assemble_convection_stencil(mesh, [0.8, -0.3])
+    bc = DirichletBC.from_masks([(all_boundary(mesh), 0.0)], mesh.node_shape)
+    b = assembly.assemble_load(mesh)
+    u0 = np.asarray(bc.apply_values(
+        np.exp(-((mesh.node_coords[..., 0] - 0.4) ** 2
+                 + (mesh.node_coords[..., 1] - 0.6) ** 2) / 0.04)))
+    kw = dict(dt=0.005, num_steps=12, theta=0.5, C_np=C,
+              convection_scheme="cnab2")
+    ref = run_transient(K, M, mesh, bc, b, u0, **kw)
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 1)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        with pytest.raises(RuntimeError, match="checkpoint test abort"):
+            run_transient(K, M, mesh, bc, b, u0, **kw)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(files) == 1
+    with np.load(os.path.join(tmp_path, files[0])) as z:
+        assert int(z["step"]) == 4
+        assert "u_prev" in z.files           # the AB2 history is persisted
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 0)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        ck = run_transient(K, M, mesh, bc, b, u0, **kw)
+    np.testing.assert_array_equal(ck.values, ref.values)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+
+
+def test_cnab2_checkpoint_key_distinct_from_ab1(tmp_path, monkeypatch):
+    """An AB1 run's checkpoint must never seed a CNAB2 run of the same
+    problem (different recurrence): the content keys differ."""
+    mesh = rectangle_mesh(12, 10, (0.0, 0.0), (1.0, 1.0))
+    K = {o: 0.05 * W for o, W in assembly.assemble_scalar_stencil(
+        mesh, "stiffness").items()}
+    M = assembly.assemble_scalar_stencil(mesh, "mass")
+    C = assembly.assemble_convection_stencil(mesh, [0.8, -0.3])
+    bc = DirichletBC.from_masks([(all_boundary(mesh), 0.0)], mesh.node_shape)
+    b = assembly.assemble_load(mesh)
+    u0 = np.asarray(bc.apply_values(np.ones(mesh.node_shape)))
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 1)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        with pytest.raises(RuntimeError, match="checkpoint test abort"):
+            run_transient(K, M, mesh, bc, b, u0, dt=0.005, num_steps=12,
+                          theta=0.5, C_np=C, convection_scheme="ab1")
+    names_ab1 = set(os.listdir(tmp_path))
+    monkeypatch.setattr(timestepping, "_CKPT_TEST_ABORT", 0)
+    with config_overrides(transient_checkpoint_every=4,
+                          checkpoint_dir=str(tmp_path)):
+        ck = run_transient(K, M, mesh, bc, b, u0, dt=0.005, num_steps=12,
+                           theta=0.5, C_np=C, convection_scheme="cnab2")
+    ref = run_transient(K, M, mesh, bc, b, u0, dt=0.005, num_steps=12,
+                        theta=0.5, C_np=C, convection_scheme="cnab2")
+    # the stale AB1 artifact was not consumed (still on disk, distinct key)
+    assert names_ab1 <= set(os.listdir(tmp_path))
+    np.testing.assert_array_equal(ck.values, ref.values)

@@ -242,6 +242,54 @@ def test_sharded_transient_scan_vector_block():
 
 
 @needs_multidevice
+def test_sharded_cnab2_advection_matches_single_device():
+    """CNAB2's AB2-history carry composes with the sharded θ-scan: the
+    separate convection operand rides the same halo-exchange applies."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.models.advection import (AdvectionProblem,
+                                                 solve_advection_problem)
+
+    mesh = rectangle_mesh(21, 8, (0.0, 0.0), (1.0, 1.0))
+    p = AdvectionProblem(mesh=mesh, velocity=[0.8, -0.3], diffusivity=0.02,
+                         initial_type="gaussian", pulse_center=(0.4, 0.6),
+                         pulse_width=0.15, dt=0.005, num_steps=10)
+    _, ref_values, ref_info = solve_advection_problem(p)
+    assert ref_info["scheme"] == "cnab2"
+    with config_overrides(shard_devices=8):
+        _, sh_values, sh_info = solve_advection_problem(p)
+    assert sh_info["converged"]
+    scale = max(np.abs(ref_values).max(), 1e-30)
+    assert np.abs(sh_values - ref_values).max() < 1e-6 * scale
+
+
+@needs_multidevice
+def test_sharded_time_mod_matches_single_device():
+    """Sinusoidal Dirichlet + source driving inside the sharded scan (was
+    rejected with ValueError before round 4's continuation): parity with
+    the single-device tmod scan."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.models import heat
+
+    mesh = rectangle_mesh(21, 8, (0.0, 0.0), (1.0, 1.0))
+    p = heat.HeatProblem(
+        mesh=mesh, diffusivity=1.0,
+        bc_builder=lambda m: [(m.face_mask(0, 0), 20.0),
+                              (m.face_mask(0, 1), 0.0)],
+        T_initial=0.0, dt=0.01, num_steps=12,
+        bc_amp_pairs=[(mesh.face_mask(0, 0), 5.0)],
+        source_type="constant", source_value=1.0, source_amp=0.5,
+        mod_omega=6.0, mod_phase=0.3)
+    _, ref_values, ref_info = heat.solve_heat_problem(p)
+    with config_overrides(shard_devices=8):
+        _, sh_values, sh_info = heat.solve_heat_problem(p)
+    assert sh_info["relative_residual"] <= 1e-6
+    scale = max(np.abs(ref_values).max(), 1e-30)
+    assert np.abs(sh_values - ref_values).max() < 1e-6 * scale
+    # the driving actually drove something: trajectory isn't monotone decay
+    assert np.abs(ref_values[1:] - ref_values[:-1]).max() > 0.0
+
+
+@needs_multidevice
 def test_shard_hierarchy_cache_never_aliases_stale_solver():
     """VERDICT r3 item 6: the solver cache must not reuse a sharded solver
     for a DIFFERENT hierarchy that happens to share id(h) with a collected

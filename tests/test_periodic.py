@@ -3,8 +3,8 @@ boundary values are constants, fenics_mcp_server.py:304-318).
 
 Validation: dense θ-stepping parity with time-dependent g(t)/b(t), the
 classic semi-infinite thermal-wave solution (penetration depth √(2κ/ω)),
-checkpoint/resume phase continuity (the step0 plumbing), and the sharded
-rejection contract.
+checkpoint/resume phase continuity (the step0 plumbing), sharded-scan
+parity, and radial (curvilinear) driving through the mixed tool.
 """
 
 import numpy as np
@@ -117,7 +117,10 @@ def test_periodic_checkpoint_resume_phase(tmp_path):
                                atol=1e-9)
 
 
-def test_periodic_sharded_rejected():
+def test_periodic_sharded_supported():
+    """Sinusoidal driving composes with the sharded scan (was a ValueError
+    before round 4's continuation; full parity is asserted in
+    tests/test_parallel.py::test_sharded_time_mod_matches_single_device)."""
     import jax
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -128,9 +131,11 @@ def test_periodic_sharded_rejected():
                     bc_pairs=[(mesh.face_mask(0, 0), 0.0)],
                     bc_amp_pairs=[(mesh.face_mask(0, 0), 1.0)],
                     mod_omega=1.0)
+    _, ref_values, _ = heat.solve_heat_problem(p)
     with config_overrides(shard_devices=8):
-        with pytest.raises(ValueError, match="time_mod"):
-            heat.solve_heat_problem(p)
+        _, sh_values, _ = heat.solve_heat_problem(p)
+    scale = max(np.abs(ref_values).max(), 1e-30)
+    assert np.abs(sh_values - ref_values).max() < 1e-6 * scale
 
 
 # ----------------------------------------------------------------------
@@ -187,3 +192,36 @@ def test_rule_parse_periodic_boundary_and_e2e():
         "the top surface, 2 m deep domain")
     spec2 = r2["bc_values"]["top"]
     assert spec2["amplitude"] == 10.0 and spec2["period"] == 86400.0
+
+
+def test_radial_mixed_periodic_dirichlet(tmp_path):
+    """Radial (curvilinear) sinusoidal driving: a cylindrical annulus with a
+    periodically driven outer surface and insulated inner face.  The outer
+    node must trace the prescribed sinusoid exactly (Dirichlet), and the
+    interior response must lag and attenuate (thermal-wave physics carried
+    through the r-weighted assembly)."""
+    from pde_solver_tpu import api
+    from pde_solver_tpu.fields import load_field
+
+    period, amp, base = 0.5, 5.0, 20.0
+    res = api.solve_heat_radial_mixed(
+        kind="cylinder", r_inner=0.5, r_outer=1.0, nr=96,
+        diffusivity=0.05, T_initial=base, dt=period / 64, num_steps=256,
+        data_dir=str(tmp_path),
+        boundary_conditions={
+            "outer": {"type": "dirichlet", "value": base, "amplitude": amp,
+                      "period": period},
+            "inner": {"type": "insulated"}})
+    f = load_field(res.data_file)
+    v = f.values_array()
+    times = np.asarray(f.times)
+    omega = 2.0 * np.pi / period
+    # outer node: exactly the prescribed g(t) = base + amp·sin(ωt)
+    np.testing.assert_allclose(v[1:, -1],
+                               base + amp * np.sin(omega * times[1:]),
+                               atol=1e-6)
+    # interior attenuates: amplitude at mid-radius < at the surface
+    last_period = times > times[-1] - period - 1e-12
+    amp_mid = 0.5 * (v[last_period, 48].max() - v[last_period, 48].min())
+    assert 0.0 < amp_mid < 0.8 * amp
+    assert f.meta["boundary_conditions"]["outer"]["amplitude"] == amp
