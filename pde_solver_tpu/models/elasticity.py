@@ -42,6 +42,31 @@ def lame_parameters(E: float, nu: float, mode: str) -> Tuple[float, float]:
     return lam, mu
 
 
+def thermal_stress_coefficient(E: float, nu: float, alpha: float,
+                               mode: str) -> float:
+    """β such that the thermal prestress is σ_th = −β ΔT I.
+
+    3D / plane strain: β = E α / (1 − 2ν) = (3λ+2μ) α (plane strain keeps
+    the 3D relation because ε_zz = 0 leaves tr₃ε = tr₂ε); plane stress
+    reduces to β = E α / (1 − ν) = (2λ_ps + 2μ) α after eliminating σ_zz.
+    """
+    if mode == "plane_stress":
+        return E * alpha / (1.0 - nu)
+    return E * alpha / (1.0 - 2.0 * nu)  # plane_strain and 3d
+
+
+def _cellwise_mean(mesh: StructuredMesh, grid: np.ndarray) -> np.ndarray:
+    """Per-sub-element vertex mean of a nodal field, [n_sub, *cells]."""
+    out = np.zeros((len(mesh.subelems),) + mesh.cell_shape)
+    for t, sub in enumerate(mesh.subelems):
+        for delta in sub:
+            region = tuple(slice(dd, dd + n)
+                           for dd, n in zip(delta, mesh.cell_shape))
+            out[t] += grid[region]
+        out[t] /= float(len(sub))
+    return out
+
+
 def _element_gradients(mesh: StructuredMesh, u_grid: np.ndarray) -> np.ndarray:
     """Per-sub-element displacement gradient, shape [n_sub, *cells, d, d].
 
@@ -58,14 +83,22 @@ def _element_gradients(mesh: StructuredMesh, u_grid: np.ndarray) -> np.ndarray:
     return out
 
 
-def _vm_from_gradients(G, xp, d: int, lam: float, mu: float):
+def _vm_from_gradients(G, xp, d: int, lam: float, mu: float, iso=None):
     """von Mises (stress, strain) from per-element gradients; ``xp`` is
     numpy or jax.numpy — the formulas are shared by the host and device
-    paths so they can't drift apart."""
+    paths so they can't drift apart.
+
+    ``iso``: optional per-element isotropic prestress magnitude β·ΔT̄
+    (broadcastable to G[..., 0, 0]) subtracted from the stress diagonal —
+    the thermal term σ −= β ΔT I.  In 3D / plane strain it is deviator-
+    free (von Mises is unchanged — a cross-check the tests assert); in
+    the 2×2 plane-stress convention it matters."""
     eps = 0.5 * (G + xp.swapaxes(G, -1, -2))
     tr = xp.trace(eps, axis1=-2, axis2=-1)
     eye = xp.eye(d, dtype=G.dtype)
     sig = lam * tr[..., None, None] * eye + 2.0 * mu * eps
+    if iso is not None:
+        sig = sig - xp.asarray(iso, G.dtype)[..., None, None] * eye
     eps_dev = eps - (tr / 3.0)[..., None, None] * eye
     sig_tr = xp.trace(sig, axis1=-2, axis2=-1)
     sig_dev = sig - (sig_tr / 3.0)[..., None, None] * eye
@@ -76,7 +109,8 @@ def _vm_from_gradients(G, xp, d: int, lam: float, mu: float):
 
 
 def _von_mises_device(mesh: StructuredMesh, u_grid: np.ndarray, lam: float,
-                      mu: float) -> Tuple[np.ndarray, np.ndarray]:
+                      mu: float, iso: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """f32 device evaluation of the von Mises fields: the element-gradient
     stencil is shifted slices + outer products (VPU work, no MXU
     contraction → no bf16-pass hazard), one jitted program.  Used for big
@@ -93,7 +127,7 @@ def _von_mises_device(mesh: StructuredMesh, u_grid: np.ndarray, lam: float,
                       for t in range(len(mesh.subelems))]).astype(np.float32)
 
     @partial(jax.jit, static_argnames=("cell_shape", "dd", "deltas"))
-    def vm_prog(u, g, lam32, mu32, cell_shape, dd, deltas):
+    def vm_prog(u, g, iso32, lam32, mu32, cell_shape, dd, deltas):
         parts = []
         for t, sub in enumerate(deltas):
             Gt = jnp.zeros(cell_shape + (dd, dd), jnp.float32)
@@ -103,10 +137,11 @@ def _von_mises_device(mesh: StructuredMesh, u_grid: np.ndarray, lam: float,
                 Gt = Gt + u[region][..., :, None] * g[t, a][None, :]
             parts.append(Gt)
         G = jnp.stack(parts)
-        return _vm_from_gradients(G, jnp, dd, lam32, mu32)
+        return _vm_from_gradients(G, jnp, dd, lam32, mu32, iso=iso32)
 
+    iso32 = None if iso is None else jnp.asarray(iso, jnp.float32)
     vm_s, vm_e = vm_prog(jnp.asarray(u_grid, jnp.float32),
-                         jnp.asarray(grads), np.float32(lam),
+                         jnp.asarray(grads), iso32, np.float32(lam),
                          np.float32(mu), tuple(mesh.cell_shape), d, deltas)
     return np.asarray(vm_s), np.asarray(vm_e)
 
@@ -116,12 +151,14 @@ def _von_mises_device(mesh: StructuredMesh, u_grid: np.ndarray, lam: float,
 _VM_DEVICE_MIN_SIZE = 1_000_000
 
 
-def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: float
+def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: float,
+                     iso: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-sub-element von Mises (stress, strain) using the J2 deviator with
     a 1/3·tr convention on the d×d tensors — exactly the reference formulas
     (fenics_mcp_server.py:1694-1711, :1848-1859, including using the in-plane
-    2×2 tensor with the 3D 1/3 factor in 2D).
+    2×2 tensor with the 3D 1/3 factor in 2D).  ``iso``: optional per-element
+    thermal prestress β·ΔT̄ ([n_sub, *cells] or scalar).
 
     Host f64 numpy by default; very large TPU solves evaluate on device in
     f32 (visualization/summary-grade — relative error ~1e-7)."""
@@ -129,12 +166,12 @@ def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: f
         import jax
         if jax.default_backend() == "tpu":
             try:
-                return _von_mises_device(mesh, u_grid, lam, mu)
+                return _von_mises_device(mesh, u_grid, lam, mu, iso=iso)
             except Exception as e:  # fall back to the exact host path
                 get_logger().warning("device von Mises failed (%s)", e)
     d = mesh.dim
     G = _element_gradients(mesh, u_grid)               # [n_sub, *cells, d, d]
-    return _vm_from_gradients(G, np, d, lam, mu)
+    return _vm_from_gradients(G, np, d, lam, mu, iso=iso)
 
 
 # ----------------------------------------------------------------------
@@ -143,6 +180,8 @@ def von_mises_fields(mesh: StructuredMesh, u_grid: np.ndarray, lam: float, mu: f
 
 def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
                  quantity: str = "stress", end_load: float = 0.0,
+                 alpha: float = 0.0, delta_T: float = 0.0,
+                 clamp_both: bool = False,
                  config: Optional[SolverConfig] = None
                  ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """1D axial bar: −(EA u′)′ = f, u(0)=0, free at x=L.
@@ -152,6 +191,10 @@ def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
     ``end_load``: axial point force P [N] at the free end (extension beyond
     the reference's body-force-only loading): EA u′(L) = P enters the weak
     form as + P v(L), giving the textbook σ = P/A, u = P x/(EA) exactly.
+    ``alpha``/``delta_T``: uniform thermal expansion — load ∫ EAαΔT v′ dx,
+    stress σ = E(ε − αΔT); with ``clamp_both`` (fixed-fixed) this yields
+    the textbook constrained-bar stress σ = −EαΔT exactly, and fixed-free
+    the stress-free expansion u = αΔT·x.
     """
     cfg = config or get_config()
     mesh = interval_mesh(nx, 0.0, L)
@@ -162,13 +205,22 @@ def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
     if end_load:
         b = b.copy()
         b[-1] += float(end_load)
-    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)], mesh.node_shape)
+    if alpha and delta_T:
+        b = b + assembly.assemble_thermal_load(
+            mesh, E * area * alpha, float(delta_T))[..., 0]
+    clamp_masks = [(mesh.face_mask(0, 0), 0.0)]
+    if clamp_both:
+        clamp_masks.append((mesh.face_mask(0, 1), 0.0))
+    bc = DirichletBC.from_masks(clamp_masks, mesh.node_shape)
     u, stats = solve_stencil_system(K, mesh, bc, b, config=cfg)
 
     # ε per element (piecewise constant), projected to P1 like FEniCS project.
     h = mesh.spacing[0]
     eps_cells = ((u[1:] - u[:-1]) / h)[None]  # [1, nx]
-    field_cells = E * eps_cells if quantity != "strain" else eps_cells
+    if quantity == "strain":
+        field_cells = eps_cells
+    else:
+        field_cells = E * (eps_cells - float(alpha) * float(delta_T))
     field = project_cellwise(mesh, field_cells, config=cfg)
     info = {
         "num_dofs": mesh.num_nodes,
@@ -184,6 +236,8 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
                         body_force: np.ndarray, mode: str,
                         quantity: str = "stress",
                         traction_faces: Sequence = (),
+                        thermal=None,
+                        clamp_both: bool = False,
                         config: Optional[SolverConfig] = None
                         ) -> Tuple[np.ndarray, Dict]:
     """2D/3D static elasticity with the x=0 face clamped; returns the flat
@@ -193,11 +247,19 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
     ``traction_faces``: (axis, side, t_vec) surface tractions [N/m² per
     component], entering the load as the consistent P1 boundary term
     ∫_Γ t·v ds — beyond the reference, whose elasticity loads are body
-    forces only (fenics_mcp_server.py:1670-1674, :1820-1824)."""
+    forces only (fenics_mcp_server.py:1670-1674, :1820-1824).
+
+    ``thermal``: optional (alpha, dT) thermoelastic coupling — ``dT`` a
+    nodal temperature-rise grid [*node_shape] or a uniform scalar.  Adds
+    the thermal-expansion load ∫ β ΔT div(v) dx and evaluates stresses
+    from σ = C:ε − β ΔT I (β per ``mode``, see
+    :func:`thermal_stress_coefficient`).  ``clamp_both`` additionally
+    clamps the x=L face (constrained thermal-expansion setups)."""
     cfg = config or get_config()
     d = mesh.dim
     lam, mu = lame_parameters(E, nu, mode)
     phases: Dict[str, float] = {}
+    iso_cells = None
     with phase_timer(phases, "assembly"):
         K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
         b = assembly.assemble_vector_load(mesh,
@@ -206,22 +268,35 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
             from pde_solver_tpu.ops import surface
             bsurf = surface.assemble_face_load(mesh, int(axis), int(side))
             b = b + bsurf[..., None] * np.asarray(tvec, dtype=np.float64)
-        bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
-                                    mesh.node_shape, vdim=d)
+        if thermal is not None:
+            alpha, dT = thermal
+            beta = thermal_stress_coefficient(E, nu, float(alpha), mode)
+            b = b + assembly.assemble_thermal_load(mesh, beta, dT)
+            if np.isscalar(dT) or np.asarray(dT).ndim == 0:
+                iso_cells = beta * float(dT)
+            else:
+                iso_cells = beta * _cellwise_mean(mesh, np.asarray(dT))
+        clamp_masks = [(mesh.face_mask(0, 0), 0.0)]
+        if clamp_both:
+            clamp_masks.append((mesh.face_mask(0, 1), 0.0))
+        bc = DirichletBC.from_masks(clamp_masks, mesh.node_shape, vdim=d)
 
     def level_builder(mesh_c):
         # re-assemble on the coarse mesh — exact Galerkin operator for
         # nested P1 spaces with homogeneous coefficients
         K_c = assembly.assemble_elasticity_stencil(mesh_c, lam, mu)
-        bc_c = DirichletBC.from_masks([(mesh_c.face_mask(0, 0), 0.0)],
-                                      mesh_c.node_shape, vdim=d)
+        masks_c = [(mesh_c.face_mask(0, 0), 0.0)]
+        if clamp_both:
+            masks_c.append((mesh_c.face_mask(0, 1), 0.0))
+        bc_c = DirichletBC.from_masks(masks_c, mesh_c.node_shape, vdim=d)
         return K_c, bc_c
 
     with phase_timer(phases, "solve"):
         u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg,
                                              mg_level_builder=level_builder)
     with phase_timer(phases, "postprocess"):
-        vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu)
+        vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu,
+                                                iso=iso_cells)
         vm = vm_strain if quantity == "strain" else vm_stress
         field = project_cellwise(mesh, vm, config=cfg)
     info = {

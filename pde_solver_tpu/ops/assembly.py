@@ -255,6 +255,42 @@ def assemble_vector_load(mesh: StructuredMesh, body_force: np.ndarray) -> np.nda
     return b_scalar[..., None] * np.asarray(body_force, dtype=np.float64)
 
 
+def assemble_thermal_load(mesh: StructuredMesh, beta: float,
+                          dT_grid: Union[np.ndarray, float]) -> np.ndarray:
+    """Thermal-expansion load b[n, i] = ∫ β ΔT(x) ∂φ_n/∂x_i dx.
+
+    Weak form of the thermal prestress: σ_th = −β ΔT I contributes
+    +∫ β ΔT div(v) dx to the RHS, and div(φ_n e_i) = ∂φ_n/∂x_i.  ``β`` is
+    the full thermal-stress coefficient (see
+    :func:`pde_solver_tpu.models.elasticity.thermal_stress_coefficient`);
+    ``dT_grid`` is the nodal temperature rise T − T_ref ([*node_shape]) or
+    a uniform scalar.  Exact for P1 ΔT: gradients are constant per simplex
+    and the mean of a linear function over a simplex is the vertex mean,
+    so ∫_K ΔT ∂φ_a/∂x_i = |K| · mean(ΔT_vertices) · g_a[i].
+
+    Capability beyond the reference (its elasticity loads are body forces
+    only, fenics_mcp_server.py:1670-1674, :1820-1824)."""
+    d = mesh.dim
+    b = np.zeros(mesh.node_shape + (d,), dtype=np.float64)
+    uniform = np.isscalar(dT_grid) or np.asarray(dT_grid).ndim == 0
+    dT = None if uniform else np.asarray(dT_grid, dtype=np.float64)
+    if dT is not None and dT.shape != mesh.node_shape:
+        raise ValueError(f"dT_grid shape {dT.shape} != nodes {mesh.node_shape}")
+    for t, sub in enumerate(mesh.subelems):
+        geom = subelem_geometry(mesh, t, 0)
+        if uniform:
+            dT_bar: Union[np.ndarray, float] = float(dT_grid)
+        else:
+            dT_bar = sum(dT[_node_region(mesh, delta)] for delta in sub) \
+                / float(len(sub))
+        scale = float(beta) * geom.volume
+        for a, delta in enumerate(sub):
+            contrib = scale * np.multiply.outer(dT_bar, geom.grads[a]) \
+                if not uniform else scale * dT_bar * geom.grads[a]
+            b[_node_region(mesh, delta)] += contrib
+    return b
+
+
 # ----------------------------------------------------------------------
 # Dense reference (tests / small problems)
 # ----------------------------------------------------------------------
