@@ -82,6 +82,15 @@ class SolverConfig:
     shard_devices: int = 0        # >1 → domain-decompose CG solves over a
                                   # 1-D jax.sharding.Mesh of that many devices
                                   # (parallel.shard.ShardedScaledCG); 0 = off
+    shard_grid: str = ""          # "a,b" (or "axb") → decompose grid axes 0
+                                  # AND 1 over an a×b 2-D device mesh instead
+                                  # of the 1-D slab split: halo surfaces per
+                                  # shard shrink and the two halo directions
+                                  # ride distinct v5e ICI torus dimensions.
+                                  # Requires a·b ≤ devices and a 2-D/3-D
+                                  # problem; implies the sharded-CG route
+                                  # (shard_devices is inferred as a·b when
+                                  # unset).  Empty = 1-D decomposition.
     theta: float = 1.0            # transient θ-scheme: 1 = backward Euler
                                   # (the reference's only mode), 0.5 =
                                   # Crank–Nicolson.  Opt-in via
@@ -92,9 +101,27 @@ class SolverConfig:
 
     def resolved_shard_devices(self) -> int:
         n = self.shard_devices
+        grid = self.resolved_shard_grid()
+        if grid is not None and n <= 1:
+            n = grid[0] * grid[1]  # shard_grid alone implies sharding
         if n <= 1:
             return 0
         return min(n, len(jax.devices()))
+
+    def resolved_shard_grid(self) -> Optional[tuple]:
+        """(a, b) for a requested 2-D domain decomposition, or None.
+        Falls back to None (1-D split) when the grid doesn't fit the
+        available devices."""
+        s = self.shard_grid.strip().replace("x", ",")
+        if not s:
+            return None
+        try:
+            a, b = (int(t) for t in s.split(","))
+        except ValueError:
+            return None
+        if a < 1 or b < 2 or a * b > len(jax.devices()):
+            return None
+        return (a, b)
 
     def resolve_precision(self) -> str:
         p = self.precision
@@ -116,6 +143,7 @@ _GLOBAL = SolverConfig(
     precision=os.environ.get("PDE_TPU_PRECISION", "auto"),
     tol=float(os.environ.get("PDE_TPU_TOL", 1e-11)),
     shard_devices=int(os.environ.get("PDE_TPU_SHARD_DEVICES", 0)),
+    shard_grid=os.environ.get("PDE_TPU_SHARD_GRID", ""),
     transient_checkpoint_every=int(
         os.environ.get("PDE_TPU_CHECKPOINT_EVERY", 0)),
     checkpoint_dir=os.environ.get("PDE_TPU_CHECKPOINT_DIR",

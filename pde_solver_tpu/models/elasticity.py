@@ -56,15 +56,12 @@ def thermal_stress_coefficient(E: float, nu: float, alpha: float,
 
 
 def _cellwise_mean(mesh: StructuredMesh, grid: np.ndarray) -> np.ndarray:
-    """Per-sub-element vertex mean of a nodal field, [n_sub, *cells]."""
-    out = np.zeros((len(mesh.subelems),) + mesh.cell_shape)
-    for t, sub in enumerate(mesh.subelems):
-        for delta in sub:
-            region = tuple(slice(dd, dd + n)
-                           for dd, n in zip(delta, mesh.cell_shape))
-            out[t] += grid[region]
-        out[t] /= float(len(sub))
-    return out
+    """Per-sub-element vertex mean of a nodal field, [n_sub, *cells].
+
+    Delegates to :func:`assembly.subelem_vertex_mean` — the SAME helper
+    the thermal RHS uses, so the load-side and stress-side ΔT̄ can never
+    drift apart (ADVICE r4)."""
+    return assembly.subelem_vertex_mean(mesh, grid)
 
 
 def _element_gradients(mesh: StructuredMesh, u_grid: np.ndarray) -> np.ndarray:
@@ -90,9 +87,12 @@ def _vm_from_gradients(G, xp, d: int, lam: float, mu: float, iso=None):
 
     ``iso``: optional per-element isotropic prestress magnitude β·ΔT̄
     (broadcastable to G[..., 0, 0]) subtracted from the stress diagonal —
-    the thermal term σ −= β ΔT I.  In 3D / plane strain it is deviator-
-    free (von Mises is unchanged — a cross-check the tests assert); in
-    the 2×2 plane-stress convention it matters."""
+    the thermal term σ −= β ΔT I.  Only in 3D is the subtraction
+    deviator-free (von Mises unchanged — tests/test_thermal.py asserts
+    it); under this code's 2×2-tensor-with-1/3·tr convention a 2D
+    isotropic subtraction shifts the deviator by −(iso/3)·I₂ and DOES
+    change von Mises, for plane strain and plane stress alike (the
+    reference's own 2D convention, fenics_mcp_server.py:1694-1711)."""
     eps = 0.5 * (G + xp.swapaxes(G, -1, -2))
     tr = xp.trace(eps, axis1=-2, axis2=-1)
     eye = xp.eye(d, dtype=G.dtype)
@@ -196,6 +196,12 @@ def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
     the textbook constrained-bar stress σ = −EαΔT exactly, and fixed-free
     the stress-free expansion u = αΔT·x.
     """
+    if clamp_both and end_load:
+        # the x=L node is Dirichlet-constrained: a point load added there
+        # would be silently discarded by the masking (ADVICE r4)
+        raise ValueError("end_load cannot be applied with clamp_both=True: "
+                         "the x=L end is displacement-constrained, so the "
+                         "point load would be silently ignored")
     cfg = config or get_config()
     mesh = interval_mesh(nx, 0.0, L)
     t0 = time.perf_counter()

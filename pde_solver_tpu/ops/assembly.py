@@ -44,6 +44,24 @@ def _node_region(mesh: StructuredMesh, delta: Tuple[int, ...]):
     return tuple(slice(d, d + n) for d, n in zip(delta, mesh.cell_shape))
 
 
+def subelem_vertex_mean(mesh: StructuredMesh, grid: np.ndarray) -> np.ndarray:
+    """Per-sub-element vertex mean of a nodal field, ``[n_sub, *cells]``.
+
+    For P1 fields this equals the exact element average (the mean of a
+    linear function over a simplex is its vertex mean).  Shared by the
+    thermal RHS (:func:`assemble_thermal_load`) and the stress-side
+    per-element ΔT̄ in ``models.elasticity`` — the two MUST agree or
+    σ = C:ε − β ΔT̄ I silently loses consistency between the load and the
+    postprocessing (ADVICE r4)."""
+    grid = np.asarray(grid, dtype=np.float64)
+    out = np.zeros((len(mesh.subelems),) + mesh.cell_shape)
+    for t, sub in enumerate(mesh.subelems):
+        for delta in sub:
+            out[t] += grid[_node_region(mesh, delta)]
+        out[t] /= float(len(sub))
+    return out
+
+
 def _cell_origins(mesh: StructuredMesh) -> Tuple[np.ndarray, ...]:
     """Per-axis cell low-corner coordinates (1D arrays, broadcastable)."""
     outs = []
@@ -276,13 +294,13 @@ def assemble_thermal_load(mesh: StructuredMesh, beta: float,
     dT = None if uniform else np.asarray(dT_grid, dtype=np.float64)
     if dT is not None and dT.shape != mesh.node_shape:
         raise ValueError(f"dT_grid shape {dT.shape} != nodes {mesh.node_shape}")
+    dT_means = None if uniform else subelem_vertex_mean(mesh, dT)
     for t, sub in enumerate(mesh.subelems):
         geom = subelem_geometry(mesh, t, 0)
         if uniform:
             dT_bar: Union[np.ndarray, float] = float(dT_grid)
         else:
-            dT_bar = sum(dT[_node_region(mesh, delta)] for delta in sub) \
-                / float(len(sub))
+            dT_bar = dT_means[t]
         scale = float(beta) * geom.volume
         for a, delta in enumerate(sub):
             contrib = scale * np.multiply.outer(dT_bar, geom.grads[a]) \

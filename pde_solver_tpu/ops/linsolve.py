@@ -711,8 +711,13 @@ def solve_stencil_system(
     elif nshard > 1:
         from pde_solver_tpu.parallel.shard import ShardedScaledCG, device_mesh
         sh_dtype = jnp.float64 if prec == "f64" else jnp.float32
-        sharded = ShardedScaledCG(sysm, d, vdim, device_mesh(nshard),
-                                  dtype=sh_dtype)
+        # 2-D decomposition (grid axes 0+1 over an a×b device mesh) when
+        # requested and the problem has a second grid axis; otherwise the
+        # 1-D slab split
+        grid2d = cfg.resolved_shard_grid() if d >= 2 else None
+        mesh_dev = (device_mesh(shape=grid2d) if grid2d is not None
+                    else device_mesh(nshard))
+        sharded = ShardedScaledCG(sysm, d, vdim, mesh_dev, dtype=sh_dtype)
 
     if prec == "f64":
         if sharded_mg is not None:

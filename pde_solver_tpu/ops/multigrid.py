@@ -233,8 +233,18 @@ def _estimate_lambda_max(offsets, weights, shape, grid_dim, vdim,
 def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
               dtype, omega: Optional[float] = None,
               pairs: Optional[tuple] = None,
-              use_pallas: bool = True) -> MGLevel:
+              use_pallas: bool = True,
+              defer_omega: bool = False) -> MGLevel:
+    """Build one MG level's device operators from a scaled system.
+
+    ``defer_omega=True`` leaves ``omega=None`` in the returned level so the
+    caller (:func:`build_hierarchy`) can batch ALL levels' λmax power
+    iterations into one device→host pull — a fresh build then performs no
+    pull at all until that single point, so it cannot serialize against the
+    tunnel's first-transfer channel warmup more than once."""
     host_w = [np.asarray(W, dtype=np.float64) for W in sysm.weights]
+    host_cs_np = None
+    dev_pairs = None
     free = jnp.asarray(sysm.free, dtype=dtype)
     # TPU hot path: big f32 levels apply through the Pallas flat-stencil
     # kernel (ops.pallas_kernels) instead of the XLA shifted-slice form —
@@ -275,15 +285,48 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
             # nothing — the smoother reuses the same operator
             w = w_lo = cs
         else:
-            w = FlatStencilOperator(sysm.offsets, w_src, mesh.node_shape,
-                                    vdim=vdim)
-            if _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") \
-                    not in ("0", "off"):
-                # device-side cast: no second host pack / 330 MB upload
-                w_lo = w.as_weight_dtype(jnp.bfloat16)
+            want_bf16 = _os.environ.get("PDE_TPU_BF16_SMOOTHER", "1") \
+                not in ("0", "off")
+            # Compact FRESH build (default): translation-invariant big
+            # levels upload their constant-interior split (scalars +
+            # thickness-2 face slabs, df32 pairs) and expand ON DEVICE —
+            # the same fused program the disk-cache rebuild uses
+            # (`_flat_op_from_cs_dev`).  A cold driver environment then
+            # pushes ~tens of MB per big level through the tunnel instead
+            # of ~370 MB dense f32 (+740 MB ladder pairs downstream:
+            # `dev_pairs` hands the expanded (hi, lo) straight to
+            # build_df_ladder).  BENCH_r04's 830 s cold hierarchy upload
+            # is the cost this removes.  `PDE_TPU_FRESH_CS=0` restores the
+            # dense host-pack upload for A/B.
+            fresh_cs = None
+            dense_bytes = 4 * len(sysm.offsets) * n_dof * vdim
+            if (pairs is None
+                    and 2 * dense_bytes >= _CS_LADDER_MIN_BYTES
+                    and _os.environ.get("PDE_TPU_FRESH_CS", "1")
+                    not in ("0", "off")):
+                fresh_cs = _cs_split_np(host_w, mesh.dim)
+            if fresh_cs is not None:
+                from pde_solver_tpu.ops import df32
+                wc64, slabs64 = fresh_cs
+                wc_hi, wc_lo = df32.df_from_f64(wc64)
+                shi_l, slo_l = [], []
+                for slab in slabs64:
+                    shi, slo = df32.df_from_f64(slab)
+                    shi_l.append(shi)
+                    slo_l.append(slo)
+                host_cs_np = (wc_hi, wc_lo, shi_l, slo_l)
+                w, w_lo, dev_pairs = _flat_op_from_cs_dev(
+                    sysm.offsets, host_cs_np, mesh.node_shape, mesh.dim,
+                    vdim, want_bf16=want_bf16)
+            else:
+                w = FlatStencilOperator(sysm.offsets, w_src,
+                                        mesh.node_shape, vdim=vdim)
+                if want_bf16:
+                    # device-side cast: no second host pack / 330 MB upload
+                    w_lo = w.as_weight_dtype(jnp.bfloat16)
     else:
         w = tuple(jnp.asarray(W, dtype=dtype) for W in w_src)
-    if omega is None:
+    if omega is None and not defer_omega:
         # λmax must be estimated per level: Chebyshev smoothing *diverges* on
         # any eigenvalue above its assumed λmax, so guessing is not safe.  The
         # 1.05 factor covers power-iteration underestimation.
@@ -294,14 +337,16 @@ def _to_level(sysm: ScaledSystem, mesh: StructuredMesh, vdim: int,
         return MGLevel(sysm.offsets, w, free, omega,
                        jnp.asarray(sysm.s, dtype=dtype), None, None,
                        host_weights=host_w, host_scale=(np.asarray(sysm.s),),
-                       w_lo=w_lo, host_pairs=pairs)
+                       w_lo=w_lo, host_pairs=pairs, host_cs=host_cs_np,
+                       dev_pairs=dev_pairs)
     C_np = np.swapaxes(sysm.Ct, -1, -2)
     Cinv_np = np.swapaxes(sysm.CinvT, -1, -2)
     C = jnp.asarray(C_np, dtype=dtype)
     Cinv = jnp.asarray(Cinv_np, dtype=dtype)
     return MGLevel(sysm.offsets, w, free, omega, None, C, Cinv,
                    host_weights=host_w, host_scale=(C_np, Cinv_np),
-                   w_lo=w_lo, host_pairs=pairs)
+                   w_lo=w_lo, host_pairs=pairs, host_cs=host_cs_np,
+                   dev_pairs=dev_pairs)
 
 
 def build_hierarchy(
@@ -335,7 +380,9 @@ def build_hierarchy(
         pre_smooth, post_smooth = (int(x) for x in env_smooth.split(","))
     if not can_coarsen(mesh):
         return None
-    levels = [_to_level(fine_system, mesh, vdim, dtype, use_pallas=use_pallas)]
+    levels = [_to_level(fine_system, mesh, vdim, dtype, use_pallas=use_pallas,
+                        defer_omega=True)]
+    meshes = [mesh]
     cur = mesh
     cur_sys = fine_system
     while len(levels) < max_levels and can_coarsen(cur):
@@ -344,7 +391,26 @@ def build_hierarchy(
         cur_sys = prepare_system(stencil_c, cur, bc_c, _zeros_shape(cur, vdim),
                                  vdim)
         levels.append(_to_level(cur_sys, cur, vdim, dtype,
-                                use_pallas=use_pallas))
+                                use_pallas=use_pallas, defer_omega=True))
+        meshes.append(cur)
+    # Batched λmax: dispatch every level's power iteration, then resolve all
+    # of them through ONE device→host pull.  A fresh build on the tunneled
+    # chip previously paid the first-transfer channel warmup (up to 815 s
+    # measured, BENCH_r04) inside the first per-level float() pull; batching
+    # leaves exactly one synchronization point for the whole hierarchy.
+    lam_devs = []
+    for lv, m in zip(levels, meshes):
+        # fresh seed-0 rng per level — parity with the sequential
+        # _estimate_lambda_max calls this replaces
+        rng = np.random.default_rng(0)
+        full_shape = m.node_shape + ((vdim,) if vdim > 1 else ())
+        x = jnp.asarray(rng.standard_normal(full_shape), dtype=dtype)
+        lam_devs.append(_power_iteration(lv.offsets, lv.weights, x,
+                                         mesh.dim, vdim, 10))
+    lams = np.asarray(jnp.stack(lam_devs))
+    for i in range(len(levels)):
+        lam = 1.05 * max(float(lams[i]), 1e-6)
+        levels[i] = levels[i]._replace(omega=float(4.0 / (3.0 * lam)))
     # Exact dense inverse at the coarsest level: an iterative coarse "solve"
     # leaves the preconditioner non-SPD (observed: negative M⁻¹ eigenvalues →
     # PCG breakdown at scale).  Coarsest systems here are tiny (≤ few k DOF).
@@ -442,19 +508,27 @@ def _hierarchy_to_arrays(h: MGHierarchy):
     all_cs = []
     scale_kind = "scalar" if h.levels[0].s is not None else "block"
     for i, lv in enumerate(h.levels):
-        cs = _cs_split_np(lv.host_weights, h.grid_dim)
+        if lv.host_cs is not None:
+            # the fresh compact build already split this level — reuse
+            # (the scan over the dense f64 weights is the expensive part)
+            wc_hi, wc_lo, shi_l, slo_l = lv.host_cs
+            cs = (wc_hi, shi_l)  # non-None marker; parts stored below
+        else:
+            cs = _cs_split_np(lv.host_weights, h.grid_dim)
+            if cs is not None:
+                wc64, slabs64 = cs
+                wc_hi, wc_lo = df32.df_from_f64(wc64)
+                shi_l, slo_l = [], []
+                for slab in slabs64:
+                    shi, slo = df32.df_from_f64(slab)
+                    shi_l.append(shi)
+                    slo_l.append(slo)
         if cs is not None:
-            wc64, slabs64 = cs
-            wc_hi, wc_lo = df32.df_from_f64(wc64)
             arrays[f"cswchi{i}"] = wc_hi
             arrays[f"cswclo{i}"] = wc_lo
-            shi_l, slo_l = [], []
-            for f, slab in enumerate(slabs64):
-                shi, slo = df32.df_from_f64(slab)
-                arrays[f"csshi{i}_{f}"] = shi
-                arrays[f"csslo{i}_{f}"] = slo
-                shi_l.append(shi)
-                slo_l.append(slo)
+            for f in range(len(shi_l)):
+                arrays[f"csshi{i}_{f}"] = shi_l[f]
+                arrays[f"csslo{i}_{f}"] = slo_l[f]
             cs_flags.append(True)
             all_pairs.append(None)
             all_cs.append((wc_hi, wc_lo, shi_l, slo_l))

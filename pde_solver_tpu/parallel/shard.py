@@ -34,11 +34,21 @@ from pde_solver_tpu.mesh import StructuredMesh
 from pde_solver_tpu.ops import assembly
 from pde_solver_tpu.ops.bc import DirichletBC
 
-AXIS = "shard_x"  # mesh axis name for the spatial decomposition
+AXIS = "shard_x"   # mesh axis name for the grid-axis-0 decomposition
+AXIS1 = "shard_y"  # second mesh axis (grid axis 1) for 2-D decompositions
 
 
-def device_mesh(n_devices: Optional[int] = None) -> Mesh:
+def device_mesh(n_devices: Optional[int] = None,
+                shape: Optional[Tuple[int, int]] = None) -> Mesh:
+    """1-D mesh of ``n_devices`` (axis ``AXIS``), or — with ``shape=(a, b)``
+    — a 2-D ``a×b`` mesh over axes ``(AXIS, AXIS1)``.  A 2-D mesh maps a
+    2-D domain decomposition onto the v5e's 2-D ICI torus: halo traffic on
+    both grid axes rides distinct torus dimensions, and shard surfaces grow
+    like (N/a + N/b) instead of a thin N/(a·b) slab."""
     devs = jax.devices()
+    if shape is not None:
+        a, b = int(shape[0]), int(shape[1])
+        return Mesh(np.array(devs[:a * b]).reshape(a, b), (AXIS, AXIS1))
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (AXIS,))
 
@@ -47,36 +57,56 @@ def device_mesh(n_devices: Optional[int] = None) -> Mesh:
 # Halo exchange + local stencil application (inside shard_map)
 # ----------------------------------------------------------------------
 
-def halo_exchange(x: jnp.ndarray, axis_name: str = AXIS) -> jnp.ndarray:
+def halo_exchange_axis(x: jnp.ndarray, grid_axis: int,
+                       axis_name: str) -> jnp.ndarray:
     """Extend the local block by one node layer from each lattice neighbor
-    along axis 0.  Edge shards receive zeros (global Dirichlet-free zone —
-    the stencil weights are already truncated there by assembly)."""
+    along ``grid_axis``.  Edge shards receive zeros (global Dirichlet-free
+    zone — the stencil weights are already truncated there by assembly)."""
     n = jax.lax.axis_size(axis_name)
-    lo_shape = x[:1].shape
+    s = x.shape[grid_axis]
+    last = jax.lax.slice_in_dim(x, s - 1, s, axis=grid_axis)
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=grid_axis)
     if n == 1:
-        zero = jnp.zeros(lo_shape, x.dtype)
-        return jnp.concatenate([zero, x, zero], axis=0)
-    from_left = jax.lax.ppermute(x[-1:], axis_name,
-                                 [(j, j + 1) for j in range(n - 1)])
-    from_right = jax.lax.ppermute(x[:1], axis_name,
-                                  [(j + 1, j) for j in range(n - 1)])
-    return jnp.concatenate([from_left, x, from_right], axis=0)
+        zero = jnp.zeros(first.shape, x.dtype)
+        return jnp.concatenate([zero, x, zero], axis=grid_axis)
+    from_lo = jax.lax.ppermute(last, axis_name,
+                               [(j, j + 1) for j in range(n - 1)])
+    from_hi = jax.lax.ppermute(first, axis_name,
+                               [(j + 1, j) for j in range(n - 1)])
+    return jnp.concatenate([from_lo, x, from_hi], axis=grid_axis)
+
+
+def halo_exchange(x: jnp.ndarray, axis_name: str = AXIS) -> jnp.ndarray:
+    """Axis-0 halo exchange (the 1-D decomposition's form)."""
+    return halo_exchange_axis(x, 0, axis_name)
 
 
 def local_stencil_apply(offsets: Tuple[Tuple[int, ...], ...],
                         weights: Tuple[jnp.ndarray, ...],
                         x: jnp.ndarray, vdim: int = 1,
-                        axis_name: str = AXIS) -> jnp.ndarray:
-    """y = A x on one shard: halo along axis 0, zero padding on other axes."""
+                        axis_name: str = AXIS,
+                        axis1_name: Optional[str] = None) -> jnp.ndarray:
+    """y = A x on one shard: halo along axis 0 (and axis 1 when
+    ``axis1_name`` is given — a 2-D decomposition), zero padding on the
+    remaining axes.  Corner neighbor values (the diagonal couplings of the
+    simplicial P1 stencil) arrive transitively: the axis-1 exchange runs on
+    the axis-0-extended block, so each halo row is itself exchanged."""
     d = len(offsets[0])
-    x_ext = halo_exchange(x, axis_name)
-    pad = [(0, 0)] + [(1, 1)] * (d - 1) + [(0, 0)] * (x.ndim - d)
+    x_ext = halo_exchange_axis(x, 0, axis_name)
+    n_halo = 1
+    if axis1_name is not None:
+        x_ext = halo_exchange_axis(x_ext, 1, axis1_name)
+        n_halo = 2
+    pad = [(0, 0)] * n_halo + [(1, 1)] * (d - n_halo) \
+        + [(0, 0)] * (x.ndim - d)
     xp = jnp.pad(x_ext, pad)
     local_shape = x.shape[:d]
     y = None
     for off, W in zip(offsets, weights):
-        sl = tuple([slice(1 + off[0], 1 + off[0] + local_shape[0])]
-                   + [slice(1 + o, 1 + o + s) for o, s in zip(off[1:], local_shape[1:])])
+        # every grid axis is extended by exactly one layer (halo or zero
+        # pad), so the shifted-slice window is uniform
+        sl = tuple(slice(1 + o, 1 + o + s)
+                   for o, s in zip(off, local_shape))
         xs = xp[sl]
         term = W * xs if vdim == 1 else jnp.einsum("...ij,...j->...i", W, xs)
         y = term if y is None else y + term
@@ -197,9 +227,21 @@ def _pad0(arr: np.ndarray, rows: int) -> np.ndarray:
     return np.pad(np.asarray(arr), pad)
 
 
+def _pad_grid(arr: np.ndarray, pads: Tuple[int, ...]) -> np.ndarray:
+    """Zero-pad the leading grid axes by ``pads`` trailing rows each."""
+    if not any(pads):
+        return np.asarray(arr)
+    pad = [(0, p) for p in pads] + [(0, 0)] * (arr.ndim - len(pads))
+    return np.pad(np.asarray(arr), pad)
+
+
 class ShardedScaledCG:
     """CG on a prepared :class:`~pde_solver_tpu.ops.linsolve.ScaledSystem`,
-    sharded along grid axis 0 over ``mesh_dev``.
+    domain-decomposed over ``mesh_dev``: grid axis 0 over a 1-axis device
+    mesh, or grid axes 0 AND 1 over a 2-axis mesh (``device_mesh(shape=
+    (a, b))``) — thin slabs stop scaling once the halo/compute ratio grows,
+    and a 2-D decomposition maps both halo directions onto distinct v5e ICI
+    torus dimensions.
 
     Build once per (system, mesh); call :meth:`solve` many times.  The
     reference has no distributed solver at all (SURVEY §2 parallelism row);
@@ -213,41 +255,59 @@ class ShardedScaledCG:
         self.vdim = vdim
         self.mesh_dev = mesh_dev
         self.offsets = sysm.offsets
-        n_dev = mesh_dev.devices.size
-        nx = sysm.free.shape[0]
-        n_pad0 = (-nx) % n_dev
-        self.nx = nx
+        self.n_mesh_axes = len(mesh_dev.axis_names)
+        if self.n_mesh_axes >= 2 and grid_dim < 2:
+            raise ValueError("2-D decomposition needs grid_dim >= 2")
+        dev_shape = tuple(mesh_dev.devices.shape)
+        # pad every decomposed grid axis to a device-count multiple with
+        # identity rows (zero couplings, zero RHS → padding stays exactly
+        # zero through CG)
+        self.ns = tuple(int(s) for s in
+                        sysm.free.shape[:self.n_mesh_axes])
+        self.pads = tuple((-n) % d for n, d in zip(self.ns, dev_shape))
         zero_off = tuple(0 for _ in range(grid_dim))
-        sharding = NamedSharding(mesh_dev, P(AXIS))
+        self.part_axes = (AXIS, AXIS1)[:self.n_mesh_axes]
+        sharding = NamedSharding(mesh_dev, P(*self.part_axes))
+        self._sharding = sharding
 
         weights = []
+        eye = 1.0 if vdim == 1 else np.eye(vdim)
         for off, W in zip(sysm.offsets, sysm.weights):
-            Wp = _pad0(W, n_pad0)
-            if off == zero_off and n_pad0:
-                if vdim == 1:
-                    Wp[nx:] = 1.0
-                else:
-                    Wp[nx:] = np.eye(vdim)
+            Wp = _pad_grid(W, self.pads)
+            if off == zero_off:
+                for ax, (n, p) in enumerate(zip(self.ns, self.pads)):
+                    if p:
+                        Wp[(slice(None),) * ax + (slice(n, None),)] = eye
             weights.append(jax.device_put(jnp.asarray(Wp, dtype), sharding))
         self.weights = tuple(weights)
         self.b_hat = jax.device_put(
-            jnp.asarray(_pad0(sysm.b_hat, n_pad0), dtype), sharding)
+            jnp.asarray(_pad_grid(sysm.b_hat, self.pads), dtype), sharding)
         self._solve = self._build(dtype)
+
+    def _grid_put(self, arr):
+        return jax.device_put(
+            jnp.asarray(_pad_grid(np.asarray(arr), self.pads),
+                        self.b_hat.dtype), self._sharding)
 
     def _build(self, dtype):
         offsets, vdim = self.offsets, self.vdim
-        grid_spec = P(AXIS, *([None] * (self.grid_dim - 1
-                                        + (1 if vdim > 1 else 0))))
-        w_spec = P(AXIS, *([None] * (self.grid_dim - 1
-                                     + (2 if vdim > 1 else 0))))
+        two_d = self.n_mesh_axes >= 2
+        part = self.part_axes
+        tail0 = self.grid_dim - len(part) + (1 if vdim > 1 else 0)
+        grid_spec = P(*part, *([None] * tail0))
+        w_spec = P(*part, *([None] * (self.grid_dim - len(part)
+                                      + (2 if vdim > 1 else 0))))
+        red_axes = part if two_d else AXIS
 
         def local(b, x0, tol, maxiter, *weights):
             def apply_A(x):
-                return local_stencil_apply(offsets, weights, x, vdim)
+                return local_stencil_apply(
+                    offsets, weights, x, vdim,
+                    axis1_name=(AXIS1 if two_d else None))
 
             one = jnp.ones((), dtype)
             return sharded_pcg(apply_A, b, one, tol=tol, maxiter=maxiter,
-                               x0=x0)
+                               x0=x0, axis_name=red_axes)
 
         fn = shard_map(
             local, mesh=self.mesh_dev,
@@ -260,19 +320,14 @@ class ShardedScaledCG:
 
     def solve(self, b_hat=None, x0=None, tol: float = 1e-8,
               maxiter: int = 2000):
-        b = self.b_hat if b_hat is None else jax.device_put(
-            jnp.asarray(_pad0(np.asarray(b_hat), self.b_hat.shape[0] - self.nx),
-                        self.b_hat.dtype),
-            NamedSharding(self.mesh_dev, P(AXIS)))
-        x0 = jnp.zeros_like(b) if x0 is None else jax.device_put(
-            jnp.asarray(_pad0(np.asarray(x0), self.b_hat.shape[0] - self.nx),
-                        self.b_hat.dtype),
-            NamedSharding(self.mesh_dev, P(AXIS)))
+        b = self.b_hat if b_hat is None else self._grid_put(b_hat)
+        x0 = jnp.zeros_like(b) if x0 is None else self._grid_put(x0)
         x, iters, relres = self._solve(b, x0,
                                        jnp.asarray(tol, b.dtype),
                                        jnp.asarray(maxiter, jnp.int32),
                                        *self.weights)
-        return x[:self.nx], iters, relres
+        unpad = tuple(slice(0, n) for n in self.ns)
+        return x[unpad], iters, relres
 
 
 def build_sharded_elasticity_solve(mesh_geo: StructuredMesh, mesh_dev: Mesh,

@@ -370,3 +370,134 @@ def test_sharded_newmark_matches_single_device():
     assert np.abs(sh.values - ref.values).max() < 1e-6 * scale
     vscale = max(np.abs(ref.velocities).max(), 1e-30)
     assert np.abs(sh.velocities - ref.velocities).max() < 1e-6 * vscale
+
+
+# ----------------------------------------------------------------------
+# 2-D domain decomposition (grid axes 0+1 over an a×b device mesh) —
+# VERDICT r4 item 3.  The simplicial P1 stencil has diagonal (corner)
+# couplings, so these tests also witness the transitive corner-halo
+# exchange in local_stencil_apply.
+# ----------------------------------------------------------------------
+
+@needs_multidevice
+def test_local_stencil_apply_2d_mesh_matches_dense():
+    """Halo-exchange apply on a 4×2 device mesh == the dense single-device
+    apply, including the corner couplings (non-divisible extents on BOTH
+    decomposed axes would need padding — use divisible ones here to test
+    the apply in isolation)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = box_mesh(7, 5, 4, (0, 0, 0), (1.0, 1.0, 1.0))  # nodes (8, 6, 5)
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    offsets = tuple(sorted(K))
+    assert any(o[0] != 0 and o[1] != 0 for o in offsets)  # corner couplings
+    weights = tuple(jnp.asarray(K[o], jnp.float64) for o in offsets)
+    dev = psh.device_mesh(shape=(4, 2))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random(mesh.node_shape))
+
+    spec = P(psh.AXIS, psh.AXIS1, None)
+    fn = shard_map(
+        lambda xv, *w: psh.local_stencil_apply(offsets, w, xv, 1,
+                                               axis1_name=psh.AXIS1),
+        mesh=dev, in_specs=(spec,) + tuple(spec for _ in offsets),
+        out_specs=spec, check_vma=False)
+    y2d = jax.jit(fn)(jax.device_put(x, NamedSharding(dev, spec)),
+                      *(jax.device_put(w, NamedSharding(dev, spec))
+                        for w in weights))
+    op = StencilOperator.from_numpy(K, mesh.node_shape, dtype=jnp.float64)
+    y_ref = op.apply(x)
+    assert np.allclose(np.asarray(y2d), np.asarray(y_ref), atol=1e-12)
+
+
+@needs_multidevice
+def test_sharded_cg_2d_mesh_matches_single_device():
+    """ShardedScaledCG over a 4×2 mesh, NON-divisible extents on both
+    decomposed axes (identity-row padding on each), vdim=1."""
+    from pde_solver_tpu.ops.linsolve import _jit_cg, prepare_system
+
+    mesh = rectangle_mesh(13, 8, (0.0, 0.0), (1.0, 1.0))  # nodes (14, 9)
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 20.0),
+                                 (mesh.face_mask(0, 1), 0.0)],
+                                mesh.node_shape)
+    b = assembly.assemble_load(mesh)
+    sysm = prepare_system(K, mesh, bc, b, 1)
+    dev = psh.device_mesh(shape=(4, 2))
+    cg = psh.ShardedScaledCG(sysm, mesh.dim, 1, dev, dtype=jnp.float64)
+    x, iters, relres = cg.solve(tol=1e-12, maxiter=4000)
+    assert float(relres) < 1e-10
+
+    w64 = tuple(jnp.asarray(W) for W in sysm.weights)
+    ref, k, rr = _jit_cg(sysm.offsets, w64, jnp.asarray(sysm.b_hat),
+                         jnp.zeros_like(jnp.asarray(sysm.b_hat)),
+                         1e-12, 4000, 2, 1)
+    ref = np.asarray(ref)
+    assert np.abs(np.asarray(x) - ref).max() <= 1e-9 * np.abs(ref).max()
+
+
+@needs_multidevice
+def test_sharded_elasticity_2d_mesh_vdim3():
+    """The flagship shape class on a 2-D device mesh: vdim=3 block-scaled
+    CG, 4×2 decomposition of grid axes 0/1, non-divisible both ways."""
+    from pde_solver_tpu.models.elasticity import lame_parameters
+    from pde_solver_tpu.ops.linsolve import _jit_cg, prepare_system
+
+    lam, mu = lame_parameters(210e9, 0.3, "3d")
+    mesh = box_mesh(9, 5, 4, (0, 0, 0), (1.0, 0.5, 0.5))  # nodes (10, 6, 5)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+    K = assembly.assemble_elasticity_stencil(mesh, lam, mu)
+    b = assembly.assemble_vector_load(mesh, np.array([0.0, 0.0,
+                                                      -9.81 * 7800.0]))
+    sysm = prepare_system(K, mesh, bc, b, 3)
+    dev = psh.device_mesh(shape=(4, 2))
+    cg = psh.ShardedScaledCG(sysm, mesh.dim, 3, dev, dtype=jnp.float64)
+    x, iters, relres = cg.solve(tol=1e-12, maxiter=6000)
+    assert float(relres) < 1e-10
+
+    w64 = tuple(jnp.asarray(W) for W in sysm.weights)
+    ref, k, rr = _jit_cg(sysm.offsets, w64, jnp.asarray(sysm.b_hat),
+                         jnp.zeros_like(jnp.asarray(sysm.b_hat)),
+                         1e-12, 6000, 3, 3)
+    ref = np.asarray(ref)
+    assert np.abs(np.asarray(x) - ref).max() <= 1e-9 * np.abs(ref).max()
+
+
+@needs_multidevice
+def test_shard_grid_config_route():
+    """SolverConfig.shard_grid="4,2" routes solve_stencil_system through the
+    2-D decomposed CG and still matches the closed-form answer."""
+    from pde_solver_tpu.config import config_overrides
+    from pde_solver_tpu.ops.linsolve import solve_stencil_system
+
+    mesh = rectangle_mesh(13, 9, (0.0, 0.0), (1.0, 1.0))
+    K = assembly.assemble_scalar_stencil(mesh, "stiffness")
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 20.0),
+                                 (mesh.face_mask(0, 1), 0.0)],
+                                mesh.node_shape)
+    rhs = np.zeros(mesh.node_shape)
+    with config_overrides(shard_grid="4,2", host_direct_threshold=0):
+        x, stats = solve_stencil_system(K, mesh, bc, rhs)
+    assert stats.converged
+    coords_x = np.linspace(0.0, 1.0, mesh.node_shape[0])
+    expected = 20.0 * (1.0 - coords_x)[:, None] * np.ones(mesh.node_shape)
+    assert np.abs(x - expected).max() < 1e-8
+
+
+@needs_multidevice
+def test_shard_grid_falls_back_when_unfactorable():
+    """A shard_grid that exceeds the device count resolves to None (1-D
+    split) instead of crashing."""
+    from pde_solver_tpu.config import config_overrides, get_config
+
+    with config_overrides(shard_grid="16,4"):
+        assert get_config().resolved_shard_grid() is None
+    with config_overrides(shard_grid="4,2"):
+        assert get_config().resolved_shard_grid() == (4, 2)
+        assert get_config().resolved_shard_devices() == 8
+    with config_overrides(shard_grid="4x2"):
+        assert get_config().resolved_shard_grid() == (4, 2)
+    with config_overrides(shard_grid="8,1"):  # b<2 is just the 1-D split
+        assert get_config().resolved_shard_grid() is None
