@@ -468,7 +468,8 @@ def bench_heat3d():
         scans = [warmup_scan_s]
     steps_s = num_steps / min(scans)
     log(f"[bench] → {steps_s:.1f} steps/s (best of {len(scans)})")
-    emit(metric_line(steps_s))
+    emit(metric_line(steps_s,
+                     fetch_seconds=round(info.get("fetch_seconds", 0.0), 2)))
 
 
 def bench_heat1d():

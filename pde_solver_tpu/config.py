@@ -70,6 +70,19 @@ class SolverConfig:
                                   # Reference parity: below the budget every
                                   # step is kept, exactly like the reference.
     snapshot_max_frames: int = 0  # >0 → hard cap on kept frames (opt-in)
+    fetch_budget_bytes: int = 96 << 20  # trajectory device→host pulls larger
+                                  # than this are thinned on device to
+                                  # ``fetch_frames`` frames and pulled as
+                                  # bfloat16 (visualization-grade — the
+                                  # plotters cap animations at ~30 frames
+                                  # anyway, and the tunneled chip moves
+                                  # 20-40 MB/s; the xl 128³ trajectory cost
+                                  # 24-26 s at full f32).  0 = always pull
+                                  # everything at full precision (the
+                                  # "full precision on request" escape).
+    fetch_frames: int = 30        # max frames kept by an over-budget pull
+                                  # (the viz/plots.py frame cap — matching
+                                  # fenics_mcp_server.py:3042-3048)
     transient_checkpoint_every: int = 0  # >0 → persist the scan carry +
                                   # accumulated trajectory every N steps
                                   # (atomic npz); an interrupted transient

@@ -276,6 +276,46 @@ def _transient_scan_thinned(offsets, A32, A64, B_w, free, g, s, Ct, CinvT,
     return snaps, u_f, iters, res
 
 
+@jax.jit
+def _jit_cast_bf16(s):
+    return s.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _jit_thin_cast_bf16(s, idx):
+    return s[idx].astype(jnp.bfloat16)
+
+
+def _fetch_trajectory(snaps, cfg):
+    """Bulk device→host trajectory pull with tunnel-aware reduction.
+
+    Pulls larger than ``cfg.fetch_budget_bytes`` are thinned ON DEVICE to
+    ``cfg.fetch_frames`` frames (the plotters cap animations at ~30 frames,
+    viz/plots.py:33 — matching fenics_mcp_server.py:3042-3048) and cast to
+    bfloat16 before crossing the 20-40 MB/s tunnel — the reference never
+    pays this cost because its trajectory stays on local hardware.  bf16
+    keeps the f32 exponent (no overflow on stress-scale fields) at ~0.4 %
+    relative precision: visualization/summary grade.  The LAST frame is
+    always kept.  Full precision stays available on request
+    (``fetch_budget_bytes=0``).  Returns (values_f64, kept_idx or None)."""
+    nbytes = snaps.size * snaps.dtype.itemsize
+    budget = int(cfg.fetch_budget_bytes)
+    if budget <= 0 or nbytes <= budget:
+        return np.asarray(snaps, dtype=np.float64), None
+    nt = int(snaps.shape[0])
+    idx = None
+    if cfg.fetch_frames > 0 and nt > cfg.fetch_frames:
+        k = -(-nt // int(cfg.fetch_frames))
+        idx = list(range(k - 1, nt, k))
+        if idx[-1] != nt - 1:
+            idx.append(nt - 1)
+    if idx is None:
+        sub = _jit_cast_bf16(snaps)
+    else:
+        sub = _jit_thin_cast_bf16(snaps, jnp.asarray(idx, jnp.int32))
+    return np.asarray(sub).astype(np.float64), idx
+
+
 def run_transient(
     K_np: Dict,
     M_np: Dict,
@@ -555,10 +595,13 @@ def run_transient(
         iters, res = int(iters), float(res)  # scalar pulls: scan complete
         scan_s = _time.perf_counter() - t_scan
         t_fetch = _time.perf_counter()
+        traj, kept = _fetch_trajectory(snaps, cfg)  # bulk pull
         values = np.concatenate(
-            [np.asarray(u0_np, dtype=np.float64)[None],
-             np.asarray(snaps, dtype=np.float64)], axis=0)  # bulk pull
-        times = dt * np.arange(num_steps + 1, dtype=np.float64)
+            [np.asarray(u0_np, dtype=np.float64)[None], traj], axis=0)
+        if kept is None:
+            times = dt * np.arange(num_steps + 1, dtype=np.float64)
+        else:
+            times = dt * np.asarray([0] + [i + 1 for i in kept], np.float64)
     else:
         main = (int(num_steps) // snap_every) * snap_every
         snaps, u_f, iters, res = _transient_scan_thinned(
@@ -567,8 +610,8 @@ def run_transient(
         u_prev_f = None
         if Cw is not None:
             u_f, u_prev_f = u_f
-        t_list = [0.0] + [dt * snap_every * (j + 1)
-                          for j in range(main // snap_every)]
+        t_main = [dt * snap_every * (j + 1)
+                  for j in range(main // snap_every)]
         rem = int(num_steps) - main
         snaps2 = None
         if rem > 0:
@@ -576,16 +619,19 @@ def run_transient(
                 scan_args[0], *scan_args[1:-1], u_f.astype(state_dtype),
                 inner_tol, rem, *tail, tmod,
                 jnp.asarray(main, jnp.int32), Cw, u_prev_f)
-            t_list.append(dt * num_steps)
             iters = iters + iters2
             res = jnp.maximum(res, res2)
         iters, res = int(iters), float(res)  # scalar pulls: scans complete
         scan_s = _time.perf_counter() - t_scan
         t_fetch = _time.perf_counter()
-        frames = [np.asarray(u0_np, dtype=np.float64)[None],
-                  np.asarray(snaps, dtype=np.float64)]  # bulk pull
+        traj, kept = _fetch_trajectory(snaps, cfg)  # bulk pull
+        if kept is not None:
+            t_main = [t_main[j] for j in kept]
+        frames = [np.asarray(u0_np, dtype=np.float64)[None], traj]
+        t_list = [0.0] + t_main
         if snaps2 is not None:
             frames.append(np.asarray(snaps2[-1:], dtype=np.float64))
+            t_list.append(dt * num_steps)
         values = np.concatenate(frames, axis=0)
         times = np.asarray(t_list, dtype=np.float64)
     return TransientResult(values=values, times=times,
