@@ -312,3 +312,50 @@ def test_static_cg_through_flat_op_interpret(monkeypatch):
     assert info_p["converged"] and info_x["converged"]
     scale = np.abs(v_x).max()
     assert np.abs(v_p - v_x).max() < 1e-6 * scale
+
+
+def test_fresh_cs_hierarchy_matches_dense_upload(monkeypatch):
+    """Fresh compact build (VERDICT r4 item 1): a big translation-invariant
+    level built fresh routes through the device-side CS expansion
+    (`_flat_op_from_cs_dev`) — its flat weights, bf16 smoother copy, ladder
+    (hi, lo) pairs and omega must be BIT-IDENTICAL to the dense host-pack
+    upload path (PDE_TPU_FRESH_CS=0)."""
+    from pde_solver_tpu.ops import multigrid as mg
+    from pde_solver_tpu.ops import pallas_kernels
+
+    mesh = box_mesh(16, 6, 6, (0, 0, 0), (1.0, 0.4, 0.4))
+    K = assembly.assemble_elasticity_stencil(mesh, 1.3, 0.7)
+    bc = DirichletBC.from_masks([(mesh.face_mask(0, 0), 0.0)],
+                                mesh.node_shape, vdim=3)
+    rhs = assembly.assemble_vector_load(mesh, np.array([0.0, 1.0, -2.0]))
+    sysm = prepare_system(K, mesh, bc, rhs, 3)
+
+    def builder(mc):
+        return (assembly.assemble_elasticity_stencil(mc, 1.3, 0.7),
+                DirichletBC.from_masks([(mc.face_mask(0, 0), 0.0)],
+                                       mc.node_shape, vdim=3))
+
+    monkeypatch.setenv("PDE_TPU_PALLAS", "1")
+    monkeypatch.setattr(pallas_kernels, "PALLAS_MIN_DOF", 100)
+    monkeypatch.setattr(mg, "_CS_LADDER_MIN_BYTES", 1024)
+    h_cs = mg.build_hierarchy(mesh, sysm, builder, vdim=3, dtype=jnp.float32)
+    lv = h_cs.levels[0]
+    assert lv.host_cs is not None and lv.dev_pairs is not None
+
+    monkeypatch.setenv("PDE_TPU_FRESH_CS", "0")
+    h_dn = mg.build_hierarchy(mesh, sysm, builder, vdim=3, dtype=jnp.float32)
+    lv_d = h_dn.levels[0]
+    assert lv_d.host_cs is None and lv_d.dev_pairs is None
+
+    assert np.array_equal(np.asarray(lv.weights.Wf),
+                          np.asarray(lv_d.weights.Wf))
+    assert lv.w_lo is not None and lv_d.w_lo is not None
+    assert np.array_equal(np.asarray(lv.w_lo.Wf), np.asarray(lv_d.w_lo.Wf))
+    assert lv.omega == lv_d.omega  # batched λmax pull ≡ sequential estimates
+
+    lad_cs = mg.build_df_ladder(h_cs, sysm, sysm.b_hat)
+    lad_dn = mg.build_df_ladder(h_dn, sysm, sysm.b_hat)
+    for W_c, W_d in zip(lad_cs.Whi[0], lad_dn.Whi[0]):
+        assert np.array_equal(np.asarray(W_c), np.asarray(W_d))
+    for W_c, W_d in zip(lad_cs.Wlo[0], lad_dn.Wlo[0]):
+        assert np.array_equal(np.asarray(W_c), np.asarray(W_d))
