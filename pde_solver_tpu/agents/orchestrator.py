@@ -141,6 +141,15 @@ class MultiAgentOrchestrator:
                 params = self.parser_agent.parse(description)
                 params.domain_size = self._normalize_domain_size(
                     params.domain_size, params.dim, description)
+                # the parser's _robin_update carrier is a follow-up patch;
+                # on a FRESH query it must not leak downstream as a bogus
+                # face.  A standalone film coefficient here implies
+                # convection on the exposed surface (r5 battery-14).
+                upd = (params.bc_values or {}).pop("_robin_update", None)
+                if upd and "h" in upd:
+                    params.bc_values.setdefault("all", {
+                        "type": "robin", "h": upd["h"],
+                        "T_ambient": upd.get("T_ambient", 20.0)})
 
             dispatch_result = await self.dispatcher_agent.dispatch(params)
             if "error" in dispatch_result:

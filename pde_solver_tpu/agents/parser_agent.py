@@ -415,8 +415,14 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         if key in geometry_params:
             geometry_params["r_outer"] = geometry_params.pop(key)
     m = re.search(r"height\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
-    if m is None:
+    if m is None and (out.get("geometry_type") == "cylinder"
+                      or re.search(r"cylind|pipe|tube|annul|\bshell\b", t)):
+        # bare "h = 2 m" means HEIGHT only in a cylinder context; in heat
+        # problems h is otherwise the film coefficient (r5 battery-14:
+        # "h = 150" on a sphere became a 150 m domain height)
         m = re.search(r"\bh\s*(?:=|:)\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
+        if m and re.match(r"\s*/?\s*w\s*/?\s*m", t[m.end():]):
+            m = None  # "h = 25 W/m²K" is a film coefficient, not a height
     if m:
         domain["h"] = float(m.group(1)) * _unit_scale(m.group(2))
     # bare material thickness ("30nm thick conductor") is a cross-section
@@ -429,14 +435,26 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             f"material property, using default length")
 
     # --- temperatures ---
-    temp = (r"\s*(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
-            r"kept at|set to|stays? at|remains? at|maintained at)?\s*"
+    # optional copula BEFORE the verb phrase: "is held at", "are kept at",
+    # "is at" (r5 battery-14: 'The left edge is held at 150°C' lost the BC)
+    temp = (r"\s*(?:(?:is|are|was|were)\s+)?"
+            r"(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
+            r"kept at|set to|stays? at|remains? at|maintained at|raised to|"
+            r"lowered to|heated to|cooled to|brought to|starts? at)?\s*"
             + _NUM + r"\s*°?\s*c?\b")
     pairs = [
         (r"left(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_left"),
         (r"right(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_right"),
-        (r"inner(?:\s+(?:surface|wall|boundary|edge))?" + temp, "T_inner"),
-        (r"outer(?:\s+(?:surface|wall|boundary|edge))?" + temp, "T_outer"),
+        # "inner radius 2 cm at 300°C": the radius clause may sit between
+        # the face word and its temperature (r5 battery-14)
+        # the (?![\d.]) stops backtracking from splitting the radius number
+        # ("radius 1|0 cm" must not yield T=0)
+        (r"inner(?:\s+(?:surface|wall|boundary|edge))?"
+         r"(?:\s+(?:at\s+)?radius\s+(?:of\s+)?[-+]?\d+(?:\.\d+)?(?![\d.])"
+         r"\s*(?:nm|um|µm|mm|cm|m)?)?" + temp, "T_inner"),
+        (r"outer(?:\s+(?:surface|wall|boundary|edge))?"
+         r"(?:\s+(?:at\s+)?radius\s+(?:of\s+)?[-+]?\d+(?:\.\d+)?(?![\d.])"
+         r"\s*(?:nm|um|µm|mm|cm|m)?)?" + temp, "T_outer"),
         (r"\b(?:side|wall|curved surface|lateral)(?:\s+(?:boundary|surface))?" + temp, "T_side"),
         (r"(?<!left )(?<!right )(?<!inner )(?<!outer )(?<!side )"
          r"(?:boundary|boundaries|surface|edges|walls)"
@@ -558,7 +576,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                 r"(?:convection|(?:the\s+)?air|water|oil|bath|furnace|oven)"
                 r"|exposed\s+to\s+(?:\w+\s+)?"
                 r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to|"
-                r"quench(?:ed|ing)?")
+                r"quench(?:ed|ing)?"
+                # immersion with the medium temperature up front: "in a
+                # 700°C furnace", "into an 80 C oil bath" (r5 battery-14)
+                r"|(?:in|into)\s+an?\s+[\d.]+\s*°?\s*c\s+"
+                r"(?:furnace|oven|bath|chamber|environment|room)")
     for cm in re.finditer(conv_cue, t):
         is_quench = cm.group(0).startswith("quench")
         faces = _face_near(cm.start(), cm.end()) or ["all"]
@@ -623,16 +645,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     for im in re.finditer(r"\binsulated\b|\badiabatic\b", t):
         # conjunction-aware: "top and bottom insulated", "front, back and
         # left faces are adiabatic" — collect EVERY face in the adjacent
-        # window (the nearest-single-face heuristic drops listed faces)
-        before = [m for m in re.finditer(face_pat,
-                                         t[max(0, im.start() - 70):im.start()])]
+        # window (the nearest-single-face heuristic drops listed faces).
+        # Windows stop at sentence boundaries: 'right edge is kept at 25°C.
+        # The top and bottom are insulated' must not insulate "right"
+        # (r5 battery-14).  Decimal points ("0.3 m") don't split — the
+        # boundary needs trailing whitespace.
+        bwin = re.split(r"[.;!?]\s", t[max(0, im.start() - 70):im.start()])[-1]
+        fwin = re.split(r"[.;!?]\s", t[im.end():im.end() + 70])[0]
+        before = [m for m in re.finditer(face_pat, bwin)]
         faces = []
-        for m in (before or re.finditer(face_pat,
-                                        t[im.end():im.end() + 70])):
+        for m in (before or re.finditer(face_pat, fwin)):
             for f in _faces_of(m.group(1)):
                 if f not in faces:
                     faces.append(f)
         for f in faces:
+            # a face with an explicit Dirichlet temperature keeps it
+            if ("T_" + f) in bc or ("T_" + f.rstrip("s")) in bc:
+                continue
             bc.setdefault(f, {"type": "insulated"})
     # --- sinusoidal boundary driving ("varies between 10 and 30 °C with a
     # period of 60 s", "daily temperature cycle between -5 and 15") —
@@ -698,6 +727,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                        r"\s+coefficient\s*(?:of|to|=|:|is)?\s*" + _NUM, t)
              or re.search(r"\bh\s*(?:=|:)\s*" + _NUM, t)
              or re.search(r"\bh\s*(?:of)?\s*" + _NUM + r"\s*w\s*/?\s*m", t))
+        if m and float(m.group(1)) == domain.get("h"):
+            m = None  # that "h = …" was the cylinder HEIGHT, already taken
         if m:
             upd["h"] = float(m.group(1))
         m = re.search(r"(?:ambient|surroundings?|bath|coolant)\s*"
@@ -710,10 +741,19 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if any(isinstance(v, dict) and v.get("type") for v in bc.values()):
         out["bc_type"] = "mixed"
 
-    m = re.search(r"initial(?:\s+temperature| temp| condition)?" + temp.replace("fixed at", "fixed at|initially"), t)
+    m = re.search(r"initial(?:ly)?(?:\s+temperature| temp| condition)?"
+                  + temp.replace("fixed at", "fixed at|initially"), t)
     if m:
         out["initial_value"] = float(m.group(1))
         out["initial_type"] = "constant"
+    else:
+        # "the block starts at 500°C and cools …" (r5 battery-14); the
+        # quench rule above already claims "quenched from X to Y"
+        m = re.search(r"(?:starts?|starting|begins?|beginning)\s+"
+                      r"(?:out\s+)?(?:at|from)\s*" + _NUM + r"\s*°?\s*c?\b", t)
+        if m and not out.get("steady"):
+            out.setdefault("initial_value", float(m.group(1)))
+            out.setdefault("initial_type", "constant")
     # reference parse order (pde_parser_agent.py:335-348, FIRST match wins):
     # cosine > sine > zero > constant
     if re.search(r"\bcosine\b|cos\(", t):
@@ -959,9 +999,21 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(_NUM + r"\s*(?:time\s*)?steps", t)
     if m:
         out["num_steps"] = int(float(m.group(1)))
-    m = re.search(r"(?:total time|for|until)\s*(?:t\s*=)?\s*" + _NUM + r"\s*s(?:econds)?\b", t)
+    m = re.search(r"(?:total time|for|until|over|during|show|after)\s*(?:t\s*=)?\s*"
+                  r"(?:the\s+first\s+)?" + _NUM
+                  + r"\s*(days?|hours?|hrs?|h|min(?:ute)?s?|"
+                  r"s(?:ec(?:ond)?s?)?)\b", t)
     if m:
-        out["total_time"] = float(m.group(1))
+        u = m.group(2) or "s"
+        scale = (86400.0 if u.startswith("d") else 3600.0 if u.startswith("h")
+                 else 60.0 if u.startswith("m") else 1.0)
+        out["total_time"] = float(m.group(1)) * scale
+    elif "total_time" not in out:
+        # "show the first hour" — unit named without a number (r5 battery-14)
+        m = re.search(r"the\s+first\s+(day|hour|minute)", t)
+        if m:
+            out["total_time"] = {"day": 86400.0, "hour": 3600.0,
+                                 "minute": 60.0}[m.group(1)]
     m = re.search(_NUM + r"\s*(?:nodes|mesh points|grid points|cells|elements)", t)
     if m:
         out["nx"] = int(float(m.group(1)))

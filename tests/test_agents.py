@@ -1280,3 +1280,105 @@ def test_keyless_validation_screen_and_unsupported_physics(orch):
     # plain PDE asks still go through
     r3 = run(orch.solve("solve the heat equation"))
     assert r3.get("html_path")
+
+
+# ---- round-5 NL battery 14: copula verb chains, sentence-scoped insulated
+# windows, immersion cues, named-unit durations, radius-interposed temps ----
+
+def test_rule_parse_battery_round14_plate_mixed_bc():
+    """'is held at' / 'is kept at' verb chains + the insulated matcher must
+    not cross the sentence boundary (it insulated 'right' and dropped both
+    Dirichlet edges)."""
+    r = rule_based_parse(
+        "We have an aluminum plate, 50 cm by 30 cm. The left edge is held "
+        "at 150°C while the right edge is kept at 25°C. The top and bottom "
+        "edges are insulated. What is the steady temperature field?")
+    bc = r["bc_values"]
+    assert bc["T_left"] == 150.0 and bc["T_right"] == 25.0
+    assert bc["top"] == {"type": "insulated"}
+    assert bc["bottom"] == {"type": "insulated"}
+    assert "right" not in bc and "left" not in bc
+    assert r["steady"] is True and r["dim"] == 2
+    assert r["domain_size"] == {"Lx": 0.5, "Ly": 0.3}
+
+
+def test_rule_parse_battery_round14_raised_to_and_initially():
+    r = rule_based_parse(
+        "A copper wire 1.5 m long is initially at 20°C. At t=0 both ends "
+        "are raised to 80°C. Simulate the temperature evolution for 60 "
+        "seconds.")
+    assert r["bc_values"]["T_left"] == 80.0
+    assert r["bc_values"]["T_right"] == 80.0
+    assert r["initial_value"] == 20.0 and r["initial_type"] == "constant"
+    assert r["total_time"] == 60.0
+
+
+def test_rule_parse_battery_round14_starts_at_and_first_hour():
+    r = rule_based_parse(
+        "A 1 m x 1 m x 1 m granite block starts at 500°C and cools in "
+        "20°C air with a heat transfer coefficient of 12. Show the first "
+        "hour.")
+    assert r["initial_value"] == 500.0
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 12.0,
+                                     "T_ambient": 20.0}
+    assert r["total_time"] == 3600.0
+
+
+def test_rule_parse_battery_round14_duration_units():
+    assert rule_based_parse("heat a 1 m rod for 10 minutes")["total_time"] \
+        == 600.0
+    assert rule_based_parse("simulate a 1 m rod over 2 hours")["total_time"] \
+        == 7200.0
+    # step counts must not be eaten by the duration rule
+    r = rule_based_parse("run 100 steps of heat diffusion in a 1 m rod")
+    assert r.get("num_steps") == 100 and r.get("total_time") is None
+
+
+def test_rule_parse_battery_round14_furnace_immersion():
+    """Medium-temperature-first immersion ('in a 700°C furnace') is a
+    convection cue; 'h = 150' on a sphere is a film coefficient, never a
+    150 m cylinder height."""
+    r = rule_based_parse(
+        "What's the temperature at the center of a 20 cm steel sphere "
+        "after 2 minutes in a 700°C furnace, starting from 25°C, h = 150?")
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 150.0,
+                                     "T_ambient": 700.0}
+    assert r["initial_value"] == 25.0
+    assert r["total_time"] == 120.0
+    assert "h" not in (r.get("domain_size") or {})
+    assert "_robin_update" not in r["bc_values"]
+
+
+def test_rule_parse_battery_round14_hollow_sphere_radius_interposed():
+    """'inner radius 2 cm at 300°C' — the radius clause sits between the
+    face word and its temperature; backtracking must not split 'radius 10'
+    into T_outer=0."""
+    r = rule_based_parse(
+        "Steady heat in a hollow sphere, inner radius 2 cm at 300°C, and "
+        "the outer surface at radius 10 cm loses heat by convection with "
+        "h = 25 W/m²K to 20°C air.")
+    bc = r["bc_values"]
+    assert bc["T_inner"] == 300.0
+    assert "T_outer" not in bc
+    assert bc["outer"] == {"type": "robin", "h": 25.0, "T_ambient": 20.0}
+    assert r["geometry_params"]["r_inner"] == 0.02
+    assert r["geometry_params"]["sphere_radius"] == 0.1
+
+
+def test_rule_parse_battery_round14_cylinder_height_h_unchanged():
+    """In a cylinder context a bare 'h = 2 m' stays the HEIGHT and must not
+    double as a film coefficient."""
+    r = rule_based_parse("cylinder radius 0.5 m and h = 2 m, "
+                         "surface at 100 C")
+    assert r["domain_size"]["h"] == 2.0
+    assert "_robin_update" not in (r.get("bc_values") or {})
+
+
+def test_orchestrator_fresh_standalone_h_becomes_robin(orch):
+    """A FRESH query whose only convection evidence is a film coefficient
+    must not leak the parser's _robin_update carrier downstream."""
+    r = run(orch.solve("cool a 10 cm steel sphere from 300°C with a heat "
+                       "transfer coefficient of 40 for 10 minutes"))
+    bc = (r.get("pde_params") or {}).get("bc_values") or {}
+    assert "_robin_update" not in bc
+    assert r.get("html_path")
