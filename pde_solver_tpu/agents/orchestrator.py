@@ -334,6 +334,16 @@ class MultiAgentOrchestrator:
         elif prev.get("dim", 1) == 1 and new.dim and new.dim != 1:
             merged.dim = new.dim
 
+        if (explicit_dim is not None and explicit_dim != prev.get("dim")
+                and (new.bc_values or new.initial_value is not None)):
+            # an explicit dimension switch that carries its own boundary or
+            # initial data is a NEW problem statement misclassified as a
+            # follow-up by the 'and'/'with' keywords — stale per-face BCs
+            # from the old shape must not leak (r5 battery-14: a 1D rod
+            # followed by a self-contained 2D plate-in-air query kept the
+            # rod's T_left/T_right Dirichlet edges)
+            merged.bc_values = {}
+
         if any(k in t for k in ("wave", "advection", "poisson", "laplace",
                                 "elasticity")) \
                 and new.pde_type and new.pde_type != "heat":

@@ -1382,3 +1382,32 @@ def test_orchestrator_fresh_standalone_h_becomes_robin(orch):
     bc = (r.get("pde_params") or {}).get("bc_values") or {}
     assert "_robin_update" not in bc
     assert r.get("html_path")
+
+
+def test_dim_switch_selfcontained_query_resets_stale_bcs(orch):
+    """r5 battery-14 CLI finding: a 1D rod conversation followed by a
+    self-contained 2D plate-in-air query ('with'/'and' classify it as a
+    follow-up) dragged the rod's T_left/T_right Dirichlet edges into the
+    plate solve."""
+    run(orch.solve("Solve 1D heat transfer in a 2 meter rod, left end at "
+                   "20°C, right end at 0°C"))
+    r = run(orch.solve("A 1 m x 1 m granite plate starts at 500°C and "
+                       "cools in 20°C air with a heat transfer coefficient "
+                       "of 12. Show the first hour."))
+    p = r["pde_params"]
+    bc = p.get("bc_values") or {}
+    assert "T_left" not in bc and "T_right" not in bc
+    assert bc.get("all", {}).get("type") == "robin"
+    assert bc["all"]["h"] == 12.0 and bc["all"]["T_ambient"] == 20.0
+    assert p["dim"] == 2 and p["initial_value"] == 500.0
+
+
+def test_pure_dim_switch_followup_keeps_bcs(orch):
+    """A bare 'make it a 2D plate' follow-up (no boundary/initial data of
+    its own) still inherits the previous BCs, reference-style."""
+    run(orch.solve("Solve 1D heat transfer in a 2 meter rod, left end at "
+                   "20°C, right end at 0°C"))
+    r = run(orch.solve("make it a 2D plate instead"))
+    bc = r["pde_params"].get("bc_values") or {}
+    assert bc.get("T_left") == 20.0 and bc.get("T_right") == 0.0
+    assert r["pde_params"]["dim"] == 2
