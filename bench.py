@@ -54,7 +54,9 @@ Env knobs: PDE_BENCH_SCALE=small|medium|full|xl (default full on TPU;
 xl = 128³ heat3d, crosses the transient-MG threshold), PDE_BENCH_CONFIG
 (above), PDE_BENCH_SOLVER=df2|df|mgf32, PDE_BENCH_PROBE=0 (skip the health
 probe), PDE_BENCH_NO_WRAP=1 (run the child logic directly, no parent),
-PDE_TPU_TRACE_DIR (capture a jax.profiler trace around the timed solve).
+PDE_TPU_TRACE_DIR (capture a jax.profiler trace around the timed solve),
+PDE_BENCH_FAULT / PDE_BENCH_FAULT_ONCE (synthetic tunnel-fault injection —
+drill-only, see benchmarks/robustness_drill.py).
 """
 
 import json
@@ -73,6 +75,66 @@ def log(*args):
 def emit(obj):
     """The one driver-visible JSON line."""
     print(json.dumps(obj), flush=True)
+    if isinstance(obj, dict) and "metric" in obj and _fault_take("wedge"):
+        # injected worker wedge: the child has just banked a metric and now
+        # hangs forever — the parent must kill it on timeout and still
+        # report the banked line (benchmarks/robustness_drill.py).
+        log("[bench] injected wedge: child sleeping forever after banking")
+        while True:
+            time.sleep(60)
+
+
+# ======================================================================
+# Fault injection (drill-only: benchmarks/robustness_drill.py)
+#
+# PDE_BENCH_FAULT="warm:2,pull:1,stall:45,wedge:1" arms synthetic tunnel
+# faults in THIS process:
+#   warm:N  — the first N rewarm_channel() calls fail (worker restarting),
+#   stall:S — the first rewarm sleeps S seconds before succeeding (a
+#             restart-window channel warmup),
+#   pull:N  — the first N device_retry bodies raise a transient error
+#             before running (tunnel fault mid-phase),
+#   wedge:N — the child hangs forever right after banking its Nth…1st
+#             metric line (wedged worker; the parent's timeout-kill +
+#             banked-line path must still produce a driver-visible metric).
+# PDE_BENCH_FAULT_ONCE=<path> arms the faults only in the first child
+# process to claim <path> (O_EXCL), so a parent retry attempt runs clean.
+# Unset (the default) this whole block is a dict lookup — zero overhead.
+# ======================================================================
+
+_FAULTS = None
+
+
+def _fault_budget():
+    global _FAULTS
+    if _FAULTS is None:
+        budget = {}
+        spec = os.environ.get("PDE_BENCH_FAULT", "")
+        if spec:
+            armed = True
+            once = os.environ.get("PDE_BENCH_FAULT_ONCE")
+            if once:
+                try:
+                    os.close(os.open(once, os.O_CREAT | os.O_EXCL
+                                     | os.O_WRONLY))
+                except FileExistsError:
+                    armed = False  # another process already injected
+            if armed:
+                for tok in spec.split(","):
+                    kind, _, n = tok.strip().partition(":")
+                    budget[kind] = float(n or 1)
+                log(f"[bench] FAULT INJECTION ARMED: {budget}")
+        _FAULTS = budget
+    return _FAULTS
+
+
+def _fault_take(kind):
+    b = _fault_budget()
+    if b.get(kind, 0) > 0:
+        b[kind] -= 1
+        log(f"[bench] injected fault: {kind} ({b[kind]:.0f} left)")
+        return True
+    return False
 
 
 # ======================================================================
@@ -270,6 +332,12 @@ def child_time_left():
 # ======================================================================
 
 def rewarm_channel():
+    stall = _fault_budget().pop("stall", 0)
+    if stall > 0:
+        log(f"[bench] injected channel stall: {stall:.0f}s")
+        time.sleep(stall)
+    if _fault_take("warm"):
+        return False
     try:
         import jax.numpy as jnp
         _ = float(jnp.zeros(()))
@@ -333,6 +401,9 @@ def device_retry(fn, what, attempts=3):
     """Run fn(); on transient device/tunnel errors re-warm and retry."""
     for k in range(attempts):
         try:
+            if _fault_take("pull"):
+                raise RuntimeError(
+                    "injected transient tunnel fault (PDE_BENCH_FAULT)")
             return fn()
         except Exception as e:
             log(f"[bench] {what} failed (attempt {k + 1}/{attempts}): "

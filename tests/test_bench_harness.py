@@ -228,3 +228,90 @@ def test_device_retry_raises_after_max_attempts(monkeypatch):
         assert "worker down" in str(e)
     else:
         raise AssertionError("expected RuntimeError")
+
+
+# ----------------------------------------------------------------------
+# Fault injection (benchmarks/robustness_drill.py hooks)
+# ----------------------------------------------------------------------
+
+def _arm(monkeypatch, spec, once=None):
+    monkeypatch.setattr(bench, "_FAULTS", None)  # reparse env
+    monkeypatch.setenv("PDE_BENCH_FAULT", spec)
+    if once is None:
+        monkeypatch.delenv("PDE_BENCH_FAULT_ONCE", raising=False)
+    else:
+        monkeypatch.setenv("PDE_BENCH_FAULT_ONCE", once)
+
+
+def test_fault_budget_parses_and_exhausts(monkeypatch):
+    _arm(monkeypatch, "warm:2,pull:1")
+    assert bench._fault_budget() == {"warm": 2.0, "pull": 1.0}
+    assert bench._fault_take("warm")
+    assert bench._fault_take("warm")
+    assert not bench._fault_take("warm")   # exhausted
+    assert bench._fault_take("pull")
+    assert not bench._fault_take("pull")
+    assert not bench._fault_take("wedge")  # never armed
+
+
+def test_fault_default_off(monkeypatch):
+    monkeypatch.setattr(bench, "_FAULTS", None)
+    monkeypatch.delenv("PDE_BENCH_FAULT", raising=False)
+    assert bench._fault_budget() == {}
+    assert not bench._fault_take("pull")
+
+
+def test_fault_once_claims_exactly_one_process(monkeypatch, tmp_path):
+    once = str(tmp_path / "fault.once")
+    _arm(monkeypatch, "wedge:1", once=once)
+    assert bench._fault_budget() == {"wedge": 1.0}   # first claimer armed
+    # a second process (fresh parse) finds the sentinel and stays clean
+    monkeypatch.setattr(bench, "_FAULTS", None)
+    assert bench._fault_budget() == {}
+
+
+def test_device_retry_survives_injected_pull_fault(monkeypatch):
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    _arm(monkeypatch, "pull:1")
+    calls = {"n": 0}
+
+    def body():
+        calls["n"] += 1
+        return 42
+
+    assert bench.device_retry(body, "phase", attempts=3) == 42
+    assert calls["n"] == 1  # fault fired BEFORE the body, body ran once
+
+
+def test_rewarm_channel_injected_warm_fault(monkeypatch):
+    _arm(monkeypatch, "warm:1")
+    assert bench.rewarm_channel() is False   # injected failure
+    assert bench.rewarm_channel() is True    # budget spent → real (CPU) pull
+
+
+def test_rewarm_channel_injected_stall_fires_once(monkeypatch):
+    _arm(monkeypatch, "stall:37")
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    assert bench.rewarm_channel() is True
+    assert slept == [37.0]
+    assert bench.rewarm_channel() is True
+    assert slept == [37.0]  # stall consumed, not repeated
+
+
+def test_emit_wedge_hangs_after_banking(monkeypatch, capsys):
+    _arm(monkeypatch, "wedge:1")
+
+    def no_sleep(s):
+        raise SystemExit("wedged")  # stand-in for the parent's kill
+
+    monkeypatch.setattr(bench.time, "sleep", no_sleep)
+    bench.emit({"status": "warming"})  # non-metric lines never wedge
+    try:
+        bench.emit({"metric": "m", "value": 1.0})
+    except SystemExit as e:
+        assert "wedged" in str(e)
+    else:
+        raise AssertionError("expected the injected wedge")
+    out = capsys.readouterr().out
+    assert '"metric": "m"' in out  # the line was banked BEFORE the wedge
