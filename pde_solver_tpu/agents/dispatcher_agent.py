@@ -532,6 +532,7 @@ class DispatcherAgent:
         if params.dim == 1:
             args = self._elast_1d_args(params)
             end = 0.0
+            area = float((params.material_params or {}).get("area", 1.0))
             for spec in loads.values():
                 kind = str(spec.get("type", "")).lower()
                 if kind == "force_axial":
@@ -539,6 +540,16 @@ class DispatcherAgent:
                 elif kind == "force":
                     vec = list(spec.get("vector", [0.0]))
                     end += float(vec[0]) if vec else 0.0
+                elif kind in ("traction", "pressure"):
+                    # an axial STRESS on the bar end: F = sigma * A (the
+                    # default unit cross-section makes end_load = sigma,
+                    # the bar solver's own normalization)
+                    if kind == "traction":
+                        vec = list(spec.get("vector", [0.0]))
+                        sig = float(vec[0]) if vec else 0.0
+                    else:
+                        sig = -float(spec.get("value", 0.0))
+                    end += sig * area
             args["end_load"] = end
             return args
         builder = {2: self._elast_2d_args, 3: self._elast_3d_args}[params.dim]

@@ -144,7 +144,9 @@ def _unit_scale(unit: Optional[str]) -> float:
         return 1e-2
     if u.startswith("kilo"):
         return 1e3
-    return {"mm": 1e-3, "cm": 1e-2,
+    return {"nm": 1e-9, "um": 1e-6, "µm": 1e-6,
+            "micron": 1e-6, "microns": 1e-6,
+            "mm": 1e-3, "cm": 1e-2,
             "m": 1.0, "meter": 1.0, "meters": 1.0, "metre": 1.0, "metres": 1.0,
             "km": 1e3}.get(u, 1.0)
 
@@ -152,6 +154,13 @@ def _unit_scale(unit: Optional[str]) -> float:
 def rule_based_parse(text: str) -> Dict[str, Any]:
     """Regex-driven extraction of PDEParameters fields from English text."""
     t = " " + text.lower().strip() + " "
+    # Kelvin temperatures → Celsius up front so every downstream pattern
+    # sees one temperature unit ("900 K cools in 300 K surroundings",
+    # r5 battery-15).  The lookbehind rejects digits embedded in units
+    # ("W/m2K" must not become a temperature); e-notation never matches
+    # because its mantissa digit is letter-preceded.
+    t = re.sub(r"(?<![\w/.^²³])(\d+(?:\.\d+)?)\s*°?\s*k(?:elvins?)?\b",
+               lambda m: f"{float(m.group(1)) - 273.15:g} °c", t)
     out: Dict[str, Any] = {}
     domain: Dict[str, float] = {}
     geometry_params: Dict[str, float] = {}
@@ -198,6 +207,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if out["pde_type"] == "heat" \
             and re.search(r"\bgravity\b|\bload(?:ed|s|ing)?\b|self[- ]weight"
                           r"|own\s+weight|\btensile\b|\btraction\b"
+                          r"|\btension\b|\bcompress(?:ion|ive)\b"
                           r"|\bpressure\b|(?:force|load)\s+of\s+\d", t) \
             and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
                               r"|°|degrees|\bcool|\bhot\b|insulat"
@@ -244,8 +254,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if re.search(r"\bcylind|\bpipe\b|\btube\b|\bcolumn\b|\bannul"
                  r"|\bcircular\b|\btunnel\b", t):
         out["geometry_type"] = "cylinder"
-    elif re.search(r"\b(?:rod|wire|cable|bar)\b", t) \
-            and re.search(r"\bradius\b|\bdiameter\b", t) \
+    elif re.search(r"\b(?:rod|wire|cable|bar|shaft)\b", t) \
+            and re.search(r"\bradius\b|\bdiamet", t) \
             and not re.search(r"elastic|stress|strain|force|load|tensile",
                               t):
         # "a fuel rod of radius 1 cm": a rod WITH a radius is a cylinder
@@ -303,8 +313,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             domain.update({"Lx": a, "Ly": b})
             out.setdefault("dim", 2)
 
-    # --- single length: "2 meter rod", "length (of) 2 m" ---
-    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)[- ]*(?:long )?(rod|bar|wire|string|domain|rod,|bar,)", t)
+    # --- single length: "2 meter rod", "length (of) 2 m", "a 2 m steel
+    # cantilever beam" (up to two interposed words, r5 battery-15) ---
+    m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)[- ]*"
+                  r"(?:long )?(?:[a-z]+\s+){0,2}?"
+                  r"(rod|bar|wire|string|beam|fin|domain|rod,|bar,)\b", t)
     if not m:
         # trailing-adjective phrasing: "2 m long", "3 m in length"
         m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)"
@@ -366,6 +379,19 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(r"outer\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m:
         geometry_params["r_outer"] = float(m.group(1)) * _unit_scale(m.group(2))
+    # "inner diameter 5 cm and outer diameter 6 cm" → the radius pair
+    # (r5 battery-16: the generic diameter rule grabbed the first value
+    # as one solid-cylinder radius and dropped the annulus entirely)
+    m = re.search(r"inner\s+diamet(?:er|re)\s*(?:of|=|:|to)?\s*" + _NUM
+                  + r"\s*((?:mm|cm|m)\b)?", t)
+    if m:
+        geometry_params.setdefault(
+            "r_inner", 0.5 * float(m.group(1)) * _unit_scale(m.group(2)))
+    m = re.search(r"outer\s+diamet(?:er|re)\s*(?:of|=|:|to)?\s*" + _NUM
+                  + r"\s*((?:mm|cm|m)\b)?", t)
+    if m:
+        geometry_params.setdefault(
+            "r_outer", 0.5 * float(m.group(1)) * _unit_scale(m.group(2)))
     m = re.search(r"(?<!inner )(?<!outer )(?<!core )(?<!core of )\bradius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m is None and not geometry_params:
         # value-first phrasing: "0.2 m radius" (reference cylindrical
@@ -378,7 +404,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         else:
             geometry_params["cylinder_radius"] = r
     # diameter phrasing → radius (only when no explicit radius was given)
-    m = re.search(r"diameter\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
+    m = re.search(r"(?<!inner )(?<!outer )diamet(?:er|re)\s*(?:of|=|:|to)?\s*"
+                  + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
+    if m is None:
+        # value-first: "a shaft 5 cm in diameter" (r5 battery-16)
+        m = re.search(_NUM + r"\s*((?:mm|cm|m)\b)?\s*in\s+diamet(?:er|re)\b",
+                      t)
     if m and not geometry_params:
         r = 0.5 * float(m.group(1)) * _unit_scale(m.group(2))
         if out.get("geometry_type") == "sphere":
@@ -423,28 +454,56 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(r"\bh\s*(?:=|:)\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
         if m and re.match(r"\s*/?\s*w\s*/?\s*m", t[m.end():]):
             m = None  # "h = 25 W/m²K" is a film coefficient, not a height
+        elif m and not m.group(2) and re.search(
+                r"convect|exposed\s+to|loses\s+heat|film|"
+                r"heat[-\s]?transfer\s+coefficient|\bambient\b|"
+                r"\bsurroundings?\b|\bair\s+(?:is\s+)?at\b", t):
+            # a UNIT-LESS "h = 8" in a text that talks about convection is
+            # the film coefficient even in a pipe/cylinder context
+            # (r5 battery-15: it became an 8 m pipe height; battery-16:
+            # 'outside air at 25°C with h = 10' became a 10 m height)
+            m = None
     if m:
         domain["h"] = float(m.group(1)) * _unit_scale(m.group(2))
     # bare material thickness ("30nm thick conductor") is a cross-section
     # property, NOT the domain length (reference pde_parser_agent.py:424-429
-    # CRITICAL rule) — record it in notes, never in domain_size
-    m = re.search(_NUM + r"\s*(nm|um|µm|mm|cm|m)?\s*thick(?:ness)?\b(?!\s+wall)", t)
+    # CRITICAL rule) — record it in notes, never in domain_size.
+    # EXCEPTION (r5 battery-16): for a planar conduction object (slab,
+    # wall, wafer, pane, window, plate in a 1D reading) the thickness IS
+    # the conduction path — use it as the length when no other length was
+    # given ("a concrete slab 20 cm thick" solved a default 1 m domain).
+    m = re.search(_NUM + r"\s*(nm|um|µm|microns?|mm|cm|m)?\s*"
+                  r"thick(?:ness)?\b(?!\s+wall)", t)
     if m and out.get("geometry_type") not in ("cylinder", "sphere"):
-        out.setdefault("notes", []).append(
-            f"Thickness mentioned ({m.group(1)}{m.group(2) or 'm'}) - "
-            f"material property, using default length")
+        if ("length" not in domain and "Lx" not in domain
+                and out.get("dim") in (None, 1)
+                and re.search(r"\bslab\b|\bwall\b|\bwafer\b|\bpane\b"
+                              r"|\bwindow\b|\blayer\b", t)):
+            domain["length"] = float(m.group(1)) * _unit_scale(m.group(2))
+        else:
+            out.setdefault("notes", []).append(
+                f"Thickness mentioned ({m.group(1)}{m.group(2) or 'm'}) - "
+                f"material property, using default length")
 
     # --- temperatures ---
     # optional copula BEFORE the verb phrase: "is held at", "are kept at",
     # "is at" (r5 battery-14: 'The left edge is held at 150°C' lost the BC)
+    # the (?!…unit) lookahead rejects lengths masquerading as temperatures:
+    # "cube of side 0.3 m" must not become T_side=0.3 (r5 battery-15)
     temp = (r"\s*(?:(?:is|are|was|were)\s+)?"
             r"(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
             r"kept at|set to|stays? at|remains? at|maintained at|raised to|"
             r"lowered to|heated to|cooled to|brought to|starts? at)?\s*"
-            + _NUM + r"\s*°?\s*c?\b")
+            + _NUM + r"(?![\d.])(?!\s*(?:mm|cm|km|m|meters?|metres?)\b)"
+            r"\s*°?\s*c?\b")
     pairs = [
         (r"left(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_left"),
         (r"right(?:\s+(?:end|edge|side|face|boundary))?" + temp, "T_right"),
+        # fin phrasing: the base is the clamped/heated end (x=0), the tip
+        # is the far end (r5 battery-15: "base maintained at 200°C")
+        (r"\b(?:base|root)(?:\s+(?:end|edge|face|surface))?" + temp,
+         "T_left"),
+        (r"\btip(?:\s+(?:end|edge|face|surface))?" + temp, "T_right"),
         # "inner radius 2 cm at 300°C": the radius clause may sit between
         # the face word and its temperature (r5 battery-14)
         # the (?![\d.]) stops backtracking from splitting the radius number
@@ -464,11 +523,16 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(pat, t)
         if m and key not in bc:
             bc[key] = float(m.group(1))
-    # mathematical notation: u(0)=1, u(L)=0, du/dt = α d²u/dx², on [0, L]
-    m = re.search(r"u\s*\(\s*0\s*\)\s*=\s*" + _NUM, t)
+    # mathematical notation: u(0)=1, u(L)=0, T(0)=0, T(L)=100,
+    # du/dt = α d²u/dx², on [0, L]
+    m = re.search(r"\b[ut]\s*\(\s*0\s*\)\s*=\s*" + _NUM, t)
     if m:
         bc.setdefault("T_left", float(m.group(1)))
-    for m in re.finditer(r"u\s*\(\s*" + _NUM + r"\s*\)\s*=\s*" + _NUM, t):
+    m = re.search(r"\b[ut]\s*\(\s*l\s*\)\s*=\s*" + _NUM, t)
+    if m:
+        bc.setdefault("T_right", float(m.group(1)))
+    for m in re.finditer(r"\b[ut]\s*\(\s*" + _NUM + r"\s*\)\s*=\s*" + _NUM,
+                         t):
         if float(m.group(1)) != 0.0:  # u(L) = value (u(0) handled above)
             bc.setdefault("T_right", float(m.group(2)))
             domain.setdefault("length", float(m.group(1)))
@@ -481,21 +545,44 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if m:
         domain.setdefault("length", float(m.group(1)))
 
-    # "both ends at 0" → symmetric 1D Dirichlet pair
-    m = re.search(r"both\s+ends" + temp, t)
+    # "ends at 100 and 0 degrees" → left/right in written order
+    # (checked BEFORE the symmetric rule so the first value isn't
+    # claimed for both ends)
+    m = re.search(r"\bends" + temp + r"\s*(?:°?c)?\s*and\s*" + _NUM, t)
+    if m and "T_left" not in bc and "T_right" not in bc:
+        bc["T_left"] = float(m.group(1))
+        bc["T_right"] = float(m.group(2))
+    # "both ends at 0" / bare "ends kept at 0" (r5 battery-15) →
+    # symmetric 1D Dirichlet pair
+    m = re.search(r"(?:\bboth\s+|\bthe\s+|\b)ends" + temp, t)
     if m:
         bc.setdefault("T_left", float(m.group(1)))
         bc.setdefault("T_right", float(m.group(1)))
-    # "ends at 100 and 0 degrees" → left/right in written order
-    m = re.search(r"\bends" + temp + r"\s*(?:°?c)?\s*and\s*" + _NUM, t)
+    # "one face at -10°C and the other at 22°C" → left/right in written
+    # order (r5 battery-16: both BCs were silently dropped)
+    m = re.search(r"one\s+(?:face|side|end|surface)" + temp
+                  + r"\s*(?:°?\s*c)?\s*[,;]?\s*(?:and|while)\s+the\s+other"
+                  r"(?:\s+(?:face|side|end|surface))?" + temp, t)
     if m and "T_left" not in bc and "T_right" not in bc:
         bc["T_left"] = float(m.group(1))
         bc["T_right"] = float(m.group(2))
     # top/bottom/"all faces" phrasing → the uniform boundary value
     m = re.search(r"(?:top|bottom|all\s+(?:four\s+|six\s+)?"
-                  r"(?:sides|faces|edges|boundaries|surfaces))" + temp, t)
+                  r"(?:sides|faces|edges|boundaries|surfaces))"
+                  r"(?:\s+(?:face|surface|edge|boundary))?" + temp, t)
     if m and "T_boundary" not in bc:
         bc["T_boundary"] = float(m.group(1))
+    # DISTINCT per-face temperatures ("top: 100°C; bottom: 0°C") cannot be
+    # one uniform boundary — emit typed Dirichlet faces instead
+    # (r5 battery-15: the bottom value was silently dropped)
+    face_temps: Dict[str, float] = {}
+    for fm in re.finditer(r"\b(top|bottom|front|back)\b"
+                          r"(?:\s+(?:face|surface|edge))?" + temp, t):
+        face_temps.setdefault(fm.group(1), float(fm.group(2)))
+    if len(set(face_temps.values())) >= 2:
+        for f, v in face_temps.items():
+            bc.setdefault(f, {"type": "dirichlet", "value": v})
+        bc.pop("T_boundary", None)
     # "inside at 25, outside at -5": inner/outer for curvilinear shells,
     # left/right for a Cartesian wall/slab
     curvilinear = out.get("geometry_type") in ("cylinder", "sphere")
@@ -503,12 +590,27 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                                      ("outside", "T_outer", "T_right")):
         m = re.search(r"\b" + word + temp, t)
         if m is None:
-            # number-first: "water at 80 C inside", "20 C on the outside"
+            # number-first: "water at 80 C inside", "20 C on the outside",
+            # "fluid at 90°C flows inside" (one interposed verb/word,
+            # r5 battery-15)
             m = re.search(r"(?:at\s+)?" + _NUM + r"\s*°?\s*c?\s+"
-                          r"(?:on\s+the\s+)?" + word + r"\b", t)
+                          r"(?:[a-z]+\s+)?(?:on\s+the\s+)?" + word + r"\b", t)
         if m:
             bc.setdefault(curv_key if curvilinear else cart_key,
                           float(m.group(1)))
+    if curvilinear:
+        # a fluid carried BY the pipe wets the inner surface: "steam at
+        # 120°C flows in a copper pipe", "the pipe carries oil at 80°C"
+        # (r5 battery-16 — no literal 'inside' word anywhere)
+        m = (re.search(r"(?:steam|water|oil|gas|fluid|liquid)\s+at\s*"
+                       + _NUM + r"\s*°?\s*c?\s+"
+                       r"(?:flow\w*|runs?|moves?|passes?|circulat\w*)\s+"
+                       r"(?:in(?:side)?|through)\b", t)
+             or re.search(r"carr(?:ies|ying)\s+"
+                          r"(?:steam|water|oil|gas|fluid|liquid)\s+at\s*"
+                          + _NUM, t))
+        if m:
+            bc.setdefault("T_inner", float(m.group(1)))
     # "air at 20 C outside with h = 6": a convective outer surface — the
     # ambient fluid named with a temperature, an outside marker, and a
     # film coefficient right after
@@ -537,7 +639,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # NOTE: singular "wall" is deliberately NOT a face word — "brick wall"
     # names the object, not a face ("side wall" still matches via side+noun)
     face_pat = (r"\b(left|right|top|bottom|front|back|inner|outer|inside|"
-                r"outside|sides|side|walls|lateral|ends|"
+                r"outside|sides|side|walls|lateral|ends|tip|base|"
                 r"all\s+(?:other\s+)?faces|other\s+faces|all\s+sides|"
                 r"all\s+surfaces|surface)" + face_noun)
 
@@ -557,11 +659,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             return ["inner"]
         if w == "outside":
             return ["outer"]
+        if w == "base":
+            return ["left"]
+        if w == "tip":
+            return ["right"]
         return [w]
 
     def _face_near(i: int, j: int, prefer_after: bool = False):
-        """Nearest face mention around cue span [i, j)."""
-        before = [m for m in re.finditer(face_pat, t[max(0, i - 70):i])]
+        """Nearest face mention around cue span [i, j).  The before-window
+        stops at a sentence boundary: 'the tip is insulated. The fin loses
+        heat to 30°C air' must not hang the Robin spec on the previous
+        sentence's face (r5 battery-15).  A face word INSIDE the cue span
+        itself wins outright ('outside air at 25°C' — r5 battery-16)."""
+        within = re.search(face_pat, t[i:j])
+        if within:
+            return _faces_of(within.group(1))
+        bwin = re.split(r"[.;!?]\s", t[max(0, i - 70):i])[-1]
+        before = [m for m in re.finditer(face_pat, bwin)]
         after = re.search(face_pat, t[j:j + 70])
         if prefer_after and after:
             return _faces_of(after.group(1))
@@ -574,13 +688,25 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     conv_cue = (r"convect(?:s|ion|ive|ing)?|cool(?:ed|ing|s)?\s+(?:by|in)\s+"
                 r"(?:a\s+)?(?:[\d.]+\s*°?\s*c\s+)?"
                 r"(?:convection|(?:the\s+)?air|water|oil|bath|furnace|oven)"
-                r"|exposed\s+to\s+(?:\w+\s+)?"
+                # "exposed to 15°C air with h = 10": the ambient temperature
+                # may sit between 'to' and the medium word (r5 battery-15)
+                r"|exposed\s+to\s+(?:[\d.]+\s*°?\s*c\s+)?(?:\w+\s+)?"
                 r"(?:air|fluid|coolant|flow)|loses\s+heat\s+to|"
                 r"quench(?:ed|ing)?"
                 # immersion with the medium temperature up front: "in a
                 # 700°C furnace", "into an 80 C oil bath" (r5 battery-14)
                 r"|(?:in|into)\s+an?\s+[\d.]+\s*°?\s*c\s+"
-                r"(?:furnace|oven|bath|chamber|environment|room)")
+                r"(?:furnace|oven|bath|chamber|environment|room)"
+                # medium-first immersion: "in water at 20°C, h = 500"
+                # (r5 battery-15) — the named ambient temperature is what
+                # distinguishes this from a bare "a rod in water" mention
+                r"|(?:in|into)\s+(?:the\s+)?(?:water|oil|air|coolant)\s+"
+                r"at\s+[\d.]"
+                # "outside/ambient air at 25°C with h = 10" — the qualified
+                # air mention plus its own temperature is a convection cue
+                # even without a convect verb (r5 battery-16)
+                r"|(?:ambient|outside|surrounding)\s+air\s+(?:is\s+)?"
+                r"at\s+[-+]?[\d.]")
     for cm in re.finditer(conv_cue, t):
         is_quench = cm.group(0).startswith("quench")
         faces = _face_near(cm.start(), cm.end()) or ["all"]
@@ -596,17 +722,26 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # no film coefficient → the quench stays the Dirichlet rule
             # above (reference-compatible immersion at the bath temperature)
             continue
-        am = (re.search(r"(?:ambient|air|fluid|surroundings?|environment|"
-                        r"coolant|bath|water|oil|furnace|oven)"
-                        r"(?:\s+temperature)?\s*"
-                        r"(?:of|at|=|:|is)?\s*" + _NUM, win)
-              or re.search(r"to\s*" + _NUM + r"\s*°?\s*c?\s*"
-                           r"(?:air|ambient|surroundings|water|oil|bath|"
-                           r"coolant)", win)
-              # number-first: "a 30 C furnace", "25 C oil"
-              or re.search(_NUM + r"\s*°?\s*c\s+(?:air|furnace|oven|water|"
-                           r"oil|bath|coolant|environment|surroundings)",
-                           win))
+        def _ambient_in(w):
+            return (re.search(r"(?:ambient|air|fluid|surroundings?|"
+                              r"environment|"
+                              r"coolant|bath|water|oil|furnace|oven)"
+                              r"(?:\s+temperature)?\s*"
+                              r"(?:of|at|=|:|is)?\s*" + _NUM, w)
+                    or re.search(r"to\s*" + _NUM + r"\s*°?\s*c?\s*"
+                                 r"(?:air|ambient|surroundings|water|oil|"
+                                 r"bath|coolant)", w)
+                    # number-first: "a 30 C furnace", "25 C oil"
+                    or re.search(_NUM + r"\s*°?\s*c\s+(?:air|furnace|oven|"
+                                 r"water|oil|bath|coolant|environment|"
+                                 r"surroundings)", w))
+        # prefer an ambient named in/after the cue itself ("exposed to 20°C
+        # air"); the before-window is a FALLBACK only — another boundary's
+        # fluid temperature in the preceding clause must not leak in
+        # (r5 battery-15: 'fluid at 90°C flows inside, outside exposed to
+        # 20°C air' hung T_ambient=90 on the outer face)
+        am = (_ambient_in(t[cm.start():cm.end() + 170])
+              or _ambient_in(win))
         h_val = float(hm.group(1)) if hm else 10.0
         t_inf = float(am.group(1)) if am else 20.0
         if not hm:
@@ -642,6 +777,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                                                           1.0)
         for f in faces:
             bc.setdefault(f, {"type": "neumann", "flux": q})
+    # faces with their own explicit Dirichlet phrase anywhere in the text:
+    # "bottom face is held at 40°C … all other faces are adiabatic" must
+    # not insulate the bottom (r5 battery-15)
+    dirichlet_faces = {fw for fw in ("left", "right", "top", "bottom",
+                                     "front", "back", "inner", "outer")
+                       if re.search(r"\b" + fw + face_noun + temp, t)}
     for im in re.finditer(r"\binsulated\b|\badiabatic\b", t):
         # conjunction-aware: "top and bottom insulated", "front, back and
         # left faces are adiabatic" — collect EVERY face in the adjacent
@@ -660,7 +801,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                     faces.append(f)
         for f in faces:
             # a face with an explicit Dirichlet temperature keeps it
-            if ("T_" + f) in bc or ("T_" + f.rstrip("s")) in bc:
+            if ("T_" + f) in bc or ("T_" + f.rstrip("s")) in bc \
+                    or f in dirichlet_faces:
                 continue
             bc.setdefault(f, {"type": "insulated"})
     # --- sinusoidal boundary driving ("varies between 10 and 30 °C with a
@@ -743,6 +885,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
 
     m = re.search(r"initial(?:ly)?(?:\s+temperature| temp| condition)?"
                   + temp.replace("fixed at", "fixed at|initially"), t)
+    if m is None:
+        # "initially at a uniform 25°C": the article/uniform qualifier sits
+        # between the connector and the value (r5 battery-15)
+        m = re.search(r"initial(?:ly)?(?:\s+temperature| temp| condition)?"
+                      r"\s*(?:is|was)?\s*(?:of|=|:|at|to)?\s*"
+                      r"(?:a\s+)?(?:uniform(?:ly)?\s+)?" + _NUM
+                      + r"\s*°?\s*c?\b", t)
     if m:
         out["initial_value"] = float(m.group(1))
         out["initial_type"] = "constant"
@@ -751,6 +900,15 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         # quench rule above already claims "quenched from X to Y"
         m = re.search(r"(?:starts?|starting|begins?|beginning)\s+"
                       r"(?:out\s+)?(?:at|from)\s*" + _NUM + r"\s*°?\s*c?\b", t)
+        if m is None:
+            # "a block at 900 K cools by convection" / "a sphere at 20°C
+            # goes into a 180°C oven": the body temperature named right
+            # before a cooling/immersion verb is the initial state
+            # (r5 battery-15/16)
+            m = re.search(r"\bat\s+" + _NUM + r"\s*°?\s*c\b,?\s*"
+                          r"(?:it\s+|that\s+)?"
+                          r"(?:cool|(?:goes|is\s+(?:placed|put|dropped)|"
+                          r"placed|put|dropped)\s+in(?:to)?\b)", t)
         if m and not out.get("steady"):
             out.setdefault("initial_value", float(m.group(1)))
             out.setdefault("initial_type", "constant")
@@ -774,6 +932,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # --- material: heat ---
     m = re.search(r"(?:diffusivity|(?<!core )(?:thermal\s+)?conductivity)\s*(?:of|=|:|is|to)?\s*"
                   + _NUM, t)
+    if m is None and out["pde_type"] in ("heat", "poisson", "advection"):
+        # math-notation "alpha = 9.7e-5" (heat only: in elasticity alpha is
+        # the thermal-expansion coefficient; r5 battery-15)
+        m = re.search(r"\b(?:alpha|α)\s*(?:=|:)\s*" + _NUM, t)
     if m:
         out["diffusivity"] = float(m.group(1))
 
@@ -917,6 +1079,21 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                 or ["top"]
             for f in faces:
                 bc.setdefault(f, {"type": "pressure", "value": p_val})
+        # "applying 30 MPa tension at the right end" — a named axial
+        # STRESS is a traction, not a point force (r5 battery-15)
+        m = re.search(_NUM + r"\s*(gpa|mpa|kpa|pa)\s*(?:of\s+)?"
+                      r"(tension|tensile\s+stress|compression|"
+                      r"compressive\s+stress)\b", t)
+        if m:
+            s_val = float(m.group(1)) * _press_scale(m.group(2))
+            if m.group(3).startswith("compress"):
+                s_val = -s_val
+            dim_now = max(out.get("dim", 1), 1)
+            vec = [s_val] + [0.0] * (dim_now - 1)
+            faces = _face_near(m.start(), m.end(), prefer_after=True) \
+                or ["right"]
+            for f in faces:
+                bc.setdefault(f, {"type": "traction", "vector": vec})
         m = re.search(r"traction\s*(?:of|=|:)?\s*" + _NUM
                       + r"\s*(gpa|mpa|kpa|pa)?\b", t)
         if m:
@@ -948,27 +1125,32 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # phrase list from the reference's source rules (pde_parser_agent.py:
     # 350-358): "heat source of X", "internal heat generation of X",
     # "heating of X", "with a source X"
-    m = re.search(r"(?:heat\s+)?source\s*(?:of|=|:|value|to)?\s*" + _NUM, t)
-    if not m:
+    # a volumetric power-density unit is unambiguous and carries its own
+    # scale — try it FIRST so "volumetric heating of 2 MW/m³" scales to
+    # 2e6 instead of the phrase rules grabbing the bare 2 (r5 battery-15)
+    m = re.search(_NUM + r"\s*(?:(k|m)?w)\s*/?\s*(m|cm|mm)\s*[³3]", t)
+    if m:
+        val = float(m.group(1)) * {"k": 1e3, "m": 1e6}.get(m.group(2) or "",
+                                                           1.0)
+        val *= {"cm": 1e6, "mm": 1e9}.get(m.group(3), 1.0)
+        out["source_type"] = "constant"
+        out["source_value"] = val
+        m = None
+    elif not out.get("source_type"):
+        m = re.search(r"(?:heat\s+)?source\s*(?:of|=|:|value|to)?\s*" + _NUM,
+                      t)
+    if not m and not out.get("source_type"):
         m = re.search(r"(?:internal\s+)?heat\s+generation\s*(?:of|=|:|rate(?:\s+of)?)?\s*"
                       + _NUM, t)
-    if not m:
+    if not m and not out.get("source_type"):
         m = re.search(r"\bheating\s+of\s+" + _NUM, t)
-    if not m:
-        # "generating 5e7 W/m3", "dissipating 50 W/cm3", "a 5000 W/m3
-        # source" — the volumetric power-density unit is unambiguous
-        m = (re.search(r"(?:generat(?:ing|es|e)|dissipat(?:ing|es|e))\s+"
-                       + _NUM + r"\s*(?:w\s*/?\s*(m|cm|mm)\s*[³3]?)?", t)
-             or re.search(_NUM + r"\s*(?:(k|m)?w)\s*/?\s*(m|cm|mm)\s*[³3]",
-                          t))
+    if not m and not out.get("source_type"):
+        # "generating 5e7 W/m3", "dissipating 50 W/cm3" — verb-cued
+        m = re.search(r"(?:generat(?:ing|es|e)|dissipat(?:ing|es|e))\s+"
+                      + _NUM + r"\s*(?:w\s*/?\s*(m|cm|mm)\s*[³3]?)?", t)
         if m:
-            gs = m.groups()
-            if len(gs) == 2:      # verb-cued form: (value, length-unit)
-                val, p_unit, l_unit = float(gs[0]), "", gs[1]
-            else:                 # unit-cued form: (value, kW/MW, unit)
-                val, p_unit, l_unit = float(gs[0]), gs[1] or "", gs[2]
-            val *= {"k": 1e3, "m": 1e6}.get(p_unit, 1.0)
-            val *= {"cm": 1e6, "mm": 1e9}.get(l_unit, 1.0)
+            val = float(m.group(1))
+            val *= {"cm": 1e6, "mm": 1e9}.get(m.group(2), 1.0)
             out["source_type"] = "constant"
             out["source_value"] = val
             m = None  # handled (incl. units); skip the generic setter
@@ -999,7 +1181,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(_NUM + r"\s*(?:time\s*)?steps", t)
     if m:
         out["num_steps"] = int(float(m.group(1)))
-    m = re.search(r"(?:total time|for|until|over|during|show|after)\s*(?:t\s*=)?\s*"
+    m = re.search(r"(?:total time|t[_\s]?final|t[_\s]?end|final\s+time|"
+                  r"end\s+time|for|until|over|during|show|after|simulate|"
+                  r"track\w*)\s*(?:t\s*=|=|:)?\s*"
                   r"(?:the\s+first\s+)?" + _NUM
                   + r"\s*(days?|hours?|hrs?|h|min(?:ute)?s?|"
                   r"s(?:ec(?:ond)?s?)?)\b", t)
@@ -1014,6 +1198,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         if m:
             out["total_time"] = {"day": 86400.0, "hour": 3600.0,
                                  "minute": 60.0}[m.group(1)]
+        else:
+            # "for half an hour" / "for half a minute" (r5 battery-15)
+            m = re.search(r"(?:for|over|during|show)\s+half\s+an?\s+"
+                          r"(day|hour|minute)", t)
+            if m:
+                out["total_time"] = 0.5 * {"day": 86400.0, "hour": 3600.0,
+                                           "minute": 60.0}[m.group(1)]
     m = re.search(_NUM + r"\s*(?:nodes|mesh points|grid points|cells|elements)", t)
     if m:
         out["nx"] = int(float(m.group(1)))
@@ -1066,6 +1257,18 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["domain_size"] = domain
     if geometry_params:
         out["geometry_params"] = geometry_params
+    # a through-thickness 1D problem stated with top/bottom faces (a wafer
+    # or slab): bottom is x=0, top is x=L (r5 battery-16) — typed per-face
+    # specs keep their type, Dirichlet values become the end temperatures
+    if out.get("dim", 1) == 1 and not out.get("geometry_type"):
+        for face, key in (("bottom", "T_left"), ("top", "T_right")):
+            spec = bc.get(face)
+            if isinstance(spec, dict) and spec.get("type") == "dirichlet" \
+                    and set(spec) <= {"type", "value"} and key not in bc:
+                # PLAIN Dirichlet only — sinusoidally-driven faces keep
+                # their typed spec (amplitude/period must not be dropped)
+                bc[key] = float(spec["value"])
+                del bc[face]
     if bc:
         out["bc_values"] = bc
     if material:

@@ -1411,3 +1411,295 @@ def test_pure_dim_switch_followup_keeps_bcs(orch):
     bc = r["pde_params"].get("bc_values") or {}
     assert bc.get("T_left") == 20.0 and bc.get("T_right") == 0.0
     assert r["pde_params"]["dim"] == 2
+
+
+# ---- round-5 NL battery 15: Kelvin units, fin base/tip faces, per-face
+# distinct Dirichlet, ambient scoping across clauses, named-stress loads,
+# math-notation T(0)/T(L)/alpha, t_final/half-an-hour durations ----
+
+def test_rule_parse_battery_round15_kelvin_conversion():
+    """Kelvin temperatures convert to Celsius up front ('900 K', '300 K
+    surroundings'), while digits embedded in units (W/m2K) stay units and
+    'half an hour' is a named duration."""
+    r = rule_based_parse(
+        "A steel block initially at 900 K cools by convection in 300 K "
+        "surroundings with h = 40 W/m2K. Track the temperature for half "
+        "an hour.")
+    assert r["initial_value"] == pytest.approx(626.85)
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 40.0,
+                                     "T_ambient": pytest.approx(26.85)}
+    assert r["total_time"] == 1800.0
+
+
+def test_rule_parse_battery_round15_fin_base_tip():
+    """Fin vocabulary: 'base' is the clamped/heated end (x=0), 'tip' the
+    far end; a unit-less 'h = 8' in a convection sentence is the film
+    coefficient (it became an 8 m height); 'loses heat to 30C air' names
+    the ambient; '0.5 m steel fin' captures the length through the
+    interposed material word."""
+    r = rule_based_parse(
+        "A 0.5 m steel fin with base maintained at 200C, the tip is "
+        "insulated. The fin loses heat to 30C air with h = 8. "
+        "Simulate 600 seconds.")
+    assert r["dim"] == 1
+    assert r["domain_size"] == {"length": 0.5}
+    bc = r["bc_values"]
+    assert bc["T_left"] == 200.0
+    assert bc["right"] == {"type": "insulated"}
+    assert bc["all"] == {"type": "robin", "h": 8.0, "T_ambient": 30.0}
+    assert r["total_time"] == 600.0
+
+
+def test_rule_parse_battery_round15_cube_side_and_adiabatic_others():
+    """'cube of side 0.3 m' must not become T_side=0.3; 'initially at a
+    uniform 25°C' reads through the article/qualifier; a face with its own
+    Dirichlet phrase survives 'all other faces are adiabatic'; 't_final ='
+    is a duration cue."""
+    r = rule_based_parse(
+        "A cube of side 0.3 m is initially at a uniform 25°C. The bottom "
+        "face is held at 40°C and all other faces are adiabatic. "
+        "t_final = 100 s.")
+    assert r["dim"] == 3
+    assert r["domain_size"] == {"Lx": 0.3, "Ly": 0.3, "Lz": 0.3}
+    assert r["initial_value"] == 25.0 and r["initial_type"] == "constant"
+    bc = r["bc_values"]
+    assert bc["bottom"] == {"type": "dirichlet", "value": 40.0}
+    assert bc["sides"] == {"type": "insulated"}
+    assert "T_side" not in bc and "T_bottom" not in bc
+    assert r["total_time"] == 100.0
+
+
+def test_rule_parse_battery_round15_math_notation():
+    """T(0)=0 / T(L)=100 mathematical BCs (not just u(...)), and a bare
+    'alpha = 9.7e-5' names the diffusivity in a heat context."""
+    r = rule_based_parse(
+        "Solve du/dt = alpha d2u/dx2 with alpha = 9.7e-5 on [0, L] with "
+        "L = 1, T(0)=0, T(L)=100.")
+    assert r["diffusivity"] == pytest.approx(9.7e-5)
+    assert r["bc_values"]["T_left"] == 0.0
+    assert r["bc_values"]["T_right"] == 100.0
+
+
+def test_rule_parse_battery_round15_distinct_top_bottom_faces():
+    """Distinct top/bottom temperatures cannot collapse into one uniform
+    T_boundary (the bottom value was silently dropped) — they emit typed
+    per-face Dirichlet specs instead."""
+    r = rule_based_parse(
+        "A square plate with the top edge at 100°C and the bottom edge at "
+        "0°C, left and right sides insulated. Steady state.")
+    bc = r["bc_values"]
+    assert bc["top"] == {"type": "dirichlet", "value": 100.0}
+    assert bc["bottom"] == {"type": "dirichlet", "value": 0.0}
+    assert bc["left"] == {"type": "insulated"}
+    assert bc["right"] == {"type": "insulated"}
+    assert "T_boundary" not in bc
+    assert r["steady"] is True
+
+
+def test_rule_parse_battery_round15_pipe_ambient_scoping():
+    """'fluid at 90°C flows inside … outside exposed to 20°C air': the
+    inner Dirichlet reads through the interposed verb, and the outer
+    Robin ambient must be the 20°C named in its own clause, not the 90°C
+    leaking from the previous one."""
+    r = rule_based_parse(
+        "Water fluid at 90°C flows inside a steel pipe of inner radius "
+        "2 cm and outer radius 3 cm; the outside is exposed to 20°C air "
+        "with h = 15.")
+    assert r["coordinate_system"] == "cylindrical"
+    bc = r["bc_values"]
+    assert bc["T_inner"] == 90.0
+    assert bc["outer"] == {"type": "robin", "h": 15.0, "T_ambient": 20.0}
+
+
+def test_rule_parse_battery_round15_named_stress_loads():
+    """'30 MPa tension' / '50 MPa compression' are axial STRESSES →
+    traction specs with sign, not point forces; the interposed-word rule
+    reads 'a 2 m steel cantilever beam'."""
+    r = rule_based_parse(
+        "Apply 30 MPa of tension at the right end of a 2 m steel bar "
+        "with E = 200 GPa and cross-section area 0.01 m2.")
+    assert r["pde_type"] == "elasticity" and r["dim"] == 1
+    assert r["domain_size"]["length"] == 2.0
+    assert r["bc_values"]["right"] == {"type": "traction",
+                                       "vector": [30.0e6]}
+    assert r["material_params"]["area"] == 0.01
+
+    c = rule_based_parse(
+        "A 1 m aluminum bar under 50 MPa compression at the right end.")
+    assert c["bc_values"]["right"] == {"type": "traction",
+                                       "vector": [-50.0e6]}
+
+    b = rule_based_parse("A 2 m steel cantilever beam under a 500 N tip "
+                         "force.")
+    assert b["domain_size"]["length"] == 2.0
+
+
+def test_rule_parse_battery_round15_volumetric_unit_source_first():
+    """A volumetric power-density unit carries its own scale and wins over
+    the bare-number phrase rules: 'volumetric heating of 2 MW/m³' is 2e6,
+    not 2."""
+    r = rule_based_parse(
+        "A 1 m rod with volumetric heating of 2 MW/m³, ends at 0°C.")
+    assert r["source_type"] == "constant"
+    assert r["source_value"] == pytest.approx(2.0e6)
+    assert r["bc_values"]["T_left"] == 0.0
+    assert r["bc_values"]["T_right"] == 0.0
+
+
+def test_rule_parse_battery_round15_bare_ends_dirichlet():
+    """Bare 'ends at 0°C' (no 'both') is the symmetric Dirichlet pair; the
+    two-value 'ends at 100 and 0' order is preserved and not claimed by
+    the symmetric rule."""
+    assert rule_based_parse("A 1 m rod, ends at 0°C.")["bc_values"] \
+        == {"T_left": 0.0, "T_right": 0.0}
+    assert rule_based_parse("A 1 m rod with ends kept at 0 degrees."
+                            )["bc_values"] \
+        == {"T_left": 0.0, "T_right": 0.0}
+    two = rule_based_parse("A 1 m rod, ends at 100 and 0 degrees.")
+    assert two["bc_values"]["T_left"] == 100.0
+    assert two["bc_values"]["T_right"] == 0.0
+
+
+def test_rule_parse_battery_round15_medium_first_immersion():
+    """'placed in water at 20°C, h = 500' — medium-first immersion with
+    the ambient after the medium word is a convection cue."""
+    r = rule_based_parse(
+        "A 5 cm aluminum sphere initially at 150°C is placed in water at "
+        "20°C, h = 500. Simulate 120 seconds.")
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 500.0,
+                                     "T_ambient": 20.0}
+    assert r["initial_value"] == 150.0
+    assert r["total_time"] == 120.0
+
+
+def test_dispatcher_battery_round15_traction_end_load():
+    """1D elasticity traction/pressure specs reach the bar solver as
+    end_load = sigma * area (pressure pushes inward → negative)."""
+    d = DispatcherAgent()
+    p = PDEParameters(pde_type="elasticity", dim=1,
+                      domain_size={"length": 2.0}, young_modulus=2e11,
+                      material_params={"area": 0.01},
+                      bc_values={"right": {"type": "traction",
+                                           "vector": [3.0e7]}})
+    name, args = d.route(p)
+    assert name == "solve_elasticity_1D_loaded"
+    assert args["end_load"] == pytest.approx(3.0e5)
+    assert args["area"] == 0.01
+
+    p2 = PDEParameters(pde_type="elasticity", dim=1,
+                       domain_size={"length": 2.0},
+                       bc_values={"right": {"type": "pressure",
+                                            "value": 5.0e6}})
+    _, args2 = d.route(p2)
+    assert args2["end_load"] == pytest.approx(-5.0e6)  # default unit area
+
+
+# ---- round-5 NL battery 16: diameters, carried-fluid pipes, slab/wafer
+# through-thickness lengths, one-face/other-face pairs, qualified-air
+# convection cues, immersion initial states, micron units ----
+
+def test_rule_parse_battery_round16_diameter_pipe():
+    """'inner diameter 5 cm and outer diameter 6 cm' is the annulus radius
+    pair (the generic diameter rule grabbed one solid radius); 'Steam at
+    120°C flows in a pipe' wets the inner surface; 'Outside air at 25°C
+    with h = 10' is a convection cue whose face word sits inside the cue
+    itself — and that unit-less h must not become a 10 m height."""
+    r = rule_based_parse(
+        "Steam at 120°C flows in a copper pipe with inner diameter 5 cm "
+        "and outer diameter 6 cm. Outside air at 25°C with h = 10. "
+        "Steady state.")
+    assert r["dim"] == 1 and r["coordinate_system"] == "cylindrical"
+    assert r["geometry_params"] == {"r_inner": 0.025, "r_outer": 0.03}
+    assert r["bc_values"]["T_inner"] == 120.0
+    assert r["bc_values"]["outer"] == {"type": "robin", "h": 10.0,
+                                       "T_ambient": 25.0}
+    assert "h" not in (r.get("domain_size") or {})
+    assert r["steady"] is True
+
+
+def test_rule_parse_battery_round16_carries_fluid():
+    r = rule_based_parse(
+        "A steel pipe carries oil at 80°C, inner radius 2 cm, outer "
+        "radius 3 cm, outer surface at 20°C.")
+    assert r["bc_values"]["T_inner"] == 80.0
+    assert r["bc_values"]["T_outer"] == 20.0
+
+
+def test_rule_parse_battery_round16_slab_thickness_is_length():
+    """For a planar conduction object (slab/wall/wafer) 'X thick' IS the
+    conduction path; 'one face at -10°C and the other at 22°C' is the
+    left/right pair (both were dropped and the slab solved a default-1 m
+    domain)."""
+    r = rule_based_parse(
+        "A concrete slab 20 cm thick has one face at -10°C and the other "
+        "at 22°C. Conductivity 1.4 W/mK. Steady-state profile?")
+    assert r["dim"] == 1
+    assert r["domain_size"]["length"] == pytest.approx(0.2)
+    assert r["bc_values"]["T_left"] == -10.0
+    assert r["bc_values"]["T_right"] == 22.0
+    assert r["diffusivity"] == pytest.approx(1.4)
+
+    # the reference's CRITICAL thin-conductor rule is untouched: a bare
+    # thickness WITHOUT a planar-object word stays a material note
+    c = rule_based_parse("a 30nm thick conductor carrying current")
+    assert "length" not in (c.get("domain_size") or {})
+    assert any("Thickness mentioned" in n for n in c.get("notes", []))
+
+
+def test_rule_parse_battery_round16_wafer_microns_top_bottom():
+    """Micron units scale ('300 microns thick' wafer), and a 1D
+    through-thickness problem stated with top/bottom faces maps bottom→x=0
+    and top→x=L as plain Dirichlet ends."""
+    r = rule_based_parse(
+        "A silicon wafer 300 microns thick, top surface at 80°C, "
+        "bottom at 20°C.")
+    assert r["dim"] == 1
+    assert r["domain_size"]["length"] == pytest.approx(300e-6)
+    assert r["bc_values"]["T_left"] == 20.0
+    assert r["bc_values"]["T_right"] == 80.0
+    assert "top" not in r["bc_values"] and "bottom" not in r["bc_values"]
+
+
+def test_rule_parse_battery_round16_shaft_in_diameter():
+    """Value-first diameter ('a shaft 5 cm in diameter') makes the shaft a
+    cylinder with the right radius; '1 m long' stays the axial length."""
+    r = rule_based_parse(
+        "A steel shaft 5 cm in diameter and 1 m long, its surface held at "
+        "80°C, initially 20°C. Simulate 2 minutes.")
+    assert r["geometry_type"] == "cylinder"
+    assert r["geometry_params"]["cylinder_radius"] == pytest.approx(0.025)
+    assert r["bc_values"]["T_boundary"] == 80.0
+    assert r["initial_value"] == 20.0 and r["total_time"] == 120.0
+
+
+def test_rule_parse_battery_round16_immersion_initial_state():
+    """'a 7 cm sphere at 20°C goes into a 180°C oven' — the body
+    temperature right before the immersion verb is the initial state (it
+    was silently dropped)."""
+    r = rule_based_parse(
+        "A potato, roughly a 7 cm sphere at 20°C, goes into a 180°C oven "
+        "with h = 25. Simulate 40 minutes.")
+    assert r["initial_value"] == 20.0
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 25.0,
+                                     "T_ambient": 180.0}
+    assert r["total_time"] == 2400.0
+
+
+def test_rule_parse_battery_round16_wall_thickness_conduction_path():
+    r = rule_based_parse(
+        "A basement wall 3 m tall and 25 cm thick, inside at 18°C, "
+        "outside at -5°C.")
+    assert r["dim"] == 1
+    assert r["domain_size"]["length"] == pytest.approx(0.25)
+    assert r["bc_values"]["T_left"] == 18.0
+    assert r["bc_values"]["T_right"] == -5.0
+
+
+def test_rule_parse_battery_round16_sinusoidal_top_face_kept():
+    """The 1D top/bottom→ends remap must NOT swallow a sinusoidally-driven
+    face spec (amplitude/period stay typed)."""
+    r = rule_based_parse(
+        "ground temperature under a daily cycle between -5 and 15 C at "
+        "the top surface, 2 m deep domain")
+    spec = r["bc_values"]["top"]
+    assert spec["amplitude"] == 10.0 and spec["period"] == 86400.0
