@@ -1384,6 +1384,7 @@ def test_orchestrator_fresh_standalone_h_becomes_robin(orch):
     assert r.get("html_path")
 
 
+@pytest.mark.slow
 def test_dim_switch_selfcontained_query_resets_stale_bcs(orch):
     """r5 battery-14 CLI finding: a 1D rod conversation followed by a
     self-contained 2D plate-in-air query ('with'/'and' classify it as a

@@ -107,6 +107,7 @@ def test_solve_facade_uses_mg_for_large_elasticity():
         set_config(mg_threshold=20000)
 
 
+@pytest.mark.slow
 def test_nested_mixed_precision_facade():
     """Mixed-precision + MG → solve_nested path reaches f64-level accuracy."""
     from pde_solver_tpu.models.elasticity import solve_elasticity_nd
@@ -127,6 +128,7 @@ def test_nested_mixed_precision_facade():
     finally:
         set_config(precision="auto", mg_threshold=20000)
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["df", "df2"])
 def test_fcycle_df_variants_reach_deep_accuracy(variant):
     """Both double-f32 F-cycles (host-looped and per-round-fused) reach

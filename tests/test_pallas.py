@@ -50,6 +50,7 @@ def test_flat_stencil_2d():
     assert np.abs(y - y_ref).max() < 1e-5 * np.abs(y_ref).max()
 
 
+@pytest.mark.slow
 def test_mg_solve_through_pallas_interpret(monkeypatch):
     """Full mixed-precision MG F-cycle with the finest level applied through
     the Pallas kernel (interpret mode on CPU) — must match the plain-XLA
@@ -148,7 +149,7 @@ def _build_cs_case(vdim, cells=(100, 6, 6)):
     return mesh, sysm, cs
 
 
-@pytest.mark.parametrize("vdim", [1, 3])
+@pytest.mark.parametrize("vdim", [1, pytest.param(3, marks=pytest.mark.slow)])
 def test_cs_flat_matches_dense(vdim):
     """CS kernel (interior scalar pass + masked minor-axis faces + window-Δ
     octets) ≡ the dense flat kernel to f32 roundoff, including the exact
@@ -198,6 +199,7 @@ def test_cs_flat_refuses_varying_coefficients():
     assert cs is None
 
 
+@pytest.mark.slow
 def test_mg_elasticity_through_cs_interpret(monkeypatch):
     """PDE_TPU_CS=1 routes the finest MG level through the constant-interior
     kernel; the solve must match the dense-pallas route.  Small x-extent
