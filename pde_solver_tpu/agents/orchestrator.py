@@ -397,6 +397,24 @@ class MultiAgentOrchestrator:
             if val is not None:
                 setattr(merged, attr, val)
         if new.bc_values:
+            # a face set by the follow-up replaces the SAME face's stale
+            # spec in the other representation too: "add convection on the
+            # right" must drop a previous T_right Dirichlet, and "set the
+            # right end to 50" must drop a previous typed right-face spec
+            # (r5 battery-17: both coexisted and the solve saw conflicting
+            # BCs on one face)
+            scalar_of = {"left": "T_left", "right": "T_right",
+                         "inner": "T_inner", "outer": "T_outer",
+                         "side": "T_side", "sides": "T_side",
+                         "all": "T_boundary"}
+            face_of = {v: k for k, v in scalar_of.items() if k != "sides"}
+            for k in new.bc_values:
+                if k in scalar_of:
+                    merged.bc_values.pop(scalar_of[k], None)
+                elif k in face_of:
+                    merged.bc_values.pop(face_of[k], None)
+                    if k == "T_side":
+                        merged.bc_values.pop("sides", None)
             merged.bc_values.update(new.bc_values)
         # standalone h/ambient follow-ups ("change the heat transfer
         # coefficient to 50") apply to every existing robin face spec
@@ -420,6 +438,12 @@ class MultiAgentOrchestrator:
             merged.initial_type = new.initial_type
         if new.source_type and new.source_type != "none":
             merged.source_type = new.source_type
+        if re.search(r"(?:remove|drop|turn\s+off|switch\s+off|without|no)\s+"
+                     r"(?:the\s+)?(?:heat\s+)?(?:source|generation)", t):
+            # explicit source removal ("remove the heat source" silently
+            # kept the previous source — r5 battery-17)
+            merged.source_type = "none"
+            merged.source_value = None
         if new.steady is not None:
             merged.steady = new.steady
         if new.field_name:

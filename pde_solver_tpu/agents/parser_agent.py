@@ -208,7 +208,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             and re.search(r"\bgravity\b|\bload(?:ed|s|ing)?\b|self[- ]weight"
                           r"|own\s+weight|\btensile\b|\btraction\b"
                           r"|\btension\b|\bcompress(?:ion|ive)\b"
-                          r"|\bpressure\b|(?:force|load)\s+of\s+\d", t) \
+                          r"|\bpressure\b|(?:force|load)\s+of\s+\d"
+                          # "a 500 N axial force", "pull/stretch the end"
+                          # (r5 battery-17: number-first forces and the
+                          # pulling verbs routed to heat)
+                          r"|\d\s*(?:kn|mn|n)\s+(?:[a-z]+\s+)?(?:force|load)\b"
+                          r"|\baxial\b|\bpull(?:ed|ing|s)?\b"
+                          r"|\bstretch(?:ed|ing)?\b", t) \
             and not re.search(r"heat|thermal|temperatur|diffusiv|conduct"
                               r"|°|degrees|\bcool|\bhot\b|insulat"
                               r"|\d\s*°?\s*c\b|quench", t):
@@ -1029,7 +1035,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                 (u or "").strip(), 1.0)
 
         m = re.search(r"(?:point\s+|tip\s+|end\s+|applied\s+)?"
-                      r"(?:load|force)\s*(?:of|=|:)?\s*" + _NUM
+                      r"(?:load|force)\s*(?:of|=|:|to)?\s*" + _NUM
                       + r"\s*(kn|mn|n)?\b", t)
         if m is None:
             # number-first phrasing: "stretched by a 20 kN tensile force"
@@ -1039,6 +1045,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                           r"transverse\s+|sideways\s+|lateral\s+|"
                           r"point\s+|tip\s+|end\s+)?"
                           r"(?:load|force)\b", t)
+        if m is None:
+            # verb-only phrasing: "pull the right end with 500 N"
+            # (r5 battery-17 — the unit is required, no force/load noun)
+            m = re.search(r"(?:pull|stretch)\w*[^.;]{0,60}?\bwith\s+"
+                          + _NUM + r"\s*(kn|mn|n)\b", t)
         if m and not re.search(r"body\s+forces?", t[:m.start()][-25:]):
             F = float(m.group(1)) * _force_scale(m.group(2))
             win = t[max(0, m.start() - 80):m.end() + 100]
@@ -1159,6 +1170,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["source_value"] = float(m.group(1))
     if re.search(r"steady[- ]?state|\bsteady\b|equilibrium", t):
         out["steady"] = True
+    elif re.search(r"\btransient\b|\bunsteady\b|time[-\s]dependent"
+                   r"|\btime\s+evolution\b", t):
+        # explicit transient phrasing ("make it transient" follow-ups must
+        # override a previous steady=True — r5 battery-17)
+        out["steady"] = False
 
     # --- temperature-dependent conductivity κ(T) = κ0(1+βT) (nonlinear
     # extension; the reference is linear-only) ---

@@ -1704,3 +1704,80 @@ def test_rule_parse_battery_round16_sinusoidal_top_face_kept():
         "the top surface, 2 m deep domain")
     spec = r["bc_values"]["top"]
     assert spec["amplitude"] == 10.0 and spec["period"] == 86400.0
+
+
+# ---- round-5 NL battery 17: follow-up merge conflicts (face BC
+# representations, load updates, source removal, transient switch) and
+# number-first / verb-only force phrasings ----
+
+def test_followup_robin_replaces_same_face_dirichlet(orch):
+    """'add convection on the right' must DROP the previous T_right
+    Dirichlet (both coexisted and the solve saw conflicting BCs on one
+    face); a later 'set the right end to 50C' swaps back."""
+    run(orch.solve("Solve 1D heat transfer in a 2 meter rod, left end at "
+                   "20C, right end at 0C"))
+    r = run(orch.solve("add convection on the right with h = 15 and "
+                       "ambient 25C"))
+    bc = r["pde_params"]["bc_values"]
+    assert bc["right"] == {"type": "robin", "h": 15.0, "T_ambient": 25.0}
+    assert "T_right" not in bc and bc["T_left"] == 20.0
+
+    r2 = run(orch.solve("set the right end to 50C"))
+    bc2 = r2["pde_params"]["bc_values"]
+    assert bc2["T_right"] == 50.0 and "right" not in bc2
+
+
+def test_rule_parse_battery_round17_force_phrasings():
+    """Number-first ('a 500 N axial force'), noun-late ('a 500 N force at
+    the right end'), and verb-only ('pull ... with 500 N') all classify as
+    elasticity and capture the axial load (all three routed to heat with
+    no load)."""
+    for text in (
+            "A 2 m steel bar fixed at the left end with a 500 N axial "
+            "force at the right end",
+            "a 1 m bar with a 500 N force at the right end",
+            "pull the right end of a 1 m steel bar with 500 N"):
+        r = rule_based_parse(text)
+        assert r["pde_type"] == "elasticity", text
+        assert r["bc_values"]["right"] == {"type": "force_axial",
+                                           "value": 500.0}, text
+    # thermal guard: a heat source 'of 5' stays heat
+    h = rule_based_parse("heat a 1 m rod with a heat source of 5, "
+                         "left end at 0C")
+    assert h["pde_type"] == "heat" and h["source_value"] == 5.0
+
+
+def test_followup_load_increase_and_material_switch(orch):
+    """An elasticity conversation: 'increase the load to 2 kN' updates the
+    end load in place; strain/material follow-ups layer on without
+    touching it."""
+    run(orch.solve("A 2 m steel bar fixed at the left end with a 500 N "
+                   "axial force at the right end"))
+    r = run(orch.solve("increase the load to 2 kN"))
+    p = r["pde_params"]
+    assert p["bc_values"]["right"] == {"type": "force_axial",
+                                       "value": 2000.0}
+    r2 = run(orch.solve("show me the strain instead"))
+    assert r2["pde_params"]["material_params"]["quantity"] == "strain"
+    r3 = run(orch.solve("use aluminum with E = 70 GPa"))
+    p3 = r3["pde_params"]
+    assert p3["young_modulus"] == pytest.approx(70e9)
+    assert p3["bc_values"]["right"]["value"] == 2000.0
+
+
+def test_followup_source_removal_and_transient_switch(orch):
+    """'remove the heat source' clears it (it silently persisted), and
+    'make it transient' overrides a previous steady=True."""
+    run(orch.solve("Steady heat in a 1 m rod, left at 100C, right at 0C, "
+                   "with a heat source of 5"))
+    r = run(orch.solve("remove the heat source"))
+    p = r["pde_params"]
+    assert p["source_type"] == "none" and p.get("source_value") is None
+    r2 = run(orch.solve("make it transient and show 60 seconds"))
+    p2 = r2["pde_params"]
+    assert p2["steady"] is False and p2["total_time"] == 60.0
+
+
+def test_rule_parse_battery_round17_transient_keyword():
+    assert rule_based_parse("transient heat in a 1 m rod")["steady"] is False
+    assert rule_based_parse("steady heat in a 1 m rod")["steady"] is True
