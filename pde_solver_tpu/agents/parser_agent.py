@@ -323,7 +323,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # cantilever beam" (up to two interposed words, r5 battery-15) ---
     m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)[- ]*"
                   r"(?:long )?(?:[a-z]+\s+){0,2}?"
-                  r"(rod|bar|wire|string|beam|fin|domain|rod,|bar,)\b", t)
+                  r"(rod|bar|wire|string|beam|fin|corridor|channel|duct|"
+                  r"domain|rod,|bar,)\b", t)
+    if m and "Lx" in domain:
+        # an A×B×C box already parsed: "a 1 m x 0.2 m x 0.2 m steel beam"
+        # must not ALSO set a 1D length from its last factor
+        # (r5 battery-18)
+        m = None
     if not m:
         # trailing-adjective phrasing: "2 m long", "3 m in length"
         m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)"
@@ -761,9 +767,20 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         for f in faces:
             bc.setdefault(f, {"type": "robin", "h": h_val,
                               "T_ambient": t_inf})
+    # faces with their own explicit Dirichlet phrase anywhere in the text
+    # (computed before the flux rules: "left end receives a heat flux of
+    # 1000 W/m2, right end at 0°C" must not hang the flux on 'right' —
+    # r5 battery-18)
+    dirichlet_faces = {fw for fw in ("left", "right", "top", "bottom",
+                                     "front", "back", "inner", "outer")
+                       if re.search(r"\b" + fw + face_noun + temp, t)}
     for fm in re.finditer(r"heat\s+flux\s*(?:of|=|:)?\s*" + _NUM
                           + r"(?:\s*(k|m)?w\s*/?\s*m)?", t):
         faces = _face_near(fm.start(), fm.end(), prefer_after=True) or ["left"]
+        if all(f in dirichlet_faces for f in faces):
+            alt = _face_near(fm.start(), fm.end())  # before-preferred
+            if alt and not all(f in dirichlet_faces for f in alt):
+                faces = alt
         q = float(fm.group(1)) * {"k": 1e3, "m": 1e6}.get(fm.group(2) or "",
                                                          1.0)
         win = t[max(0, fm.start() - 60):fm.end() + 90]
@@ -783,12 +800,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                                                           1.0)
         for f in faces:
             bc.setdefault(f, {"type": "neumann", "flux": q})
-    # faces with their own explicit Dirichlet phrase anywhere in the text:
-    # "bottom face is held at 40°C … all other faces are adiabatic" must
-    # not insulate the bottom (r5 battery-15)
-    dirichlet_faces = {fw for fw in ("left", "right", "top", "bottom",
-                                     "front", "back", "inner", "outer")
-                       if re.search(r"\b" + fw + face_noun + temp, t)}
+    # ("bottom face is held at 40°C … all other faces are adiabatic" must
+    # not insulate the bottom — dirichlet_faces computed above the flux
+    # rules; r5 battery-15)
     for im in re.finditer(r"\binsulated\b|\badiabatic\b", t):
         # conjunction-aware: "top and bottom insulated", "front, back and
         # left faces are adiabatic" — collect EVERY face in the adjacent

@@ -1781,3 +1781,49 @@ def test_followup_source_removal_and_transient_switch(orch):
 def test_rule_parse_battery_round17_transient_keyword():
     assert rule_based_parse("transient heat in a 1 m rod")["steady"] is False
     assert rule_based_parse("steady heat in a 1 m rod")["steady"] is True
+
+
+# ---- round-5 NL battery 18: flux face attribution vs Dirichlet faces,
+# A×B×C vs single-length conflicts, corridor-style domains ----
+
+def test_rule_parse_battery_round18_flux_face_attribution():
+    """'left end receives a heat flux of 1000 W/m2, right end at 0C' hung
+    a spurious Neumann on the right (the prefer-after face search jumped
+    over the comma onto a face with its own Dirichlet phrase)."""
+    r = rule_based_parse("A 1 m rod, left end receives a heat flux of "
+                         "1000 W/m2, right end at 0C.")
+    bc = r["bc_values"]
+    assert bc["left"] == {"type": "neumann", "flux": 1000.0}
+    assert bc["T_right"] == 0.0
+    assert "right" not in bc
+
+    # face named AFTER the flux still wins when it has no Dirichlet
+    a = rule_based_parse("A 1 m rod with the right end at 0C. Apply a "
+                         "heat flux of 500 W/m2 on the left end.")
+    assert a["bc_values"]["left"] == {"type": "neumann", "flux": 500.0}
+    assert "right" not in a["bc_values"]
+
+    p = rule_based_parse("apply a heat flux of 500 to the top of a "
+                         "1 m x 1 m plate")
+    assert p["bc_values"]["top"] == {"type": "neumann", "flux": 500.0}
+
+
+def test_rule_parse_battery_round18_box_no_spurious_length():
+    """'a 1 m x 0.2 m x 0.2 m steel beam' must not ALSO set a 1D length
+    from its last factor via the interposed-words rod/beam rule."""
+    r = rule_based_parse("Find the vibration modes of a 1 m x 0.2 m x "
+                         "0.2 m steel beam.")
+    assert r["domain_size"] == {"Lx": 1.0, "Ly": 0.2, "Lz": 0.2}
+    assert "length" not in r["domain_size"]
+    assert r["dim"] == 3 and "modal" in r["notes"]
+
+
+def test_rule_parse_battery_round18_corridor_advection():
+    r = rule_based_parse("Smoke advects through a 10 m corridor with air "
+                         "moving at 2 m/s, diffusivity 0.01. Track 5 "
+                         "seconds.")
+    assert r["pde_type"] == "advection"
+    assert r["domain_size"]["length"] == 10.0
+    assert r["material_params"]["velocity"] == 2.0
+    assert r["diffusivity"] == pytest.approx(0.01)
+    assert r["total_time"] == 5.0
