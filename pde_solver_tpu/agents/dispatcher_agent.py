@@ -282,12 +282,19 @@ class DispatcherAgent:
             mixed = _mixed_bc_spec(params)
             # nonlinear κ(T): steady Cartesian 1D/2D queries with the
             # parser's nonlinear_kappa note route to the Picard tools
-            if ("nonlinear_kappa" in (params.notes or [])
-                    and params.steady and params.dim in (1, 2)
-                    and geometry not in ("cylinder", "sphere")
-                    and not mixed):
-                return (f"solve_heat_{params.dim}D_nonlinear",
-                        self._heat_nonlinear_args(params))
+            if "nonlinear_kappa" in (params.notes or []):
+                if (params.steady and params.dim in (1, 2)
+                        and geometry not in ("cylinder", "sphere")
+                        and not mixed):
+                    return (f"solve_heat_{params.dim}D_nonlinear",
+                            self._heat_nonlinear_args(params))
+                # honest fallthrough instead of silently dropping beta
+                # (r5 battery-19): the Picard tools cover steady Cartesian
+                # 1D/2D only
+                params.notes.append(
+                    "temperature-dependent conductivity requested - the "
+                    "nonlinear Picard solver covers steady Cartesian 1D/2D "
+                    "only; this solve uses constant kappa0")
             if params.dim == 1:
                 if geometry in ("cylinder", "sphere"):
                     if mixed:
@@ -1106,6 +1113,12 @@ class DispatcherAgent:
             if forces:
                 lines.append(f"- Body Forces: {', '.join(forces)}")
             lines.append(f"- Output Quantity: {quantity}")
+        # sentence-like notes (capability warnings, merge records) surface
+        # to the user; single-token internal flags (modal/dynamic/...) stay
+        # internal (r5 battery-19)
+        for note in (params.notes or []):
+            if " " in note:
+                lines.append(f"- Note: {note}")
         lines += ["", "Results:", f"- Data file: {data_file}",
                   f"- Visualization: {html_path}"]
         # Surface a failed convergence to the NL user (VERDICT r2 weak #4:

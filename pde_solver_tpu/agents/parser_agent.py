@@ -605,7 +605,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # number-first: "water at 80 C inside", "20 C on the outside",
             # "fluid at 90°C flows inside" (one interposed verb/word,
             # r5 battery-15)
-            m = re.search(r"(?:at\s+)?" + _NUM + r"\s*°?\s*c?\s+"
+            m = re.search(r"(?:at\s+)?" + _NUM
+                          + r"(?!\s*(?:mm|cm|km|m|meters?|metres?)\b)"
+                          r"\s*°?\s*c?\s+"
                           r"(?:[a-z]+\s+)?(?:on\s+the\s+)?" + word + r"\b", t)
         if m:
             bc.setdefault(curv_key if curvilinear else cart_key,
@@ -950,7 +952,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["initial_wavenumber"] = float(m.group(1))
 
     # --- material: heat ---
-    m = re.search(r"(?:diffusivity|(?<!core )(?:thermal\s+)?conductivity)\s*(?:of|=|:|is|to)?\s*"
+    m = re.search(r"(?:(?<!core )diffusivity|(?<!core )(?:thermal\s+)?conductivity)\s*(?:of|=|:|is|to)?\s*"
                   + _NUM, t)
     if m is None and out["pde_type"] in ("heat", "poisson", "advection"):
         # math-notation "alpha = 9.7e-5" (heat only: in elasticity alpha is
@@ -1192,12 +1194,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
 
     # --- temperature-dependent conductivity κ(T) = κ0(1+βT) (nonlinear
     # extension; the reference is linear-only) ---
-    if re.search(r"temperature[-\s]dependent\s+(?:thermal\s+)?"
-                 r"(?:conductivity|diffusivity)"
-                 r"|(?:conductivity|diffusivity)\s+(?:that\s+)?"
-                 r"(?:increases|decreases|varies|depends)\s+(?:with|on)\s+"
-                 r"temperature"
-                 r"|nonlinear\s+(?:heat\s+)?conduct", t):
+    # explicit formula "kappa = 50*(1 + 0.002*T)" / "k = 20(1 - 0.005 T)"
+    # carries kappa0 AND beta, and is itself the nonlinear cue
+    # (r5 battery-19: the formula was parsed as nothing at all)
+    fm = re.search(r"\b(?:kappa|κ|k)\s*(?:\(\s*t\s*\))?\s*(?:=|:)\s*"
+                   + _NUM + r"\s*\*?\s*\(\s*1\s*([+-])\s*" + _NUM
+                   + r"\s*\*?\s*t\s*\)", t)
+    if fm:
+        out.setdefault("notes", []).append("nonlinear_kappa")
+        out.setdefault("diffusivity", float(fm.group(1)))
+        sgn = -1.0 if fm.group(2) == "-" else 1.0
+        material["beta"] = sgn * float(fm.group(3))
+    elif re.search(r"temperature[-\s]dependent\s+(?:thermal\s+)?"
+                   r"(?:conductivity|diffusivity)"
+                   r"|(?:conductivity|diffusivity)\s+(?:that\s+)?"
+                   r"(?:increases|decreases|varies|depends)\s+(?:with|on)\s+"
+                   r"temperature"
+                   r"|nonlinear\s+(?:heat\s+)?conduct", t):
         out.setdefault("notes", []).append("nonlinear_kappa")
         m = re.search(r"(?:beta|temperature\s+coefficient)\s*"
                       r"(?:of|=|:)?\s*" + _NUM, t)

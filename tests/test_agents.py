@@ -1827,3 +1827,76 @@ def test_rule_parse_battery_round18_corridor_advection():
     assert r["material_params"]["velocity"] == 2.0
     assert r["diffusivity"] == pytest.approx(0.01)
     assert r["total_time"] == 5.0
+
+
+# ---- round-5 NL battery 19: cladding vs core diffusivity, kappa(T)
+# formulas, unit words in number-first face rules, honest nonlinear
+# fallthrough + user-facing notes ----
+
+def test_rule_parse_battery_round19_cladding_vs_core_diffusivity():
+    """'core diffusivity 10, cladding diffusivity 1' — the bulk value is
+    the cladding's (the core value was claimed for BOTH)."""
+    r = rule_based_parse(
+        "A nuclear fuel rod 1 cm radius with a high-conductivity core of "
+        "radius 0.3 cm, core diffusivity 10, cladding diffusivity 1, "
+        "surface at 300C, 2 minutes.")
+    assert r["diffusivity"] == 1.0
+    assert r["core_diffusivity"] == 10.0
+    assert r["core_radius"] == pytest.approx(0.003)
+    assert r["geometry_params"]["cylinder_radius"] == pytest.approx(0.01)
+
+
+def test_rule_parse_battery_round19_kappa_formula():
+    """'k = 20*(1 + 0.005 T)' carries kappa0 AND beta and is itself the
+    nonlinear cue (the formula parsed as nothing at all)."""
+    r = rule_based_parse("Conductivity varies as k = 20*(1 + 0.005 T) in "
+                         "a 1 m rod, ends at 0 and 100C.")
+    assert "nonlinear_kappa" in r["notes"]
+    assert r["diffusivity"] == 20.0
+    assert r["material_params"]["beta"] == pytest.approx(0.005)
+    # minus sign → negative beta
+    d = rule_based_parse("A 1 m rod with kappa = 50*(1 - 0.002*T), "
+                         "ends at 0C and 100C.")
+    assert d["material_params"]["beta"] == pytest.approx(-0.002)
+    assert d["diffusivity"] == 50.0
+
+
+def test_rule_parse_battery_round19_unit_word_not_inner_temp():
+    """'height 20 cm inside a box' — the interposed-word allowance in the
+    number-first inside/outside rule must not let a length unit slip in
+    (it produced T_inner=20 from the HEIGHT)."""
+    r = rule_based_parse(
+        "A copper cylinder of radius 5 cm and height 20 cm inside a box, "
+        "left end heated to 150C, right end at 10C.")
+    bc = r["bc_values"]
+    assert bc["T_left"] == 150.0 and bc["T_right"] == 10.0
+    assert "T_inner" not in bc
+    # the genuine number-first phrasing still works
+    w = rule_based_parse("water at 80 C inside and 20 C on the outside of "
+                         "a pipe with inner radius 2 cm and outer radius "
+                         "4 cm")
+    assert w["bc_values"]["T_inner"] == 80.0
+    assert w["bc_values"]["T_outer"] == 20.0
+
+
+def test_dispatcher_battery_round19_nonlinear_fallthrough_note(orch):
+    """A transient kappa(T) query cannot use the steady Picard tool — the
+    solve proceeds with constant kappa0 and SAYS so; the steady variant
+    routes to the nonlinear tool with no such note."""
+    r = run(orch.solve("A 1 m rod with kappa = 50*(1 + 0.002*T), ends at "
+                       "0C and 100C, simulate 60 seconds"))
+    assert "Note: temperature-dependent conductivity requested" \
+        in r["summary"]
+    r2 = run(orch.solve(
+        "Steady heat in a 1 m rod with kappa = 50*(1 + 0.002*T), "
+        "ends at 0C and 100C"))
+    assert "Note: temperature-dependent" not in r2["summary"]
+
+
+def test_summary_surfaces_sentence_notes(orch):
+    """Sentence-like parser notes (capability warnings) reach the summary;
+    single-token internal flags never do."""
+    r = run(orch.solve("a steel bar clamped at both ends under gravity, "
+                       "1 m long"))
+    assert "Note: both-ends fixity requested" in r["summary"]
+    assert "Note: dynamic" not in r["summary"]
