@@ -529,6 +529,7 @@ def bench_heat3d():
     # BENCH_NOTES "chip-health caveat"); the fastest post-compile run is
     # the honest device capability.
     scans = []
+    fetches = []
     for rep in range(timed_rep_count(heat3d_probe_tf)):
         try:
             t0 = time.perf_counter()
@@ -540,6 +541,7 @@ def bench_heat3d():
             continue
         scan_s = info.get("scan_seconds") or info["solve_seconds"]
         scans.append(scan_s)
+        fetches.append(info.get("fetch_seconds", 0.0))
         log(f"[bench] timed[{rep}]: total={total:.2f}s scan={scan_s:.2f}s "
             f"setup={info.get('setup_seconds', 0.0):.2f}s "
             f"fetch={info.get('fetch_seconds', 0.0):.2f}s "
@@ -558,8 +560,10 @@ def bench_heat3d():
         scans = [warmup_scan_s]
     steps_s = num_steps / min(scans)
     log(f"[bench] → {steps_s:.1f} steps/s (best of {len(scans)})")
-    emit(metric_line(steps_s,
-                     fetch_seconds=round(info.get("fetch_seconds", 0.0), 2)))
+    # fetch capability = the best rep, same accounting as steps/s (tunnel
+    # throughput varies 9-40 MB/s rep to rep)
+    fetch_s = min(fetches) if fetches else info.get("fetch_seconds", 0.0)
+    emit(metric_line(steps_s, fetch_seconds=round(fetch_s, 2)))
 
 
 def bench_heat1d():

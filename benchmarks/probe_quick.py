@@ -1,6 +1,14 @@
 """Quick chip-health probe: backend init + one bf16 matmul + first pull.
 
 Prints timings; used to decide whether to schedule on-chip experiments.
+
+WARNING (r5): the matmul number here is dominated by TUNNEL DISPATCH
+LATENCY (3 sequential dispatches with a host pull between them — ~5 ms of
+MXU work per ~13 ms wall at 4096³).  It read a steady "23-32 TF degraded
+plateau" for 2 h while bench.py's fori_loop-chained worker_health_probe
+read 91-93 TF and the flagship ran at full speed.  Use THIS script for
+backend-init/channel-warmup timing only; trust worker_health_probe for
+chip compute health.
 """
 import time
 t0 = time.time()

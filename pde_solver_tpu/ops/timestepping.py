@@ -304,11 +304,19 @@ def _fetch_trajectory(snaps, cfg):
         return np.asarray(snaps, dtype=np.float64), None
     nt = int(snaps.shape[0])
     idx = None
-    if cfg.fetch_frames > 0 and nt > cfg.fetch_frames:
-        k = -(-nt // int(cfg.fetch_frames))
-        idx = list(range(k - 1, nt, k))
-        if idx[-1] != nt - 1:
-            idx.append(nt - 1)
+    if cfg.fetch_frames > 0:
+        # the budget BINDS: thin below the plot cap if the bf16 payload
+        # still would not fit (the 30-frame cap alone left a 2.1M-DOF xl
+        # pull at 133 MB ≈ 9-10 s through a 14 MB/s tunnel window —
+        # r5 rehearsal); never fewer than 2 kept frames
+        per_frame_bf16 = (snaps.size // max(nt, 1)) * 2
+        max_frames = min(int(cfg.fetch_frames),
+                         max(2, budget // max(per_frame_bf16, 1)))
+        if nt > max_frames:
+            k = -(-nt // max_frames)
+            idx = list(range(k - 1, nt, k))
+            if idx[-1] != nt - 1:
+                idx.append(nt - 1)
     if idx is None:
         sub = _jit_cast_bf16(snaps)
     else:

@@ -37,10 +37,14 @@ def test_fetch_thinning_matches_full_trajectory():
 
 
 def test_fetch_cast_only_when_few_frames():
-    """Over budget but already ≤ fetch_frames frames → bf16 cast, no thin."""
+    """Over budget in f32 but the bf16 payload FITS → cast only, no thin
+    (the budget binds the kept-frame count since the r5 xl rehearsal)."""
     p = _problem(6)
     times_full, values_full, _ = heat.solve_heat_problem(p)
-    with config_overrides(fetch_budget_bytes=1, fetch_frames=30):
+    # budget: above the bf16 payload (half the f32 bytes), below f32
+    bf16_total = 2 * values_full.size  # snaps ⊆ values; generous bound
+    with config_overrides(fetch_budget_bytes=3 * bf16_total // 2,
+                          fetch_frames=30):
         times_th, values_th, _ = heat.solve_heat_problem(p)
     assert values_th.shape == values_full.shape
     assert np.allclose(times_th, times_full)
@@ -55,3 +59,22 @@ def test_fetch_full_precision_by_default_at_small_sizes():
     with config_overrides(fetch_budget_bytes=0):  # explicit full-precision
         times_b, values_b, _ = heat.solve_heat_problem(p)
     assert np.array_equal(values_a, values_b)
+
+
+def test_fetch_budget_binds_below_frame_cap():
+    """When even fetch_frames bf16 frames exceed the budget, thinning goes
+    deeper until the payload fits (never below 2 kept frames)."""
+    p = _problem(40)
+    times_full, values_full, _ = heat.solve_heat_problem(p)
+    nodes = values_full.shape[1]
+    # budget for ~4 bf16 frames
+    with config_overrides(fetch_budget_bytes=4 * nodes * 2 + 1,
+                          fetch_frames=30):
+        times_th, values_th, _ = heat.solve_heat_problem(p)
+    assert values_th.shape[0] <= 6  # u0 + ≤4 kept + possible last append
+    assert np.isclose(times_th[-1], times_full[-1])
+    for t, v in zip(times_th, values_th):
+        j = int(np.argmin(np.abs(times_full - t)))
+        assert np.isclose(times_full[j], t)
+        ref = values_full[j]
+        assert np.abs(v - ref).max() <= 8e-3 * max(np.abs(ref).max(), 1e-30)
