@@ -161,6 +161,16 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # because its mantissa digit is letter-preceded.
     t = re.sub(r"(?<![\w/.^²³])(\d+(?:\.\d+)?)\s*°?\s*k(?:elvins?)?\b",
                lambda m: f"{float(m.group(1)) - 273.15:g} °c", t)
+    # Fahrenheit likewise ("212 F" was silently read as 212 °C,
+    # r5 battery-20); same embedded-digit protection
+    t = re.sub(r"(?<![\w/.^²³])(-?\d+(?:\.\d+)?)\s*°?\s*"
+               r"f(?:ahrenheit)?\b",
+               lambda m: f"{(float(m.group(1)) - 32.0) * 5.0 / 9.0:g} °c", t)
+    # spelled-out signs and halves: "minus 10 C" lost the BC entirely,
+    # "a half-metre rod" lost the length (r5 battery-20)
+    t = re.sub(r"\bminus\s+(\d)", r"-\1", t)
+    t = re.sub(r"(?<!and a )\bhalf[- ]a?\s*(met(?:er|re)|mm|cm)\b",
+               r"0.5 \1", t)  # "one and a half metres" stays untouched
     out: Dict[str, Any] = {}
     domain: Dict[str, float] = {}
     geometry_params: Dict[str, float] = {}

@@ -1900,3 +1900,28 @@ def test_summary_surfaces_sentence_notes(orch):
                        "1 m long"))
     assert "Note: both-ends fixity requested" in r["summary"]
     assert "Note: dynamic" not in r["summary"]
+
+
+# ---- round-5 NL battery 20: Fahrenheit, spelled-out signs, half-lengths ----
+
+def test_rule_parse_battery_round20_fahrenheit():
+    """'212 F' was silently read as 212 °C — Fahrenheit now converts up
+    front like Kelvin."""
+    r = rule_based_parse("A 1 m rod with the left end at 212 F and the "
+                         "right end at 32 F.")
+    assert r["bc_values"]["T_left"] == pytest.approx(100.0)
+    assert r["bc_values"]["T_right"] == pytest.approx(0.0)
+
+
+def test_rule_parse_battery_round20_minus_and_half():
+    r = rule_based_parse("left end at minus 10 C, right end at 25 C, "
+                         "1 m rod")
+    assert r["bc_values"]["T_left"] == -10.0
+    assert r["bc_values"]["T_right"] == 25.0
+
+    h = rule_based_parse("a half-metre rod with ends at 0C")
+    assert h["domain_size"]["length"] == 0.5
+    assert h["bc_values"] == {"T_left": 0.0, "T_right": 0.0}
+    # "one and a half metres" must NOT become 0.5
+    g = rule_based_parse("a one and a half metre rod at 20C")
+    assert (g.get("domain_size") or {}).get("length") != 0.5
