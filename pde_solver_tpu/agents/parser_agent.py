@@ -202,7 +202,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         # dispatcher routes it onto the steady heat solvers
         out["pde_type"] = "poisson"
         out["steady"] = True
-    elif re.search(r"\bwave\b(?!\s*number)", t):
+    elif re.search(r"(?<!temperature )(?<!thermal )(?<!heat )"
+                   r"\bwave\b(?!\s*number)", t):
         # the reference parser emits pde_type="wave" (pde_parser_agent.py:205
         # type list) but its dispatcher has no wave route; here the type
         # dispatches to the Newmark wave family (api.solve_wave_{1,2,3}D)
@@ -393,6 +394,14 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         s = float(m.group(1)) * _unit_scale(m.group(2))
         domain.update({"Lx": s, "Ly": s, "Lz": s})
         out["dim"] = 3
+    # value-first cube side: "a 10 cm aluminum cube" (r5 battery-21)
+    if "Lx" not in domain:
+        m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)"
+                      r"\s*(?:[a-z]+\s+){0,2}?cube\b", t)
+        if m:
+            s = float(m.group(1)) * _unit_scale(m.group(2))
+            domain.update({"Lx": s, "Ly": s, "Lz": s})
+            out["dim"] = 3
 
     # --- radii / height ---
     m = re.search(r"inner\s+radius\s*(?:of|=|:|to)?\s*" + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
@@ -429,9 +438,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(r"(?<!inner )(?<!outer )diamet(?:er|re)\s*(?:of|=|:|to)?\s*"
                   + _NUM + r"\s*((?:mm|cm|m)\b)?", t)
     if m is None:
-        # value-first: "a shaft 5 cm in diameter" (r5 battery-16)
-        m = re.search(_NUM + r"\s*((?:mm|cm|m)\b)?\s*in\s+diamet(?:er|re)\b",
-                      t)
+        # value-first: "a shaft 5 cm in diameter", "an 8 cm diameter
+        # cylinder" (r5 battery-16/21)
+        m = re.search(_NUM + r"\s*((?:mm|cm|m)\b)?\s*(?:in\s+)?"
+                      r"diamet(?:er|re)\b", t)
     if m and not geometry_params:
         r = 0.5 * float(m.group(1)) * _unit_scale(m.group(2))
         if out.get("geometry_type") == "sphere":
@@ -479,7 +489,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         elif m and not m.group(2) and re.search(
                 r"convect|exposed\s+to|loses\s+heat|film|"
                 r"heat[-\s]?transfer\s+coefficient|\bambient\b|"
-                r"\bsurroundings?\b|\bair\s+(?:is\s+)?at\b", t):
+                r"\bsurroundings?\b|\bair\s+(?:is\s+)?at\b"
+                r"|\bcools?\b|\bcooling\b|\broom\b", t):
             # a UNIT-LESS "h = 8" in a text that talks about convection is
             # the film coefficient even in a pipe/cylinder context
             # (r5 battery-15: it became an 8 m pipe height; battery-16:
@@ -748,17 +759,18 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             continue
         def _ambient_in(w):
             return (re.search(r"(?:ambient|air|fluid|surroundings?|"
-                              r"environment|"
+                              r"environment|room|chamber|"
                               r"coolant|bath|water|oil|furnace|oven)"
                               r"(?:\s+temperature)?\s*"
                               r"(?:of|at|=|:|is)?\s*" + _NUM, w)
                     or re.search(r"to\s*" + _NUM + r"\s*°?\s*c?\s*"
                                  r"(?:air|ambient|surroundings|water|oil|"
                                  r"bath|coolant)", w)
-                    # number-first: "a 30 C furnace", "25 C oil"
+                    # number-first: "a 30 C furnace", "25 C oil",
+                    # "a 20 C room" (r5 battery-21)
                     or re.search(_NUM + r"\s*°?\s*c\s+(?:air|furnace|oven|"
                                  r"water|oil|bath|coolant|environment|"
-                                 r"surroundings)", w))
+                                 r"room|chamber|surroundings)", w))
         # prefer an ambient named in/after the cue itself ("exposed to 20°C
         # air"); the before-window is a FALLBACK only — another boundary's
         # fluid temperature in the preceding clause must not leak in
@@ -939,8 +951,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # (r5 battery-15/16)
             m = re.search(r"\bat\s+" + _NUM + r"\s*°?\s*c\b,?\s*"
                           r"(?:it\s+|that\s+)?"
-                          r"(?:cool|(?:goes|is\s+(?:placed|put|dropped)|"
-                          r"placed|put|dropped)\s+in(?:to)?\b)", t)
+                          r"(?:cool|(?:goes|sits?|is\s+(?:placed|put|"
+                          r"dropped)|placed|put|dropped)\s+in(?:to)?\b)", t)
         if m and not out.get("steady"):
             out.setdefault("initial_value", float(m.group(1)))
             out.setdefault("initial_type", "constant")

@@ -1925,3 +1925,51 @@ def test_rule_parse_battery_round20_minus_and_half():
     # "one and a half metres" must NOT become 0.5
     g = rule_based_parse("a one and a half metre rod at 20C")
     assert (g.get("domain_size") or {}).get("length") != 0.5
+
+
+# ---- round-5 NL battery 21: applied-scenario prompts (cube center,
+# coffee mug, soil temperature wave) ----
+
+def test_rule_parse_battery_round21_cube_center_question():
+    """Value-first cube side ('a 10 cm aluminum cube') — the side was
+    dropped and the solve used a default domain."""
+    r = rule_based_parse(
+        "What is the temperature at the center of a 10 cm aluminum cube "
+        "after 5 minutes if all faces are held at 0C and it starts at "
+        "100C?")
+    assert r["domain_size"] == {"Lx": 0.1, "Ly": 0.1, "Lz": 0.1}
+    assert r["initial_value"] == 100.0
+    assert r["bc_values"]["T_boundary"] == 0.0
+    assert r["total_time"] == 300.0
+
+
+def test_rule_parse_battery_round21_coffee_mug():
+    """'8 cm diameter, 10 cm tall cylinder with h = 6 ... it cools': the
+    diameter parses value-first without 'in', the film-coefficient h must
+    not overwrite the 10 cm height, the 20°C ROOM is the ambient, and
+    'at 85C sits in' is the initial state."""
+    r = rule_based_parse(
+        "A mug of coffee at 85C sits in a 20C room. The mug is roughly a "
+        "8 cm diameter, 10 cm tall cylinder with h = 6. How does it cool "
+        "over 30 minutes?")
+    assert r["geometry_params"]["cylinder_radius"] == pytest.approx(0.04)
+    assert r["domain_size"]["h"] == pytest.approx(0.1)
+    assert r["bc_values"]["all"] == {"type": "robin", "h": 6.0,
+                                     "T_ambient": 20.0}
+    assert r["initial_value"] == 85.0
+    assert r["total_time"] == 1800.0
+    assert not any("without an ambient" in n for n in r.get("notes", []))
+
+
+def test_rule_parse_battery_round21_temperature_wave_stays_heat():
+    """'the daily temperature wave' routed to the WAVE EQUATION — a
+    temperature/thermal/heat-qualified 'wave' stays heat; the genuine wave
+    route is untouched."""
+    r = rule_based_parse(
+        "How deep does the daily temperature wave penetrate into soil "
+        "with diffusivity 5e-7? Surface varies between 10 and 30C with a "
+        "period of 24 hours, 2 m deep domain.")
+    assert r["pde_type"] == "heat"
+    assert r["bc_values"]["all"]["period"] == 86400.0
+    w = rule_based_parse("A 2 m guitar string with wave speed 340.")
+    assert w["pde_type"] == "wave"
