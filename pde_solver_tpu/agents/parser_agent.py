@@ -992,7 +992,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if m:
         scale = {"gpa": 1e9, "mpa": 1e6, "kpa": 1e3, "pa": 1.0, None: 1.0}[m.group(2)]
         out["young_modulus"] = float(m.group(1)) * scale
-    m = re.search(r"poisson'?s?(?:\s+ratio)?\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
+    m = re.search(r"(?:poisson'?s?(?:\s+ratio)?|\bnu\b)\s*(?:of|=|:|is|to)?\s*"
+                  + _NUM, t)
     if m:
         out["poisson_ratio"] = float(m.group(1))
     m = re.search(r"density\s*(?:of|=|:|is|to)?\s*" + _NUM, t)
@@ -1056,7 +1057,10 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             out.setdefault("notes", []).append(
                 "both-ends fixity requested - the 1D bar solver clamps the "
                 "left end only (fixed-free), right end is traction-free")
-        if re.search(r"\bstrain\b(?!.*stress)", t) and not re.search(r"\bstress\b", t):
+        if re.search(r"(?<!plane )\bstrain\b(?!.*stress)", t) \
+                and not re.search(r"\bstress\b", t):
+            # "plane strain" is an analysis MODE, not an output-quantity
+            # request (r5 battery-22)
             material["quantity"] = "strain"
         if re.search(r"plane\s+strain", t):
             material["plane_stress"] = False
@@ -1082,7 +1086,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                           r"compressive\s+|downward\s+|vertical\s+|"
                           r"transverse\s+|sideways\s+|lateral\s+|"
                           r"point\s+|tip\s+|end\s+)?"
-                          r"(?:load|force)\b", t)
+                          r"(?:load|force|pull|push)\b", t)
+        if m is None:
+            # "loaded by 10 kN", "loaded with 500 N" (r5 battery-22)
+            m = re.search(r"load(?:ed)?\s+(?:by|with)\s+" + _NUM
+                          + r"\s*(kn|mn|n)\b", t)
         if m is None:
             # verb-only phrasing: "pull the right end with 500 N"
             # (r5 battery-17 — the unit is required, no force/load noun)

@@ -1973,3 +1973,36 @@ def test_rule_parse_battery_round21_temperature_wave_stays_heat():
     assert r["bc_values"]["all"]["period"] == 86400.0
     w = rule_based_parse("A 2 m guitar string with wave speed 340.")
     assert w["pde_type"] == "wave"
+
+
+# ---- round-5 NL battery 22: plane-strain mode vs strain output, 'loaded
+# by' forces, noun pulls, bare nu ----
+
+def test_rule_parse_battery_round22_plane_strain_not_quantity():
+    """'plane strain' is an analysis MODE — it must not flip the output
+    quantity to strain; an explicit 'find the strain' still does."""
+    r = rule_based_parse("A long retaining wall cross-section 2 m x 1 m "
+                         "under plane strain, gravity load, density 2400, "
+                         "E = 30 GPa.")
+    mp = r["material_params"]
+    assert mp["plane_stress"] is False
+    assert "quantity" not in mp
+    s = rule_based_parse("find the strain in a 1 m bar under a 500 N "
+                         "axial force")
+    assert s["material_params"]["quantity"] == "strain"
+
+
+def test_rule_parse_battery_round22_loaded_by_and_pull_noun():
+    """'loaded by 10 kN at the free end' and 'under a 10 kN pull' both
+    lost the force; bare 'nu 0.3' lost the Poisson ratio."""
+    r = rule_based_parse("Compute the von Mises stress in a 2 m x 0.5 m "
+                         "bracket loaded by 10 kN at the free end, "
+                         "E 200 GPa, nu 0.3.")
+    assert r["poisson_ratio"] == 0.3
+    assert r["bc_values"]["right"] == {"type": "force",
+                                       "vector": [0.0, -10000.0]}
+    p = rule_based_parse("How much does a 1 m steel rod stretch under a "
+                         "10 kN pull? Area 1 cm2.")
+    assert p["bc_values"]["right"] == {"type": "force_axial",
+                                       "value": 10000.0}
+    assert p["material_params"]["area"] == pytest.approx(1e-4)
