@@ -60,6 +60,7 @@ drill-only, see benchmarks/robustness_drill.py).
 """
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -713,6 +714,10 @@ def bench_flagship():
                            "full" if backend == "tpu" else "small")
     cells = {"small": (32, 16, 16), "medium": (96, 32, 32),
              "full": (160, 64, 64), "xl": (160, 64, 64)}[scale]
+    cells_env = os.environ.get("PDE_BENCH_CELLS")
+    if cells_env:
+        # explicit mesh override for scaling studies ("224 96 96")
+        cells = tuple(int(x) for x in cells_env.split())
     log(f"[bench] backend={backend} scale={scale} cells={cells}")
 
     warm_join = warm_channel_async()
@@ -942,6 +947,14 @@ def bench_flagship():
                 f"falling back")
             rewarm_channel()
             continue
+        if not math.isfinite(relres) or relres > 1e-3:
+            # a DIVERGED solve must never be banked as the flagship number
+            # (r5 scaling study: df2 NaN'd at 9.8M DOF and the old code
+            # reported relres=NaN with a huge vs_baseline) — fall through
+            # to the next solver kind
+            log(f"[bench] {kind} solve did not converge "
+                f"(relres={relres!r}) — falling back")
+            continue
         # BANK a provisional metric now (VERDICT r3 item 1c): a real
         # converged solve, wall time compile-inclusive — if anything after
         # this point wedges, the parent still has a line to report.  Each
@@ -964,9 +977,12 @@ def bench_flagship():
                 with device_trace("elasticity3d_solve"):
                     x_hat, iters, relres = solver()
                 rep_s = time.perf_counter() - t0
-                ok += 1
                 log(f"[bench] timed solve[{rep}] ({kind}): {rep_s:.3f}s  "
                     f"iters={iters} relres={relres:.2e}")
+                if not math.isfinite(relres) or relres > 1e-3:
+                    log(f"[bench] timed rep diverged — not banking it")
+                    continue
+                ok += 1
                 solve_s = min(solve_s, rep_s)
                 emit(metric_line(solve_s, kind, iters, relres))
             except Exception as e:
