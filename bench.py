@@ -846,15 +846,17 @@ def bench_flagship():
     bnorm_host = max(float(np.linalg.norm(
         np.asarray(sysm.b_hat, np.float64).reshape(-1))), 1e-300)
 
+    inner = int(os.environ.get("PDE_BENCH_INNER", 10))
+
     def solve_df2():
         x_hi, x_lo, iters, relres = mg.solve_fcycle_df2(
-            h, ladder, bench_tol, inner_iters=10, max_rounds=12,
+            h, ladder, bench_tol, inner_iters=inner, max_rounds=12,
             bnorm=bnorm_host)
         return (x_hi, x_lo), iters, relres
 
     def solve_df():
         x_hi, x_lo, iters, relres = mg.solve_fcycle_df(
-            h, ladder, bench_tol, inner_iters=10, max_rounds=12,
+            h, ladder, bench_tol, inner_iters=inner, max_rounds=12,
             bnorm=bnorm_host)
         return (x_hi, x_lo), iters, relres
 
