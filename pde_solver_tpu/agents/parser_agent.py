@@ -171,6 +171,19 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     t = re.sub(r"\bminus\s+(\d)", r"-\1", t)
     t = re.sub(r"(?<!and a )\bhalf[- ]a?\s*(met(?:er|re)|mm|cm)\b",
                r"0.5 \1", t)  # "one and a half metres" stays untouched
+    # unicode minus → ASCII ("right end −50C" silently lost the BC,
+    # r5 battery-23)
+    t = t.replace("−", "-")
+    # scientific notation written ×10^n / ×10⁻ⁿ → e-notation so _NUM reads
+    # the true value ("α = 1.2×10⁻⁵" parsed as diffusivity 1.2 AND a
+    # spurious 1.2×10 m domain, r5 battery-23).  Digit lookbehind + a
+    # required caret/superscript exponent keep "0.5m × 0.5m" dimension
+    # pairs out of reach.
+    _sup = str.maketrans("⁰¹²³⁴⁵⁶⁷⁸⁹⁻⁺", "0123456789-+")
+    t = re.sub(r"(?<=\d)\s*[×x*]\s*10\s*(?:\^\s*\(?\s*(-?\d+)\s*\)?|"
+               r"([⁻⁺]?[⁰¹²³⁴⁵⁶⁷⁸⁹]+))",
+               lambda m: "e" + (m.group(1) or m.group(2).translate(_sup)),
+               t)
     out: Dict[str, Any] = {}
     domain: Dict[str, float] = {}
     geometry_params: Dict[str, float] = {}
@@ -248,7 +261,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             m = re.search(r"(?:velocity|flow\s+speed|flow|wind\s+speed|"
                           r"speed|carried\s+(?:by\s+\w+\s+)?at|"
                           r"(?:air|water|wind|current|fluid)?\s*"
-                          r"(?:moving|flowing)\s+at)\s*"
+                          r"(?:moving|flowing|blowing)\s+at)\s*"
                           r"(?:of|=|:|is)?\s*" + _NUM
                           + r"\s*(?:m\s*/\s*s)?", t)
             if m:
@@ -335,7 +348,7 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     m = re.search(_NUM + r"\s*((?:mm|cm|meter(?:s)?|metre(?:s)?|m)\b)[- ]*"
                   r"(?:long )?(?:[a-z]+\s+){0,2}?"
                   r"(rod|bar|wire|string|beam|fin|corridor|channel|duct|"
-                  r"domain|rod,|bar,)\b", t)
+                  r"column|domain|rod,|bar,)\b", t)
     if m and "Lx" in domain:
         # an A×B×C box already parsed: "a 1 m x 0.2 m x 0.2 m steel beam"
         # must not ALSO set a 1D length from its last factor
@@ -507,16 +520,36 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # given ("a concrete slab 20 cm thick" solved a default 1 m domain).
     m = re.search(_NUM + r"\s*(nm|um|µm|microns?|mm|cm|m)?\s*"
                   r"thick(?:ness)?\b(?!\s+wall)", t)
+    # an explicit through-thickness question makes ANY planar object
+    # (incl. a plate that defaulted to dim 2) a 1D conduction problem
+    # (r5 battery-23: "steady temperature through the thickness?")
+    through = bool(re.search(r"through\s+(?:the|its)\s+thickness"
+                             r"|through-thickness", t))
+    if m and through and out.get("geometry_type") not in ("cylinder",
+                                                          "sphere"):
+        out["dim"] = 1
     if m and out.get("geometry_type") not in ("cylinder", "sphere"):
         if ("length" not in domain and "Lx" not in domain
                 and out.get("dim") in (None, 1)
-                and re.search(r"\bslab\b|\bwall\b|\bwafer\b|\bpane\b"
-                              r"|\bwindow\b|\blayer\b", t)):
+                and (through
+                     or re.search(r"\bslab\b|\bwall\b|\bwafer\b|\bpane\b"
+                                  r"|\bwindow\b|\blayer\b", t))):
             domain["length"] = float(m.group(1)) * _unit_scale(m.group(2))
         else:
             out.setdefault("notes", []).append(
                 f"Thickness mentioned ({m.group(1)}{m.group(2) or 'm'}) - "
                 f"material property, using default length")
+    # value-first planar objects with no 'thick' keyword: "a 30 cm
+    # concrete wall" — the stated size IS the conduction path
+    # (r5 battery-23: q2 solved a default 1 m domain)
+    if ("length" not in domain and "Lx" not in domain
+            and out.get("dim") in (None, 1)
+            and out.get("geometry_type") not in ("cylinder", "sphere")
+            and not geometry_params):
+        m = re.search(_NUM + r"\s*(mm|cm|m)\s+(?:[a-z]+\s+)?"
+                      r"(?:wall|slab|pane|wafer)\b", t)
+        if m:
+            domain["length"] = float(m.group(1)) * _unit_scale(m.group(2))
 
     # --- temperatures ---
     # optional copula BEFORE the verb phrase: "is held at", "are kept at",
@@ -525,8 +558,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # "cube of side 0.3 m" must not become T_side=0.3 (r5 battery-15)
     temp = (r"\s*(?:(?:is|are|was|were)\s+)?"
             r"(?:of|=|:|is|at|to|temperature(?: of| at| to)?|fixed at|held at|"
-            r"kept at|set to|stays? at|remains? at|maintained at|raised to|"
-            r"lowered to|heated to|cooled to|brought to|starts? at)?\s*"
+            r"kept at|set to|stays? at|sits? at|remains? at|maintained at|"
+            r"raised to|lowered to|heated to|cooled to|brought to|"
+            r"drops? to|starts? at)?\s*"
             + _NUM + r"(?![\d.])(?!\s*(?:mm|cm|km|m|meters?|metres?)\b)"
             r"\s*°?\s*c?\b")
     pairs = [
@@ -586,11 +620,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         bc["T_left"] = float(m.group(1))
         bc["T_right"] = float(m.group(2))
     # "both ends at 0" / bare "ends kept at 0" (r5 battery-15) →
-    # symmetric 1D Dirichlet pair
-    m = re.search(r"(?:\bboth\s+|\bthe\s+|\b)ends" + temp, t)
+    # symmetric 1D Dirichlet pair; "both faces sit at 15°C" names the two
+    # sides of a wall/slab the same way (r5 battery-23)
+    m = re.search(r"(?:\bboth\s+(?:ends|faces|sides|surfaces)"
+                  r"|(?:\bthe\s+|\b)ends)" + temp, t)
     if m:
         bc.setdefault("T_left", float(m.group(1)))
         bc.setdefault("T_right", float(m.group(1)))
+    # "keep the ends ... ice-cold at 0°C": an adjective (plus the object
+    # restatement) may interpose between 'ends' and the value
+    # (r5 battery-23); sentence-bounded so a later temperature cannot be
+    # grabbed across a period
+    if "T_left" not in bc and "T_right" not in bc:
+        m = re.search(r"\b(?:keep|keeping|hold|holding)\s+(?:the\s+)?"
+                      r"(?:both\s+)?ends\b[^.;!?]{0,60}?\bat\s+"
+                      + _NUM + r"\s*°?\s*c\b", t)
+        if m:
+            bc["T_left"] = bc["T_right"] = float(m.group(1))
     # "one face at -10°C and the other at 22°C" → left/right in written
     # order (r5 battery-16: both BCs were silently dropped)
     m = re.search(r"one\s+(?:face|side|end|surface)" + temp
@@ -966,6 +1012,31 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                    r"\s*(?:of|=|:|is|to)?\s*zero\b", t):
         out["initial_type"] = "zero"
         out["initial_value"] = 0.0
+    # "a Gaussian hot spot ... on top of a 20°C background": the
+    # background IS the (uniform) initial value (r5 battery-23)
+    m = re.search(_NUM + r"\s*°?\s*c\s+background", t)
+    if m and not out.get("steady"):
+        out.setdefault("initial_value", float(m.group(1)))
+        out.setdefault("initial_type", "constant")
+    # non-uniform initial profiles (step / Gaussian) are not in the
+    # contract (initial_type: constant|zero|cosine|sine) — say so instead
+    # of silently solving from a uniform state (r5 battery-23)
+    if out.get("pde_type") in (None, "heat") and not out.get("steady") \
+            and (re.search(r"\b(?:left|right)\s+half\b[^.;!?]{0,40}?"
+                           r"\bat\b", t)
+                 or re.search(r"\bgaussian\b|\bhot\s+spot\b", t)):
+        out.setdefault("notes", []).append(
+            "Non-uniform initial profiles (step/Gaussian) are not "
+            "supported - the simulation starts from a uniform initial "
+            "value instead.")
+    # radiation is not a supported boundary mechanism — note it rather
+    # than silently dropping the emissivity (r5 battery-23)
+    if out.get("pde_type") in (None, "heat") \
+            and re.search(r"\bradiat(?:es?|ion|ing|ive)\b|\bemissivit", t):
+        out.setdefault("notes", []).append(
+            "Radiative heat exchange is not supported - only the stated "
+            "convection/ambient conditions are applied (no linearized "
+            "radiation).")
     m = re.search(r"amplitude\s*(?:of|=|:|to)?\s*" + _NUM, t)
     if m:
         out["initial_amplitude"] = float(m.group(1))
@@ -1132,8 +1203,15 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             m = re.search(_NUM + r"\s*(gpa|mpa|kpa|pa)\s+pressure\b", t)
         if m:
             p_val = float(m.group(1)) * _press_scale(m.group(2))
-            faces = _face_near(m.start(), m.end(), prefer_after=True) \
-                or ["top"]
+            # "internal pressure" names its own face — a 5 MPa internal
+            # pressure landed on the OUTER wall (r5 battery-23)
+            if re.search(r"(?:internal|inner)\s+pressure", t):
+                faces = ["inner"]
+            elif re.search(r"(?:external|outer|outside)\s+pressure", t):
+                faces = ["outer"]
+            else:
+                faces = _face_near(m.start(), m.end(), prefer_after=True) \
+                    or ["top"]
             for f in faces:
                 bc.setdefault(f, {"type": "pressure", "value": p_val})
         # "applying 30 MPa tension at the right end" — a named axial
@@ -1258,11 +1336,12 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
                   r"end\s+time|for|until|over|during|show|after|simulate|"
                   r"track\w*)\s*(?:t\s*=|=|:)?\s*"
                   r"(?:the\s+first\s+)?" + _NUM
-                  + r"\s*(days?|hours?|hrs?|h|min(?:ute)?s?|"
-                  r"s(?:ec(?:ond)?s?)?)\b", t)
+                  + r"\s*(days?|hours?|hrs?|h|ms|millisec(?:ond)?s?|"
+                  r"min(?:ute)?s?|s(?:ec(?:ond)?s?)?)\b", t)
     if m:
         u = m.group(2) or "s"
         scale = (86400.0 if u.startswith("d") else 3600.0 if u.startswith("h")
+                 else 1e-3 if (u == "ms" or u.startswith("milli"))
                  else 60.0 if u.startswith("m") else 1.0)
         out["total_time"] = float(m.group(1)) * scale
     elif "total_time" not in out:
@@ -1272,12 +1351,23 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             out["total_time"] = {"day": 86400.0, "hour": 3600.0,
                                  "minute": 60.0}[m.group(1)]
         else:
-            # "for half an hour" / "for half a minute" (r5 battery-15)
-            m = re.search(r"(?:for|over|during|show)\s+half\s+an?\s+"
-                          r"(day|hour|minute)", t)
-            if m:
-                out["total_time"] = 0.5 * {"day": 86400.0, "hour": 3600.0,
-                                           "minute": 60.0}[m.group(1)]
+            # "for half an hour" (r5 battery-15), "two and a half hours",
+            # "an hour and a half" (r5 battery-23)
+            words = {"a": 1.0, "an": 1.0, "one": 1.0, "two": 2.0,
+                     "three": 3.0, "four": 4.0, "five": 5.0, "six": 6.0,
+                     "seven": 7.0, "eight": 8.0, "nine": 9.0, "ten": 10.0}
+            units = {"day": 86400.0, "hour": 3600.0, "minute": 60.0}
+            m = re.search(r"(?:for|over|during|show)\s+"
+                          r"(?:(\w+)\s+and\s+a\s+half|half\s+an?)\s+"
+                          r"(day|hour|minute)s?", t)
+            if m and (m.group(1) is None or m.group(1) in words):
+                out["total_time"] = ((words.get(m.group(1), 0.0) + 0.5)
+                                     * units[m.group(2)])
+            else:
+                m = re.search(r"(?:for|over|during|show)\s+an?\s+"
+                              r"(day|hour|minute)\s+and\s+a\s+half", t)
+                if m:
+                    out["total_time"] = 1.5 * units[m.group(1)]
     m = re.search(_NUM + r"\s*(?:nodes|mesh points|grid points|cells|elements)", t)
     if m:
         out["nx"] = int(float(m.group(1)))

@@ -2006,3 +2006,158 @@ def test_rule_parse_battery_round22_loaded_by_and_pull_noun():
     assert p["bc_values"]["right"] == {"type": "force_axial",
                                        "value": 10000.0}
     assert p["material_params"]["area"] == pytest.approx(1e-4)
+
+
+# ---- round-5 NL battery 23: unicode sci-notation & minus, ms durations,
+# spelled compound hours, blowing velocity, internal pressure, value-first
+# walls, both-faces pairs, through-thickness plates, honesty notes ----
+
+def test_rule_parse_battery_round23_unicode_scientific_notation():
+    """'α = 1.2×10⁻⁵' parsed as diffusivity 1.2 (100000x wrong) AND left a
+    spurious '1.2 x 10' 2D domain behind."""
+    r = rule_based_parse("Rod of length 0.8 m, α = 1.2×10⁻⁵ m²/s, left "
+                         "end 90 °C, right end 10 °C, run for 600 s.")
+    assert r["diffusivity"] == pytest.approx(1.2e-5)
+    assert r["domain_size"] == {"length": 0.8}
+    assert r["bc_values"]["T_left"] == 90.0
+    assert r["bc_values"]["T_right"] == 10.0
+    assert r["total_time"] == 600.0
+    c = rule_based_parse("diffusivity of 2.5 x 10^-6, 1 m rod")
+    assert c["diffusivity"] == pytest.approx(2.5e-6)
+
+
+def test_rule_parse_battery_round23_unicode_minus_bc():
+    """'right −50C' (U+2212 minus) silently dropped the boundary value."""
+    r = rule_based_parse("A plate 40cm×20cm, k = 2.5e1 W/mK, left 200C, "
+                         "right −50C, steady state.")
+    assert r["bc_values"]["T_left"] == 200.0
+    assert r["bc_values"]["T_right"] == -50.0
+    assert r["domain_size"] == {"Lx": 0.4, "Ly": 0.2}
+
+
+def test_rule_parse_battery_round23_millisecond_durations():
+    """'for 20 ms' / 'simulate 1.5 ms' produced no total_time at all."""
+    r = rule_based_parse("A 1.2 m organ pipe is excited acoustically; "
+                         "wave speed 340 m/s. Simulate the pressure "
+                         "oscillation for 20 ms.")
+    assert r["total_time"] == pytest.approx(0.02)
+    s = rule_based_parse("A 1 mm gold wire initially at 300°C cools in "
+                         "25°C air (h = 80) — simulate 1.5 ms.")
+    assert s["total_time"] == pytest.approx(1.5e-3)
+    assert s["initial_value"] == 300.0
+    w = rule_based_parse("A circular drumhead 30 cm in diameter is "
+                         "struck in the middle. Wave speed 100 m/s. "
+                         "Show the first 10 ms.")
+    assert w["total_time"] == pytest.approx(0.01)
+    assert w["wave_speed"] == 100.0
+
+
+def test_rule_parse_battery_round23_compound_spelled_hours():
+    """'for two and a half hours' / 'an hour and a half' parsed nothing
+    ('half an hour' alone was covered)."""
+    r = rule_based_parse("Heat a frozen 25 cm soil column (initially "
+                         "-10°C) from the top at 15°C for two and a "
+                         "half hours.")
+    assert r["total_time"] == pytest.approx(9000.0)
+    assert r["domain_size"]["length"] == pytest.approx(0.25)
+    assert r["initial_value"] == -10.0
+    s = rule_based_parse("simulate a 1 m rod for an hour and a half")
+    assert s["total_time"] == pytest.approx(5400.0)
+    h = rule_based_parse("cool the 1 m rod for half an hour")
+    assert h["total_time"] == pytest.approx(1800.0)
+
+
+def test_rule_parse_battery_round23_wind_blowing_velocity():
+    """'Wind blowing at 3 m/s carries smoke...' lost the advection
+    velocity entirely."""
+    r = rule_based_parse("Wind blowing at 3 m/s carries smoke down a "
+                         "50 m corridor. Diffusivity 0.1 m²/s. Where is "
+                         "the smoke after 30 seconds?")
+    assert r["pde_type"] == "advection"
+    assert r["material_params"]["velocity"] == 3.0
+    assert r["domain_size"]["length"] == 50.0
+    assert r["total_time"] == 30.0
+
+
+def test_rule_parse_battery_round23_internal_pressure_inner_face():
+    """A 5 MPa INTERNAL pressure landed on the outer wall of the pipe."""
+    r = rule_based_parse("A pressurized steel pipe, inner radius 5 cm, "
+                         "outer radius 6 cm, carries an internal "
+                         "pressure of 5 MPa. Hoop stress?")
+    assert r["bc_values"]["inner"] == {"type": "pressure",
+                                       "value": 5e6}
+    assert "outer" not in r["bc_values"]
+    assert r["geometry_params"] == {"r_inner": 0.05, "r_outer": 0.06}
+
+
+def test_rule_parse_battery_round23_value_first_wall_and_both_faces():
+    """'a 30 cm concrete wall' (no 'thick' keyword) solved a default 1 m
+    domain, and 'both faces sit at 15°C' set no BC at all."""
+    r = rule_based_parse("How much hotter is the center of a 30 cm "
+                         "concrete wall than its faces at steady state, "
+                         "if it generates 400 W/m³ and both faces sit "
+                         "at 15°C?")
+    assert r["domain_size"]["length"] == pytest.approx(0.3)
+    assert r["bc_values"]["T_left"] == 15.0
+    assert r["bc_values"]["T_right"] == 15.0
+    assert r["source_value"] == 400.0
+    assert r["steady"] is True
+
+
+def test_rule_parse_battery_round23_keep_ends_adjective():
+    """'Keep the ends of a 60 cm copper rod ice-cold at 0°C' — the
+    adjective+object between 'ends' and the value lost both BCs."""
+    r = rule_based_parse("Keep the ends of a 60 cm copper rod ice-cold "
+                         "at 0°C while the middle 10 cm is heated at "
+                         "5000 W/m³. Steady profile?")
+    assert r["bc_values"]["T_left"] == 0.0
+    assert r["bc_values"]["T_right"] == 0.0
+    assert r["domain_size"]["length"] == pytest.approx(0.6)
+
+
+def test_rule_parse_battery_round23_through_thickness_plate():
+    """A plate with top/bottom temperatures asked 'through the thickness'
+    must become the 1D wall problem, not a 2D plate with a default
+    domain ('It is 4 cm thick' in its own sentence)."""
+    r = rule_based_parse("A steel plate sits outside overnight: its top "
+                         "surface drops to -5°C while the bottom stays "
+                         "at 12°C. It is 4 cm thick. Steady temperature "
+                         "through the thickness?")
+    assert r["dim"] == 1
+    assert r["domain_size"]["length"] == pytest.approx(0.04)
+    assert r["bc_values"]["T_left"] == 12.0   # bottom = x=0
+    assert r["bc_values"]["T_right"] == -5.0  # top = x=L
+
+
+def test_rule_parse_battery_round23_honesty_notes():
+    """Step/Gaussian initial profiles and radiation BCs must be flagged,
+    not silently replaced; a 'background' temperature is the uniform
+    initial value."""
+    r = rule_based_parse("A 1 m steel rod: initially the left half is "
+                         "at 100°C and the right half is at 0°C. Both "
+                         "ends are insulated. How does the temperature "
+                         "even out over 10 minutes?")
+    assert any("Non-uniform initial" in n for n in r.get("notes", []))
+    g = rule_based_parse("A 2 m rod starts with a Gaussian hot spot of "
+                         "80°C in the middle, on top of a 20°C "
+                         "background. Ends held at 20°C. Simulate 5 "
+                         "minutes.")
+    assert g["initial_value"] == 20.0
+    assert any("Non-uniform initial" in n for n in g.get("notes", []))
+    d = rule_based_parse("A 2 cm steel plate at 800°C radiates to cold "
+                         "surroundings at 25°C with emissivity 0.8. How "
+                         "fast does it cool?")
+    assert any("Radiative heat exchange" in n for n in d.get("notes", []))
+
+
+def test_rule_parse_battery_round23_column_length():
+    """'a 10 m concrete column' lost its length (column was a cylinder
+    cue but not a 1D length noun)."""
+    r = rule_based_parse("How much does a 10 m concrete column compress "
+                         "under its own weight? Density 2400 kg/m³, "
+                         "E = 30 GPa.")
+    assert r["pde_type"] == "elasticity"
+    assert r["domain_size"]["length"] == pytest.approx(10.0)
+    assert r["young_modulus"] == pytest.approx(30e9)
+    assert r["density"] == 2400.0
+    assert r["material_params"]["gravity"] is True
