@@ -921,6 +921,16 @@ class DispatcherAgent:
     def _elast_2d_args(self, params: PDEParameters) -> Dict[str, Any]:
         domain = params.domain_size or {}
         Lx, Ly = self._domain_xy(domain)
+        if "length" in domain and not any(
+                k in domain for k in ("Lx", "lx", "width", "Width", "W")):
+            # a 1D member upgraded to the bending plane ("a 3 m beam
+            # carries ..."): the span is the stated length, the section
+            # height defaults to a slender L/10 (r5 battery-23 — the
+            # beam's length was silently dropped for a 1 m default)
+            Lx = float(domain["length"])
+            if not any(k in domain
+                       for k in ("Ly", "ly", "height", "Height", "H")):
+                Ly = Lx / 10.0
         mp = params.material_params or {}
         gravity = mp.get("gravity") or mp.get("apply_gravity") or False
         if gravity and mp.get("body_fy") is None and mp.get("body_force_y") is None:
@@ -930,6 +940,11 @@ class DispatcherAgent:
         else:
             body_fx = mp.get("body_fx") or mp.get("body_force_x") or 0.0
             body_fy = mp.get("body_fy") or mp.get("body_force_y") or 0.0
+        if mp.get("udl"):
+            # distributed line load w [N/m] along the span, smeared over
+            # the section height (unit thickness in plane stress) as a
+            # gravity-like body-force density w/Ly [N/m³] (r5 battery-23)
+            body_fy = body_fy - float(mp["udl"]) / max(Ly, 1e-12)
         plane_stress = mp.get("plane_stress")
         return {
             "Lx": Lx, "Ly": Ly, "nx": params.nx or 30, "ny": params.ny or 30,

@@ -1147,9 +1147,26 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             return {"kpa": 1e3, "mpa": 1e6, "gpa": 1e9}.get(
                 (u or "").strip(), 1.0)
 
-        m = re.search(r"(?:point\s+|tip\s+|end\s+|applied\s+)?"
-                      r"(?:load|force)\s*(?:of|=|:|to)?\s*" + _NUM
-                      + r"\s*(kn|mn|n)?\b", t)
+        # distributed line loads ("a uniformly distributed load of
+        # 2 kN/m") are NOT point loads: record the intensity for the
+        # dispatcher's body-force conversion and upgrade to the bending
+        # plane (r5 battery-23: the UDL became a 2 kN END force)
+        m = re.search(r"(?:uniform(?:ly)?\s+)?distributed\s+load\s*"
+                      r"(?:of|=|:)?\s*" + _NUM
+                      + r"\s*(kn|mn|n)?\s*(?:/|\bper\s+)\s*"
+                      r"m(?:eter|etre)?\b", t)
+        if m is None:
+            m = re.search(r"(?:carries|under|with)\s+(?:a\s+)?" + _NUM
+                          + r"\s*(kn|mn|n)\s*(?:/|\s+per\s+)\s*"
+                          r"m(?:eter|etre)?\b", t)
+        if m:
+            material["udl"] = float(m.group(1)) * _force_scale(m.group(2))
+            if out.get("dim", 1) == 1:
+                out["dim"] = 2
+        m = None if "udl" in material else re.search(
+            r"(?:point\s+|tip\s+|end\s+|applied\s+)?"
+            r"(?:load|force)\s*(?:of|=|:|to)?\s*" + _NUM
+            + r"\s*(kn|mn|n)?\b(?!\s*/)", t)
         if m is None:
             # number-first phrasing: "stretched by a 20 kN tensile force"
             # (the unit is REQUIRED here to avoid matching bare counts)
@@ -1167,7 +1184,8 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # (r5 battery-17 — the unit is required, no force/load noun)
             m = re.search(r"(?:pull|stretch)\w*[^.;]{0,60}?\bwith\s+"
                           + _NUM + r"\s*(kn|mn|n)\b", t)
-        if m and not re.search(r"body\s+forces?", t[:m.start()][-25:]):
+        if m and "udl" not in material \
+                and not re.search(r"body\s+forces?", t[:m.start()][-25:]):
             F = float(m.group(1)) * _force_scale(m.group(2))
             win = t[max(0, m.start() - 80):m.end() + 100]
             tip = re.search(r"(?:free\s+end|tip|end|right)", win)

@@ -2161,3 +2161,32 @@ def test_rule_parse_battery_round23_column_length():
     assert r["young_modulus"] == pytest.approx(30e9)
     assert r["density"] == 2400.0
     assert r["material_params"]["gravity"] is True
+
+
+def test_rule_parse_battery_round23_distributed_load():
+    """'a uniformly distributed load of 2 kN/m' became a 2 kN END force;
+    and the upgraded bending plane dropped the beam's 3 m span for the
+    1 m default.  The UDL rides material_params and the dispatcher
+    smears it over the (slender-default) section as a body force."""
+    r = rule_based_parse("A 3 m steel beam carries a uniformly "
+                         "distributed load of 2 kN/m. The left end is "
+                         "fixed. Deflection?")
+    assert r["pde_type"] == "elasticity"
+    assert r["dim"] == 2
+    assert r["material_params"]["udl"] == 2000.0
+    assert "right" not in r.get("bc_values", {})
+    args = DispatcherAgent()._elast_2d_args(PDEParameters.from_dict(r))
+    assert args["Lx"] == 3.0
+    assert args["Ly"] == pytest.approx(0.3)
+    assert args["body_fy"] == pytest.approx(-2000.0 / 0.3)
+    # per-meter phrasing without 'distributed'
+    p = rule_based_parse("A 4 m beam under 500 N per meter, clamped at "
+                         "the left end.")
+    assert p["material_params"]["udl"] == 500.0
+    # point forces are untouched
+    q = rule_based_parse("A 2 m steel cantilever beam with a 5 kN "
+                         "downward force at the free end.")
+    assert q["bc_values"]["right"] == {"type": "force",
+                                       "vector": [0.0, -5000.0]}
+    qa = DispatcherAgent()._elast_2d_args(PDEParameters.from_dict(q))
+    assert qa["Lx"] == 2.0 and qa["Ly"] == pytest.approx(0.2)
