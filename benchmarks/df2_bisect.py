@@ -242,27 +242,138 @@ def main():
                           lv.Ainv, lv.w_lo) for lv in h.levels)
     e0_dev = jnp.asarray(e_host64, dtype=jnp.float32)
 
-    for host_coarse, label in ((False, "stage4 fused round (dev coarse)"),
-                               (True, "stage5 fused round (HOST coarse)")):
+    n_rounds = int(os.environ.get("BISECT_ROUNDS", 3))
+    skip = set(os.environ.get("BISECT_SKIP", "").split(","))
+    stages45 = () if "45" in skip else (
+        (False, "stage4 instr round (dev coarse)"),
+        (True, "stage5 instr round (HOST coarse)"))
+    for host_coarse, label in stages45:
+        xh, xl = x_hi, x_lo
+        for rnd in range(n_rounds):
+            t0 = time.time()
+            vals, xh, xl, k = fused_round_instr(
+                h_struct, level_arrays, ladder.Whi, ladder.Wlo,
+                ladder.scale32, ladder.free32, Ainv32, ladder.bhi0,
+                ladder.blo0, xh, xl, e0_dev, inner_iters, host_coarse)
+            names = trace_names()
+            vals = [float(v) for v in vals]
+            wall = time.time() - t0
+            bad = [nm for nm, v in zip(names, vals) if not np.isfinite(v)]
+            _, r2 = df32.jit_df_residual(h.levels[0].offsets,
+                                         ladder.Whi[0], ladder.Wlo[0],
+                                         ladder.bhi0, ladder.blo0,
+                                         xh, xl, d, vdim)
+            relres = float(jnp.sqrt(r2)) / bnorm
+            log(f"{label} round {rnd} ({wall:.1f}s): iters={int(k)} "
+                f"relres={relres:.6e} "
+                f"first_nonfinite={bad[0] if bad else 'NONE'}")
+            for nm, v in zip(names, vals):
+                log(f"    {nm:>18s} = {v:.6e}")
+            if not np.isfinite(relres):
+                break
+
+    # --- stage 6: the PRODUCTION fused round (multigrid._jit_round_df,
+    # exactly what solve_fcycle_df2 dispatches) - the program that NaN'd
+    # in the bench runs.  If it NaNs here while stages 4/5 stay finite,
+    # the failure is fusion-layout-dependent (the instrumentation's norm
+    # taps change XLA's fusion decisions), not a logic bug.
+    xh, xl = x_hi, x_lo
+    for rnd in range(n_rounds if "6" not in skip else 0):
         t0 = time.time()
-        vals, xh, xl, k = fused_round_instr(
+        xh, xl, rnorm2, k = mg._jit_round_df(
             h_struct, level_arrays, ladder.Whi, ladder.Wlo,
             ladder.scale32, ladder.free32, Ainv32, ladder.bhi0,
-            ladder.blo0, x_hi, x_lo, e0_dev, inner_iters, host_coarse)
-        names = trace_names()
-        vals = [float(v) for v in vals]
-        wall = time.time() - t0
-        bad = [nm for nm, v in zip(names, vals) if not np.isfinite(v)]
-        log(f"{label} ({wall:.1f}s): iters={int(k)} "
-            f"first_nonfinite={bad[0] if bad else 'NONE'}")
-        for nm, v in zip(names, vals):
-            log(f"    {nm:>18s} = {v:.6e}")
-        # post-round true relres (the number solve_fcycle_df2 checks)
+            ladder.blo0, xh, xl, inner_iters)
         _, r2 = df32.jit_df_residual(h.levels[0].offsets, ladder.Whi[0],
                                      ladder.Wlo[0], ladder.bhi0,
                                      ladder.blo0, xh, xl, d, vdim)
-        log(f"{label}: post-round relres = "
-            f"{float(jnp.sqrt(r2)) / bnorm:.6e}")
+        relres = float(jnp.sqrt(r2)) / bnorm
+        log(f"stage6 PRODUCTION round {rnd} ({time.time() - t0:.1f}s): "
+            f"iters={int(k)} pre-norm2={float(rnorm2):.3e} "
+            f"relres={relres:.6e}")
+        if not np.isfinite(relres):
+            log("stage6: NaN reproduced in the production fused round")
+            break
+
+    # --- stage 7: production round + lax.optimization_barrier taps.
+    # The instrumented rounds (stages 4/5) are numerically IDENTICAL to
+    # the production round except for norm taps consuming intermediates -
+    # and they converge where production explodes.  optimization_barrier
+    # is the semantics-free way to impose the same fusion boundaries.
+    # Variants (which barrier placement is the minimal fix):
+    #   level : barrier on e once per ascend level
+    #   pcg   : barrier on mg_pcg's input (rho/scale) and output d32
+    #   corr  : barrier on e after every correction
+    @partial(jax.jit, static_argnames=("hs", "inner_iters", "variant"))
+    def round_barrier(hs, level_arrays, Whi, Wlo, scale32, free32,
+                      Ainv32, bhi, blo, x_hi, x_lo, inner_iters, variant):
+        offs, omegas, gd, vd, pre, post, ci = hs
+        levels = []
+        for i, arrs in enumerate(level_arrays):
+            weights, free, s, C, Cinv, Ainv, w_lo = arrs
+            levels.append(mg.MGLevel(offs[i], weights, free, omegas[i],
+                                     s, C, Cinv, Ainv, w_lo=w_lo))
+        bar = jax.lax.optimization_barrier
+        r32, rnorm2 = df32.df_stencil_residual(
+            offs[0], Whi[0], Wlo[0], bhi, blo, x_hi, x_lo, gd, vd)
+        rs = [r32]
+        for m in range(L):
+            rs.append(mg._jit_restrict_hat64(scale32[m], scale32[m + 1],
+                                             free32[m + 1], rs[m], gd))
+        e = jnp.matmul(Ainv32, rs[L].reshape(-1),
+                       precision=jax.lax.Precision.HIGHEST
+                       ).reshape(rs[L].shape)
+        iters = jnp.asarray(0, jnp.int32)
+        for m in range(L - 1, -1, -1):
+            e = mg._jit_prolong_hat64(scale32[m], scale32[m + 1],
+                                      free32[m], e, gd)
+            sub = mg.MGHierarchy(tuple(levels[m:]), gd, vd, pre, post, ci)
+            zero = jnp.zeros_like(rs[m])
+            for _ in range(1 if m == 0 else 2):
+                rho, _ = df32.df_stencil_residual(
+                    offs[m], Whi[m], Wlo[m], rs[m], zero, e, zero, gd, vd)
+                scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
+                                                      rho.reshape(-1))),
+                                    1e-30)
+                rhs = rho / scale
+                if variant == "pcg":
+                    rhs = bar(rhs)
+                d32, k, _ = mg.mg_pcg(sub, rhs, jnp.zeros_like(rho),
+                                      1e-5, inner_iters)
+                if variant == "pcg":
+                    d32 = bar(d32)
+                e = e + scale * d32
+                if variant == "corr":
+                    e = bar(e)
+                iters = iters + k
+            if variant == "level":
+                e = bar(e)
+        x_hi2, x_lo2 = df32.df_scale_add(x_hi, x_lo,
+                                         jnp.asarray(1.0, jnp.float32), e)
+        return x_hi2, x_lo2, rnorm2, iters
+
+    for variant in os.environ.get("BISECT_VARIANTS",
+                                  "level,pcg,corr").split(","):
+        variant = variant.strip()
+        if not variant:
+            continue
+        xh, xl = x_hi, x_lo
+        for rnd in range(n_rounds):
+            t0 = time.time()
+            xh, xl, rnorm2, k = round_barrier(
+                h_struct, level_arrays, ladder.Whi, ladder.Wlo,
+                ladder.scale32, ladder.free32, Ainv32, ladder.bhi0,
+                ladder.blo0, xh, xl, inner_iters, variant)
+            _, r2 = df32.jit_df_residual(h.levels[0].offsets,
+                                         ladder.Whi[0], ladder.Wlo[0],
+                                         ladder.bhi0, ladder.blo0,
+                                         xh, xl, d, vdim)
+            relres = float(jnp.sqrt(r2)) / bnorm
+            log(f"stage7 barrier[{variant}] round {rnd} "
+                f"({time.time() - t0:.1f}s): iters={int(k)} "
+                f"relres={relres:.6e}")
+            if not np.isfinite(relres):
+                break
     return 0
 
 

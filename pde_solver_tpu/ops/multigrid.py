@@ -1607,8 +1607,18 @@ def _jit_round_df(h_struct, level_arrays, Whi, Wlo, scale32, free32,
                                          rs[m], zero, e, zero, grid_dim, vdim)
             scale = jnp.maximum(jnp.sqrt(jnp.vdot(rho.reshape(-1),
                                                   rho.reshape(-1))), 1e-30)
-            d32, k, _ = mg_pcg(sub, rho / scale, jnp.zeros_like(rho), 1e-5,
+            # optimization_barrier: XLA fusing across the mg_pcg
+            # while_loop boundary MISCOMPILES this program at large
+            # shapes on TPU (9.8M DOF: corrections explode to 1e13 then
+            # NaN in round 1, while the identical math converges on CPU,
+            # as separate programs, and with these barriers —
+            # benchmarks/df2_bisect.py stage 7: barriers on the pcg
+            # input/output heal it bit-exactly; barriers after the
+            # correction, or once per level, do not).  Semantics-free.
+            rhs = jax.lax.optimization_barrier(rho / scale)
+            d32, k, _ = mg_pcg(sub, rhs, jnp.zeros_like(rho), 1e-5,
                                inner_iters)
+            d32 = jax.lax.optimization_barrier(d32)
             e = e + scale * d32
             iters = iters + k
     x_hi, x_lo = df_scale_add(x_hi, x_lo, jnp.asarray(1.0, jnp.float32), e)
