@@ -895,8 +895,11 @@ class DispatcherAgent:
 
     @staticmethod
     def _quantity(params: PDEParameters) -> str:
+        # "displacement" is an extension: the reference clamps the output
+        # quantity to stress|strain (ref dispatcher_agent.py:1002-1005),
+        # answering "deflection?" with von Mises stress
         q = (params.material_params or {}).get("quantity") or "stress"
-        return q if q in ("stress", "strain") else "stress"
+        return q if q in ("stress", "strain", "displacement") else "stress"
 
     def _elast_1d_args(self, params: PDEParameters) -> Dict[str, Any]:
         domain = params.domain_size or {}

@@ -1133,6 +1133,15 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             # "plane strain" is an analysis MODE, not an output-quantity
             # request (r5 battery-22)
             material["quantity"] = "strain"
+        elif not re.search(r"\bstress\b|\bstrain\b", t) and re.search(
+                r"\bdeflection\b|\bdisplacement\b|\belongation\b|\bsag\b"
+                r"|how\s+(?:much|far)\s+(?:does|do|will|would)\b[^.;?]*?"
+                r"\b(?:deflect|bend|sag|stretch|compress|shorten|extend|"
+                r"move|displace)", t):
+            # an explicit deflection/stretch question gets the actual
+            # displacement field (extension — the reference answers with
+            # von Mises stress; r5 battery-23)
+            material["quantity"] = "displacement"
         if re.search(r"plane\s+strain", t):
             material["plane_stress"] = False
         elif re.search(r"plane\s+stress", t):

@@ -982,7 +982,11 @@ def solve_elasticity_1D_static(
     Reference tool: fenics_mcp_server.py:2523-2588; raw solver :1470-1587.
     """
     x, values, stats = elast.solve_bar_1d(L, nx, E, area, body_force, quantity)
-    if quantity == "strain":
+    if quantity == "displacement":
+        # extension: the axial displacement itself (unit m) — the
+        # reference clamps quantity to stress|strain
+        field_name, unit = "axial_displacement", "m"
+    elif quantity == "strain":
         field_name, unit = "axial_strain", "-"
     else:
         field_name, unit = "axial_stress", "Pa"
@@ -1017,7 +1021,11 @@ def solve_elasticity_2D_static(
     mode = "plane_stress" if plane_stress else "plane_strain"
     values, stats = elast.solve_elasticity_nd(
         mesh, E, nu, np.array([body_fx, body_fy]), mode, quantity)
-    if quantity == "strain":
+    if quantity == "displacement":
+        # extension: |u| per node (unit m) — the reference clamps
+        # quantity to stress|strain
+        field_name, unit = "displacement_magnitude", "m"
+    elif quantity == "strain":
         field_name, unit = "von_mises_strain", "-"
     else:
         field_name, unit = "von_mises_stress", "Pa"
@@ -1054,7 +1062,11 @@ def solve_elasticity_3D_static(
     mesh = box_mesh(nx, ny, nz, (0.0, 0.0, 0.0), (Lx, Ly, Lz))
     values, stats = elast.solve_elasticity_nd(
         mesh, E, nu, np.array([body_fx, body_fy, body_fz]), "3d", quantity)
-    if quantity == "strain":
+    if quantity == "displacement":
+        # extension: |u| per node (unit m) — the reference clamps
+        # quantity to stress|strain
+        field_name, unit = "displacement_magnitude", "m"
+    elif quantity == "strain":
         field_name, unit = "von_mises_strain", "-"
     else:
         field_name, unit = "von_mises_stress", "Pa"
@@ -1124,7 +1136,9 @@ def solve_elasticity_1D_loaded(
     tool): EA u′(L) = P, so σ = P/A and u = P x/(EA) exactly."""
     x, values, stats = elast.solve_bar_1d(L, nx, E, area, body_force,
                                           quantity, end_load=end_load)
-    if quantity == "strain":
+    if quantity == "displacement":
+        field_name, unit = "axial_displacement", "m"
+    elif quantity == "strain":
         field_name, unit = "axial_strain", "-"
     else:
         field_name, unit = "axial_stress", "Pa"
@@ -1162,7 +1176,11 @@ def solve_elasticity_2D_loaded(
     values, stats = elast.solve_elasticity_nd(
         mesh, E, nu, np.array([body_fx, body_fy]), mode, quantity,
         traction_faces=_resolve_face_loads(loads, mesh))
-    if quantity == "strain":
+    if quantity == "displacement":
+        # extension: |u| per node (unit m) — the reference clamps
+        # quantity to stress|strain
+        field_name, unit = "displacement_magnitude", "m"
+    elif quantity == "strain":
         field_name, unit = "von_mises_strain", "-"
     else:
         field_name, unit = "von_mises_stress", "Pa"
@@ -1200,7 +1218,11 @@ def solve_elasticity_3D_loaded(
     values, stats = elast.solve_elasticity_nd(
         mesh, E, nu, np.array([body_fx, body_fy, body_fz]), "3d", quantity,
         traction_faces=_resolve_face_loads(loads, mesh))
-    if quantity == "strain":
+    if quantity == "displacement":
+        # extension: |u| per node (unit m) — the reference clamps
+        # quantity to stress|strain
+        field_name, unit = "displacement_magnitude", "m"
+    elif quantity == "strain":
         field_name, unit = "von_mises_strain", "-"
     else:
         field_name, unit = "von_mises_stress", "Pa"

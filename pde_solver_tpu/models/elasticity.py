@@ -223,11 +223,16 @@ def solve_bar_1d(L: float, nx: int, E: float, area: float, body_force: float,
     # ε per element (piecewise constant), projected to P1 like FEniCS project.
     h = mesh.spacing[0]
     eps_cells = ((u[1:] - u[:-1]) / h)[None]  # [1, nx]
-    if quantity == "strain":
-        field_cells = eps_cells
+    if quantity == "displacement":
+        # extension beyond the reference (quantity ∈ {stress, strain},
+        # dispatcher_agent.py:1002-1005): the axial displacement itself,
+        # already nodal — "how much does the bar stretch?"
+        field = np.asarray(u, dtype=np.float64)
+    elif quantity == "strain":
+        field = project_cellwise(mesh, eps_cells, config=cfg)
     else:
         field_cells = E * (eps_cells - float(alpha) * float(delta_T))
-    field = project_cellwise(mesh, field_cells, config=cfg)
+        field = project_cellwise(mesh, field_cells, config=cfg)
     info = {
         "num_dofs": mesh.num_nodes,
         "cg_iterations": int(stats.iterations),
@@ -301,10 +306,18 @@ def solve_elasticity_nd(mesh: StructuredMesh, E: float, nu: float,
         u_grid, stats = solve_stencil_system(K, mesh, bc, b, vdim=d, config=cfg,
                                              mg_level_builder=level_builder)
     with phase_timer(phases, "postprocess"):
-        vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu,
-                                                iso=iso_cells)
-        vm = vm_strain if quantity == "strain" else vm_stress
-        field = project_cellwise(mesh, vm, config=cfg)
+        if quantity == "displacement":
+            # extension beyond the reference (quantity ∈ {stress, strain},
+            # dispatcher_agent.py:1055-1057): the displacement magnitude
+            # |u| per node, kept grid-shaped for flatten_values —
+            # "deflection?" answered with deflection
+            field = np.linalg.norm(np.asarray(u_grid, dtype=np.float64),
+                                   axis=-1)
+        else:
+            vm_stress, vm_strain = von_mises_fields(mesh, u_grid, lam, mu,
+                                                    iso=iso_cells)
+            vm = vm_strain if quantity == "strain" else vm_stress
+            field = project_cellwise(mesh, vm, config=cfg)
     info = {
         "num_dofs": mesh.num_nodes * d,
         "cg_iterations": int(stats.iterations),

@@ -2190,3 +2190,20 @@ def test_rule_parse_battery_round23_distributed_load():
                                        "vector": [0.0, -5000.0]}
     qa = DispatcherAgent()._elast_2d_args(PDEParameters.from_dict(q))
     assert qa["Lx"] == 2.0 and qa["Ly"] == pytest.approx(0.2)
+
+
+def test_rule_parse_battery_round23_deflection_quantity():
+    """'Deflection?' / 'how much does it stretch' were answered with von
+    Mises stress (the reference clamps quantity to stress|strain) — the
+    extension returns the actual displacement field."""
+    r = rule_based_parse("A 3 m steel beam carries a uniformly "
+                         "distributed load of 2 kN/m. The left end is "
+                         "fixed. Deflection?")
+    assert r["material_params"]["quantity"] == "displacement"
+    s = rule_based_parse("How much does a 1 m steel rod stretch under a "
+                         "10 kN pull? Area 1 cm2.")
+    assert s["material_params"]["quantity"] == "displacement"
+    # explicit stress/strain requests are untouched
+    q = rule_based_parse("von Mises stress in a 2 m cantilever under a "
+                         "1 kN downward force")
+    assert q.get("material_params", {}).get("quantity") != "displacement"
