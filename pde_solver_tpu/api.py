@@ -977,7 +977,8 @@ def solve_elasticity_1D_static(
     quantity: str = "stress",
     data_dir: str = "data",
 ) -> SolveResult:
-    """1D axial bar −(EA u′)′ = f, fixed-free; axial stress/strain output.
+    """1D axial bar −(EA u′)′ = f, fixed-free; axial stress/strain output
+    (quantity="displacement" additionally returns u itself — extension).
 
     Reference tool: fenics_mcp_server.py:2523-2588; raw solver :1470-1587.
     """
@@ -1016,7 +1017,8 @@ def solve_elasticity_2D_static(
     data_dir: str = "data",
 ) -> SolveResult:
     """2D static elasticity (plane stress/strain), clamped left edge,
-    von Mises output.  Reference tool: fenics_mcp_server.py:2590-2678."""
+    von Mises output (quantity="displacement" returns |u| — extension).
+    Reference tool: fenics_mcp_server.py:2590-2678."""
     mesh = rectangle_mesh(nx, ny, (0.0, 0.0), (Lx, Ly))
     mode = "plane_stress" if plane_stress else "plane_strain"
     values, stats = elast.solve_elasticity_nd(
@@ -1055,7 +1057,8 @@ def solve_elasticity_3D_static(
     quantity: str = "stress",
     data_dir: str = "data",
 ) -> SolveResult:
-    """3D static elasticity on a box, clamped x=0 face, von Mises output.
+    """3D static elasticity on a box, clamped x=0 face, von Mises output
+    (quantity="displacement" returns |u| — extension).
 
     Reference tool: fenics_mcp_server.py:2680-2761; raw solver :1749-1892.
     """
