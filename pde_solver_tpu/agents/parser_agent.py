@@ -174,6 +174,15 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # unicode minus → ASCII ("right end −50C" silently lost the BC,
     # r5 battery-23)
     t = t.replace("−", "-")
+    # imperial lengths → metres up front, the same way Kelvin/Fahrenheit
+    # normalize, so every downstream length pattern sees metric ("a 6 inch
+    # thick concrete slab" and "a 3 ft long rod" silently solved default
+    # domains, r5 battery-24).  Only the unambiguous words — bare "in" is
+    # a preposition and '"' is a quote.
+    t = re.sub(r"(\d+(?:\.\d+)?)\s*(?:inch(?:es)?|in\.)\b",
+               lambda m: f"{float(m.group(1)) * 0.0254:g} m", t)
+    t = re.sub(r"(\d+(?:\.\d+)?)\s*(?:ft|feet|foot)\b",
+               lambda m: f"{float(m.group(1)) * 0.3048:g} m", t)
     # scientific notation written ×10^n / ×10⁻ⁿ → e-notation so _NUM reads
     # the true value ("α = 1.2×10⁻⁵" parsed as diffusivity 1.2 AND a
     # spurious 1.2×10 m domain, r5 battery-23).  Digit lookbehind + a
@@ -231,7 +240,9 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     if out["pde_type"] == "heat" \
             and re.search(r"\bgravity\b|\bload(?:ed|s|ing)?\b|self[- ]weight"
                           r"|own\s+weight|\btensile\b|\btraction\b"
-                          r"|\btension\b|\bcompress(?:ion|ive)\b"
+                          # verb forms too: "compressed by 50 kN" stayed on
+                          # the heat route (r5 battery-24)
+                          r"|\btension\b|\bcompress(?:ed|es|ing|ion|ive)?\b"
                           r"|\bpressure\b|(?:force|load)\s+of\s+\d"
                           # "a 500 N axial force", "pull/stretch the end"
                           # (r5 battery-17: number-first forces and the
@@ -281,8 +292,13 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
     # --- geometry ---
     # "circular"/"tunnel" → cylinder per the reference's CRITICAL keyword
     # list (pde_parser_agent.py:239 "circular, cylindrical, column, tube")
-    if re.search(r"\bcylind|\bpipe\b|\btube\b|\bcolumn\b|\bannul"
-                 r"|\bcircular\b|\btunnel\b", t):
+    # "column" is a cylinder word for heat (the reference's keyword list),
+    # but an elastic column under load is the 1D axial bar ("a 2 m aluminum
+    # column compressed by 50 kN" routed to a heat cylinder, r5 battery-24)
+    _cyl = (r"\bcylind|\bpipe\b|\btube\b|\bannul|\bcircular\b|\btunnel\b"
+            + (r"" if out.get("pde_type") == "elasticity"
+               else r"|\bcolumn\b"))
+    if re.search(_cyl, t):
         out["geometry_type"] = "cylinder"
     elif re.search(r"\b(?:rod|wire|cable|bar|shaft)\b", t) \
             and re.search(r"\bradius\b|\bdiamet", t) \
@@ -294,7 +310,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["geometry_type"] = "cylinder"
     elif re.search(r"\bspher|\bball\b|\bshell\b", t):
         out["geometry_type"] = "sphere"
-    elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
+    elif re.search(r"\bcube\b|\bbox\b|(?<!of )\bbrick\b(?!\s+(?:wall|slab))",
+                   t):
+        # "brick" names the shape only when it is not a material modifier:
+        # "a brick wall 30 cm thick" and "10 cm of brick" solved 3D boxes
+        # (r5 battery-24)
         out["geometry_type"] = "box"
 
     # --- dimension ---
@@ -307,12 +327,19 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         out["dim"] = 2
     elif re.search(r"three[- ]dimensional", t):
         out["dim"] = 3
-    elif re.search(r"\brod\b|\bbar\b|\bwire\b|\bstring\b", t):
+    elif re.search(r"\brod\b|\bbar\b|\bwire\b|\bstring\b", t) or (
+            out.get("pde_type") == "elasticity"
+            and re.search(r"\bcolumn\b", t)):
+        # an elastic column under axial load is the 1D bar (r5 battery-24;
+        # for heat "column" stays a cylinder word per the reference list)
         out["dim"] = 1
-    elif re.search(r"\bplate\b|\bsquare\b|\bmembrane\b|\brectangle\b"
-                   r"|\bdrum(?:head)?\b", t):
+    elif re.search(r"\bplate\b|\bsquare\b(?!\s+cross)|\bmembrane\b"
+                   r"|\brectangle\b|\bdrum(?:head)?\b", t):
+        # "a 5 cm square cross-section" describes the section, not a 2D
+        # domain (r5 battery-24)
         out["dim"] = 2
-    elif re.search(r"\bcube\b|\bbox\b|\bbrick\b", t):
+    elif re.search(r"\bcube\b|\bbox\b|(?<!of )\bbrick\b(?!\s+(?:wall|slab))",
+                   t):
         out["dim"] = 3
     elif re.search(r"axi[- ]?symmetric", t) \
             and out.get("geometry_type") in ("cylinder", "sphere"):
@@ -590,6 +617,16 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
         m = re.search(pat, t)
         if m and key not in bc:
             bc[key] = float(m.group(1))
+    # temperature-first with the face named AFTER the value: "heated to
+    # 200°C at the left end" silently lost the BC (r5 battery-24).  The
+    # face-first `pairs` above already ran, so they keep priority.
+    for fm in re.finditer(
+            r"(?:heated|cooled|held|kept|maintained|fixed|raised|lowered|"
+            r"set|brought)\s+(?:to|at)\s+" + _NUM
+            + r"(?![\d.])(?!\s*(?:mm|cm|km|m|meters?|metres?)\b)"
+            r"\s*°?\s*c?\b[^.;,]{0,25}?\b(?:at|on)\s+(?:the\s+)?"
+            r"(left|right)\b", t):
+        bc.setdefault(f"T_{fm.group(2)}", float(fm.group(1)))
     # mathematical notation: u(0)=1, u(L)=0, T(0)=0, T(L)=100,
     # du/dt = α d²u/dx², on [0, L]
     m = re.search(r"\b[ut]\s*\(\s*0\s*\)\s*=\s*" + _NUM, t)
@@ -639,8 +676,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             bc["T_left"] = bc["T_right"] = float(m.group(1))
     # "one face at -10°C and the other at 22°C" → left/right in written
     # order (r5 battery-16: both BCs were silently dropped)
+    # the connector is optional: "one face at 40°C the other at 10°C"
+    # dropped both values (r5 battery-24)
     m = re.search(r"one\s+(?:face|side|end|surface)" + temp
-                  + r"\s*(?:°?\s*c)?\s*[,;]?\s*(?:and|while)\s+the\s+other"
+                  + r"\s*(?:°?\s*c)?\s*[,;]?\s*(?:(?:and|while)\s+)?"
+                  r"the\s+other"
                   r"(?:\s+(?:face|side|end|surface))?" + temp, t)
     if m and "T_left" not in bc and "T_right" not in bc:
         bc["T_left"] = float(m.group(1))
@@ -1189,9 +1229,11 @@ def rule_based_parse(text: str) -> Dict[str, Any]:
             m = re.search(r"load(?:ed)?\s+(?:by|with)\s+" + _NUM
                           + r"\s*(kn|mn|n)\b", t)
         if m is None:
-            # verb-only phrasing: "pull the right end with 500 N"
-            # (r5 battery-17 — the unit is required, no force/load noun)
-            m = re.search(r"(?:pull|stretch)\w*[^.;]{0,60}?\bwith\s+"
+            # verb-only phrasing: "pull the right end with 500 N",
+            # "compressed by 50 kN" (r5 battery-17/24 — the unit is
+            # required, no force/load noun)
+            m = re.search(r"(?:pull|stretch|compress)\w*[^.;]{0,60}?"
+                          r"\b(?:with|by)\s+"
                           + _NUM + r"\s*(kn|mn|n)\b", t)
         if m and "udl" not in material \
                 and not re.search(r"body\s+forces?", t[:m.start()][-25:]):

@@ -1087,11 +1087,12 @@ def test_rule_parse_convection_battery_round6():
     assert r["bc_values"]["T_left"] == 20.0
     d = DispatcherAgent()
     name, args = d.route(PDEParameters.from_dict(r))
-    # "brick" cues box geometry (dim 3); outer/inside still map onto the
-    # wall's two x faces, other faces naturally insulated — the 3D mixed
-    # solve is the same physical wall problem
-    assert name == "solve_heat_3D_mixed"
+    # "brick" in "brick wall" is a MATERIAL modifier, not the box shape
+    # (r5 battery-24) — the wall solves through-thickness 1D, inside/
+    # outside mapping to its two faces
+    assert name == "solve_heat_1D_mixed"
     bc = args["boundary_conditions"]
+    # "outer" resolves to the x-high face inside the solver (_FACE_ALIASES)
     assert bc["outer"]["type"] == "robin" and bc["left"]["value"] == 20.0
     # kW/m2 flux scaling
     r = rule_based_parse(
@@ -2207,3 +2208,67 @@ def test_rule_parse_battery_round23_deflection_quantity():
     q = rule_based_parse("von Mises stress in a 2 m cantilever under a "
                          "1 kN downward force")
     assert q.get("material_params", {}).get("quantity") != "displacement"
+
+
+def test_rule_parse_battery_round24_imperial_lengths():
+    """Imperial lengths normalize to metres up front ('a 6 inch thick
+    concrete slab' and 'a 3 ft long rod' silently solved default
+    domains)."""
+    r = rule_based_parse("a 6 inch thick concrete slab, one face at 40 C "
+                         "the other at 10 C")
+    assert r["domain_size"]["length"] == pytest.approx(0.1524)
+    # connector-free 'one face ... the other' pair (both were dropped)
+    assert r["bc_values"]["T_left"] == 40.0
+    assert r["bc_values"]["T_right"] == 10.0
+    s = rule_based_parse("a 3 ft long steel rod heated to 200 C at the "
+                         "left end, right end at 0 C")
+    assert s["domain_size"]["length"] == pytest.approx(0.9144)
+    # temperature-first face phrasing ('heated to X at the left end')
+    assert s["bc_values"]["T_left"] == 200.0
+    assert s["bc_values"]["T_right"] == 0.0
+    # bare "in" stays a preposition, '"' stays a quote
+    q = rule_based_parse("a rod 2 m in length at 100 C on the left")
+    assert q["domain_size"]["length"] == 2.0
+
+
+def test_rule_parse_battery_round24_elastic_column():
+    """'a 2 m aluminum column compressed by 50 kN' routed to a heat
+    cylinder — 'column' is a cylinder word for heat only, 'compressed by'
+    is a mechanical-load cue, and the load is captured signed."""
+    r = rule_based_parse("a 2 m aluminum column compressed by 50 kN")
+    assert r["pde_type"] == "elasticity"
+    assert r["dim"] == 1
+    assert r.get("geometry_type") != "cylinder"
+    assert r["bc_values"]["right"] == {"type": "force_axial",
+                                       "value": -50000.0}
+    d = DispatcherAgent()
+    name, _ = d.route(PDEParameters.from_dict(r))
+    assert name == "solve_elasticity_1D_loaded"
+    # heat columns keep the reference's cylinder-keyword behavior
+    h = rule_based_parse("steel column 3 m tall, base at 100 C")
+    assert h["pde_type"] == "heat"
+    assert h["geometry_type"] == "cylinder"
+
+
+def test_rule_parse_battery_round24_brick_material_and_sections():
+    """'brick wall'/'of brick' name the material, not a 3D box; 'square
+    cross-section' describes the section, not a 2D domain."""
+    r = rule_based_parse("a brick wall 30 cm thick, inside at 20 C and "
+                         "outside at -5 C")
+    assert r.get("geometry_type") != "box"
+    assert r["dim"] == 1
+    assert r["domain_size"]["length"] == pytest.approx(0.3)
+    assert r["bc_values"]["T_left"] == 20.0
+    assert r["bc_values"]["T_right"] == -5.0
+    s = rule_based_parse("how long to conduct through 10 cm of brick with "
+                         "faces at 30 C and 5 C")
+    assert s.get("geometry_type") != "box" and s["dim"] == 1
+    # a bare brick object is still the box shape
+    b = rule_based_parse("a clay brick heated to 200 C on all faces")
+    assert b["geometry_type"] == "box" and b["dim"] == 3
+    q = rule_based_parse("a steel bar with a 5 cm square cross-section, "
+                         "2 m long, pulled with 10 kN")
+    assert q["pde_type"] == "elasticity" and q["dim"] == 1
+    assert q["domain_size"]["length"] == 2.0
+    assert q["bc_values"]["right"] == {"type": "force_axial",
+                                       "value": 10000.0}
